@@ -1,0 +1,156 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** How to index one column: produce an array of index tokens from it.
+  *
+  * Mirror of the reference's analyzer concept
+  * (/root/reference/src/main/scala/com/futurice/iodf/IndexedDf.scala:15-34):
+  * the default analyzer emits the value itself; a text analyzer may
+  * emit many tokens per row (e.g. whitespace split). Expressed here as
+  * a Column→Column function so the whole index build stays inside
+  * Catalyst (codegen, pushdown) instead of a row-at-a-time lambda.
+  */
+object Analyzers {
+  /** value itself as a single token (cast to string) */
+  val identity: Column => Column = c => array(c.cast("string"))
+  /** whitespace tokenizer (DfTest.scala:70 splits on " ") */
+  val whitespace: Column => Column = c => split(c.cast("string"), " ")
+  /** lowercased whitespace tokenizer */
+  val lowerWhitespace: Column => Column = c => split(lower(c.cast("string")), " ")
+}
+
+final case class IndexSpec(
+    fields: Seq[String],
+    analyzers: Map[String, Column => Column] = Map.empty) {
+  def analyzer(field: String): Column => Column =
+    analyzers.getOrElse(field, Analyzers.identity)
+  def withAnalyzer(field: String, a: Column => Column): IndexSpec =
+    copy(analyzers = analyzers + (field -> a))
+}
+
+/** Spark-native re-expression of the reference's inverted index
+  * (/root/reference/src/main/scala/com/futurice/iodf/Dfs.scala:330-408:
+  * per (colId, value) a bitmap of matching rows).
+  *
+  * On Spark we never materialize per-value row bitmaps on a driver:
+  * - the *index frame* [[entries]] ((field, value, f), sorted) is the
+  *   analog of the index's colIds + per-bitmap popcounts, built with
+  *   ONE scan + ONE shuffle (explode → groupBy, map-side combined);
+  * - bitmap algebra (f, fAnd, CoStats) becomes conditional
+  *   aggregation over the base table: one scan, no join, no shuffle
+  *   beyond the final single-row reduce — this is the shape that
+  *   survives 100 TB, unlike driver-side bitsets.
+  */
+final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
+
+  /** tokens array column for a field */
+  private def tokens(field: String): Column = spec.analyzer(field)(col(field))
+
+  /** Predicate "row matches (field, value)" — the analog of opening
+    * the (field,value) bitmap (IndexedDf.scala:77-85). For identity
+    * analyzers Catalyst simplifies array_contains(array(c), v) to an
+    * equality that pushes into the parquet scan.
+    */
+  def predicate(field: String, value: String): Column =
+    if (spec.analyzers.contains(field)) array_contains(tokens(field), value)
+    else col(field).cast("string") === value
+
+  /** The index frame: (field, value, f) for every distinct token of
+    * every indexed field, sorted like the reference's merge-sorted
+    * index colIds (Dfs.scala:310-328).
+    */
+  lazy val entries: DataFrame = {
+    val pairs = spec.fields.map(f =>
+      struct(lit(f).as("field"), tokens(f).as("ts")))
+    df.select(explode(array(pairs: _*)).as("fv"))
+      .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
+      .groupBy("field", "value").agg(count(lit(1)).as("f"))
+      .orderBy("field", "value")
+  }
+
+  /** distinct sorted values for one field (IndexedDf.colValues) */
+  def colValues(field: String): DataFrame =
+    df.select(explode(tokens(field)).as("value"))
+      .distinct().orderBy("value")
+
+  /** frequency of one predicate as a 1-row frame (IndexedDf.f) */
+  def fDF(field: String, value: String): DataFrame =
+    df.where(predicate(field, value)).agg(count(lit(1)).as("f"))
+
+  /** co-occurrence counts of two predicates in ONE pass (LBits.fAnd):
+    * n, fa, fb, fab via conditional aggregation — no join, no shuffle.
+    */
+  def countsDF(a: Column, b: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n"),
+      count_if(a).as("fa"),
+      count_if(b).as("fb"),
+      count_if(a && b).as("fab"))
+
+  /** CoStats collected to the driver (4 longs — scale-safe) */
+  def coStats(a: Column, b: Column): CoStats = {
+    val r = countsDF(a, b).head()
+    CoStats(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** countsDF + smoothed stats as columns (rounded for comparability;
+    * same closed form as core.CoStats / reference CoStats.scala:7-35).
+    */
+  def coStatsDF(a: Column, b: Column): DataFrame =
+    IndexedFrame.withCoStatsCols(countsDF(a, b))
+
+  /** contingency table between two identity-indexed fields — the bulk
+    * form of the reference's 1024-cofreq loop (DfTest.scala:236-253):
+    * every (valueA, valueB) pair's fAB in one grouped pass.
+    */
+  def cofreqMatrix(fieldA: String, fieldB: String): DataFrame =
+    df.groupBy(
+        col(fieldA).cast("string").as("a_value"),
+        col(fieldB).cast("string").as("b_value"))
+      .agg(count(lit(1)).as("fab"))
+      .orderBy("a_value", "b_value")
+}
+
+object IndexedFrame {
+
+  /** Append smoothed CoStats columns to a frame having n,fa,fb,fab.
+    * Doubles rounded to 6dp so a DuckDB oracle with the same formula
+    * hash-matches (log/div ulp differences are below 1e-6).
+    */
+  def withCoStatsCols(counts: DataFrame): DataFrame = {
+    val n = col("n"); val fa = col("fa"); val fb = col("fb"); val fab = col("fab")
+    val priorW = lit(2.0)
+    def eP(f: Column, prior: Column, w: Column) = (f + prior * w) / (n + w)
+    val pA = eP(fa, lit(0.5), priorW / 0.5)
+    val pB = eP(fb, lit(0.5), priorW / 0.5)
+    def stateF(s: Int): Column = s match {
+      case 0 => n - fa - fb + fab
+      case 1 => fa - fab
+      case 2 => fb - fab
+      case _ => fab
+    }
+    def naiveP(s: Int): Column = {
+      val a = if ((s & 1) > 0) pA else lit(1.0) - pA
+      val b = if ((s & 2) > 0) pB else lit(1.0) - pB
+      a * b
+    }
+    def pS(s: Int): Column = {
+      val nv = naiveP(s)
+      (stateF(s) + nv * (priorW / nv)) / (n + priorW / nv)
+    }
+    def dS(s: Int): Column = pS(s) / naiveP(s)
+    val log2e = lit(1.0 / math.log(2.0))
+    val mi = (0 until 4).map(s => pS(s) * log(dS(s)) * log2e).reduce(_ + _)
+    counts.select(
+      n, fa, fb, fab,
+      round(pA, 6).as("pa"),
+      round(pB, 6).as("pb"),
+      round(dS(0), 6).as("d00"),
+      round(dS(1), 6).as("d10"),
+      round(dS(2), 6).as("d01"),
+      round(dS(3), 6).as("d11"),
+      round(mi, 6).as("mi"))
+  }
+}

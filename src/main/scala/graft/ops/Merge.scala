@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import graft.core.{IndexSpec, IndexedFrame}
+
+/** Spark-native analog of the reference's MultiDf / merged writes
+  * (/root/reference/src/main/scala/com/futurice/iodf/MultiDf.scala and
+  * Dfs.scala:222-228, 476-487).
+  *
+  * The reference physically merge-sorts per-segment column files and
+  * index bitmaps. On Spark, concatenation is a logical `unionByName`
+  * (zero data movement — segments stay where they are; the scan reads
+  * both); a merged *index* is the index frame built over the union,
+  * which Catalyst evaluates as one scan per segment + one map-side
+  * combined shuffle — the same cost profile as the reference's
+  * merge-sort, but distributed.
+  */
+object Merge {
+
+  /** logical concatenation of N segments (MultiDf.autoClosing analog) */
+  def multiFrame(segments: Seq[DataFrame]): DataFrame =
+    segments.reduce(_ unionByName _)
+
+  /** merged index over N segments == index of the concatenation
+    * (writeMergedIndexedDf analog: merge-sorted (field,value) entries
+    * with per-entry frequencies summed across segments).
+    */
+  def mergedIndex(segments: Seq[DataFrame], spec: IndexSpec): DataFrame =
+    IndexedFrame(multiFrame(segments), spec).entries
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2b — the analytics queries an iodf user runs, TPC-H-shaped.
+  *
+  * Determinism protocol (SURVEY §6): money math goes through
+  * DECIMAL(18,2) so sums are exact and engine/partition-order
+  * independent, then back to DOUBLE for a stable parquet type. Every
+  * output has a total ORDER BY.
+  */
+object Analytics {
+
+  /** exact money sum: sum(decimal(x)) as double */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** exact discounted revenue sum: sum(dec(price) * (1 - dec(disc))) */
+  private def revenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2b.15 — pricing summary (TPC-H Q1 shape): one scan, map-side
+    // partial agg, 6-group output.
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2b.16 — shipping priority (TPC-H Q3 shape): broadcast the
+    // filtered customer side; lineitem⋈orders shuffles on orderkey.
+    "q3_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-01-01"))
+      val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.as("rev"))
+        .orderBy(desc("rev"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2b.17 — local supplier volume (TPC-H Q5 shape): region/nation/
+    // supplier are broadcast dims; the fact joins shuffle once.
+    "q5_join" -> ((s, d) => {
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue.as("rev"))
+        .orderBy(desc("rev"), asc("n_name"))
+    }),
+
+    // §2b.18 — pushed-down point predicate (index-lookup analog);
+    // .explain must show PushedFilters on the parquet scan.
+    "point_lookup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_quantity") === 50.0 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2b.19 — global top-k (TakeOrderedAndProject: per-partition
+    // partial top-k, no full sort shuffle).
+    "topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    // §2b.20 — per-customer ranking via window (partitionBy custkey
+    // — natural key, one shuffle).
+    "window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    }),
+
+    // §2b.21 — event-time tumbling window agg (batch form of the
+    // streaming pipeline in graft.streaming).
+    "events_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("hour", "event_type")),
+
+    // §2b.22 — gap-based sessionization per user via lag window.
+    "events_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          lag("ts", 1).over(w).as("prev_ts"))
+        .select(col("user_id"),
+          when(col("prev_ts").isNull ||
+               (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0).as("new_session"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+        .orderBy("user_id")
+    })
+  )
+}

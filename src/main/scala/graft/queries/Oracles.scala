@@ -1,0 +1,174 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every hash-checkable query (SURVEY §6).
+  * Column aliases and ORDER BY match the Spark side exactly; money
+  * math mirrors the DECIMAL(18,2)→DOUBLE protocol of [[Analytics]].
+  */
+object Oracles {
+
+  private val rev =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val refSurface: Map[String, String] = Map(
+    "df_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "df_view" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 100""".stripMargin,
+
+    "df_cell_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+
+    "index_colvalues" ->
+      "SELECT DISTINCT p_brand AS value FROM part ORDER BY value",
+
+    "index_freqs" ->
+      """SELECT field, value, count(*) AS f FROM (
+        |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |) GROUP BY field, value ORDER BY field, value""".stripMargin,
+
+    "index_tokens" ->
+      """SELECT value, count(*) AS f FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS value FROM documents
+        |) GROUP BY value ORDER BY value""".stripMargin,
+
+    "index_f" ->
+      "SELECT count(*) AS f FROM lineitem WHERE l_returnflag = 'R'",
+
+    "index_fand" ->
+      """SELECT count(*) AS n,
+        |  count(*) FILTER (l_returnflag = 'R') AS fa,
+        |  count(*) FILTER (l_linestatus = 'F') AS fb,
+        |  count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F') AS fab
+        |FROM lineitem""".stripMargin,
+
+    "cofreq_matrix" ->
+      """SELECT l_returnflag AS a_value, l_linestatus AS b_value, count(*) AS fab
+        |FROM lineitem GROUP BY a_value, b_value ORDER BY a_value, b_value""".stripMargin,
+
+    "costats" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (l_returnflag = 'R') AS fa,
+        |    count(*) FILTER (l_linestatus = 'F') AS fb,
+        |    count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F') AS fab
+        |  FROM lineitem
+        |), p AS (
+        |  SELECT *,
+        |    (fa + 0.5 * 4.0) / (n + 4.0) AS pa_,
+        |    (fb + 0.5 * 4.0) / (n + 4.0) AS pb_
+        |  FROM c
+        |), s AS (
+        |  SELECT *,
+        |    (1-pa_)*(1-pb_) AS nv0, pa_*(1-pb_) AS nv1, (1-pa_)*pb_ AS nv2, pa_*pb_ AS nv3,
+        |    (n - fa - fb + fab) AS f0, (fa - fab) AS f1, (fb - fab) AS f2, fab AS f3
+        |  FROM p
+        |), q AS (
+        |  SELECT *,
+        |    (f0 + nv0*(2.0/nv0)) / (n + 2.0/nv0) AS p0,
+        |    (f1 + nv1*(2.0/nv1)) / (n + 2.0/nv1) AS p1,
+        |    (f2 + nv2*(2.0/nv2)) / (n + 2.0/nv2) AS p2,
+        |    (f3 + nv3*(2.0/nv3)) / (n + 2.0/nv3) AS p3
+        |  FROM s
+        |)
+        |SELECT n, fa, fb, fab,
+        |  round(pa_, 6) AS pa, round(pb_, 6) AS pb,
+        |  round(p0/nv0, 6) AS d00, round(p1/nv1, 6) AS d10,
+        |  round(p2/nv2, 6) AS d01, round(p3/nv3, 6) AS d11,
+        |  round(  p0 * ln(p0/nv0)/ln(2) + p1 * ln(p1/nv1)/ln(2)
+        |        + p2 * ln(p2/nv2)/ln(2) + p3 * ln(p3/nv3)/ln(2), 6) AS mi
+        |FROM q""".stripMargin,
+
+    "multidf_union" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "merge_index" ->
+      """SELECT field, value, count(*) AS f FROM (
+        |  SELECT 'l_returnflag' AS field, l_returnflag AS value
+        |  FROM lineitem WHERE l_linestatus = 'O'
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag
+        |  FROM lineitem WHERE l_linestatus = 'F'
+        |) GROUP BY field, value ORDER BY field, value""".stripMargin
+  )
+
+  val analytics: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  $rev AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, $rev AS rev
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY rev DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      s"""SELECT n_name, $rev AS rev
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY rev DESC, n_name ASC""".stripMargin,
+
+    "point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_quantity = 50.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN prev_ts IS NULL
+        |           OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS n_sessions
+        |FROM (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  def all: Map[String, String] = refSurface ++ analytics
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Analyzers, IndexSpec, IndexedFrame, Tables}
+import graft.ops.Merge
+
+/** SURVEY §2a — the reference's own surface re-expressed Spark-first.
+  * Each entry has a DuckDB oracle in [[Oracles.refSurface]].
+  */
+object RefSurface {
+
+  /** lineitem index spec used across the index family */
+  private val liSpec = IndexSpec(Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+  private val docSpec = IndexSpec(Seq("text"), Map("text" -> Analyzers.whitespace))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2a.1 — typed columnar scan + projection; pruning reaches parquet
+    "df_scan" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2a.2 — Df.view(from, until): deterministic row-range slice
+    "df_view" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100).limit(100)),
+
+    // §2a.3 — Df.apply(colId, i): point lookup via pushed-down key
+    "df_cell_lookup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val k = li.agg(min("l_orderkey")).head().getLong(0)
+      li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .where(col("l_orderkey") === k)
+        .orderBy("l_linenumber")
+    }),
+
+    // §2a.4 — IndexedDf.colValues: sorted distinct values of a field
+    "index_colvalues" -> ((s, d) =>
+      IndexedFrame(Tables.part(s, d), IndexSpec(Seq("p_brand")))
+        .colValues("p_brand")),
+
+    // §2a.5 — the index frame: (field, value, f) over several fields
+    "index_freqs" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d), liSpec).entries),
+
+    // §2a.6 — analyzed (tokenized) text index over documents.text
+    "index_tokens" -> ((s, d) =>
+      IndexedFrame(Tables.documents(s, d), docSpec).entries
+        .select("value", "f").orderBy("value")),
+
+    // §2a.7 — IndexedDf.f: frequency of one (field,value)
+    "index_f" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d), liSpec).fDF("l_returnflag", "R")),
+
+    // §2a.8 — LBits.fAnd: co-occurrence counts of two predicates
+    "index_fand" -> ((s, d) => {
+      val ix = IndexedFrame(Tables.lineitem(s, d), liSpec)
+      ix.countsDF(ix.predicate("l_returnflag", "R"), ix.predicate("l_linestatus", "F"))
+    }),
+
+    // §2a.9 — bulk cofreq: full contingency table of two fields
+    "cofreq_matrix" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d), liSpec)
+        .cofreqMatrix("l_returnflag", "l_linestatus")),
+
+    // §2a.10 — CoStats: smoothed co-occurrence statistics
+    "costats" -> ((s, d) => {
+      val ix = IndexedFrame(Tables.lineitem(s, d), liSpec)
+      ix.coStatsDF(ix.predicate("l_returnflag", "R"), ix.predicate("l_linestatus", "F"))
+    }),
+
+    // §2a.11 — MultiDf: logical concat of segments + agg on top
+    "multidf_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val m = Merge.multiFrame(Seq(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1)))
+      m.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2a.12 — merged index == index rebuilt over the concatenation
+    "merge_index" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Merge.mergedIndex(
+        Seq(li.where(col("l_linestatus") === "O"),
+            li.where(col("l_linestatus") === "F")),
+        IndexSpec(Seq("l_returnflag")))
+    })
+  )
+}
