@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines
+  * (SURVEY §2c.23-27). Design target is 100 TB: nothing here ever
+  * forms the O(n²) pair space — exact dedup groups on a 128-bit hash
+  * (uniform keys, no skew), near-dup paths (minhash-LSH, simhash
+  * buckets) shuffle only on bucket keys and verify only candidate
+  * pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** exact dedup by content hash: per duplicate-group size and the
+    * kept representative (min id). One shuffle on md5 — uniform.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(md5(text.cast("binary")).as("h"), id.as("doc_id"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .orderBy("h")
+
+  // ------------------------------------------------------- shingle family
+
+  /** distinct w-word shingles per doc: (doc_id, shingle) */
+  def shingles(df: DataFrame, text: Column, id: Column, w: Int = 3): DataFrame = {
+    val toks = split(lower(text), " ")
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " "))
+    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** exact n-gram Jaccard pairs ≥ minJaccard (§2c.24): equi-join on
+    * shingle (never a cross join), group per pair, |A∪B| by
+    * inclusion-exclusion. The shuffle key is the shingle — frequency-
+    * capped below via `maxShingleFreq` to bound skew (a shingle shared
+    * by k docs creates k² pair rows; stop-shingles are dropped the
+    * same way stop-words are in search engines).
+    */
+  def ngramJaccard(df: DataFrame, text: Column, id: Column,
+                   w: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = shingles(df, text, id, w)
+    val capped = sh.withColumn("sfreq",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("sfreq") <= maxShingleFreq).drop("sfreq")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** deterministic permutation family h_i(x) = (a_i·x + b_i) mod p
+    * over xxhash64 token hashes (MinHash, Broder 1997). Fixed seeds →
+    * reproducible across runs/engines. p = 2³¹−1 keeps a·x within a
+    * 64-bit long (a,x < 2³¹ → product < 2⁶²) — no 128-bit mult needed.
+    */
+  private val MersenneP = (1L << 31) - 1
+  private def permParams(k: Int): Seq[(Long, Long)] = {
+    // splitmix64-ish deterministic param stream
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) & Long.MaxValue
+    }
+    (0 until k).map(_ => (next() % (MersenneP - 1) + 1, next() % MersenneP))
+  }
+
+  /** per-doc MinHash signature as array<long> of length k.
+    * Shape: explode shingles → k hash columns (codegen'd) → posexplode
+    * → groupBy (doc, perm) min → re-assemble. Two shuffles, both on
+    * uniform keys; signature cost O(rows·k) map-side.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val x = pmod(xxhash64(col("shingle")), lit(MersenneP))
+    val hashes = array(permParams(k).map { case (a, b) =>
+      pmod(pmod(x * a, lit(MersenneP)) + b, lit(MersenneP))
+    }: _*)
+    sh.select(col("doc_id"), posexplode(hashes).as(Seq("perm", "h")))
+      .groupBy("doc_id", "perm").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("perm"), col("mh")))).as("s"))
+      .select(col("doc_id"), transform(col("s"), e => e("mh")).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs (§2c.25): band the
+    * signature, shuffle on (band, bucket-hash), emit candidate pairs
+    * only from shared buckets, then verify estimated Jaccard =
+    * matching-minhash fraction ≥ threshold. Never O(n²).
+    */
+  def minhashLsh(df: DataFrame, text: Column, id: Column,
+                 k: Int = 32, bands: Int = 8,
+                 minEstJaccard: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sh = shingles(df, text, id)
+    val sig = minhashSignatures(sh, k)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"),
+        round(aggregate(
+            zip_with(col("siga"), col("sigb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v)
+          .cast("double") / k, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .orderBy("a", "b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash fingerprint per doc (Charikar 2002): per-token
+    * xxhash64, each output bit = sign of the per-bit vote sum. One
+    * exploded pass with 64 conditional sums (single codegen'd agg).
+    */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(array_distinct(split(lower(text), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup groups (§2c.26): docs sharing the full 64-bit
+    * fingerprint (hamming 0), plus 16-bit-band buckets as the
+    * hamming≤3 candidate path — shuffles only on fingerprint keys.
+    */
+  def simhashGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    simhash(df, text, id)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .where(col("n") > 1)
+      .orderBy("simhash")
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY §2c.34): image/audio/video as
+  * opaque `binary` payload columns with typed metadata.
+  *
+  * The Spark-side shape is the real deliverable: payloads stay
+  * columnar in parquet, metadata columns are prunable without
+  * touching payload bytes, and decode/feature-extract runs batched
+  * per partition (the Scala analog of arrow-batched UDFs). The
+  * actual media decoder is STUBBED (no image/audio libs in this
+  * environment) behind [[stubDecode]] — a deterministic fake with
+  * the same signature a real decoder would have.
+  */
+object Multimodal {
+
+  /** wrap a text corpus as a payload table: (doc_id, payload binary,
+    * meta struct<n_bytes, content_md5>) — the schema any real media
+    * ingest would produce.
+    */
+  def asPayload(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      text.cast("binary").as("payload"),
+      struct(
+        octet_length(text.cast("binary")).as("n_bytes"),
+        md5(text.cast("binary")).as("content_md5")).as("meta"))
+
+  /** metadata-only projection — must NOT read payload bytes (column
+    * pruning reaches the parquet scan; verify via .explain ReadSchema).
+    */
+  def metaOnly(payloads: DataFrame): DataFrame =
+    payloads.select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+      col("meta.content_md5").as("content_md5"))
+      .orderBy("doc_id")
+
+  /** feature schema a real decoder would emit */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** STUB decoder: deterministic fake features derived from payload
+    * bytes (length + first bytes). Batch-shaped: one call per
+    * partition iterator, as a real decoder (which would hold a
+    * native context per partition) requires. Replace the body with
+    * the real decode; the plumbing — partition batching, schema,
+    * pruning — is what this module actually tests.
+    */
+  def stubDecode(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val w = 16 + (bytes.length % 16)
+        val h = 16 + (math.abs(id) % 16).toInt
+        val feat = Array.tabulate(8)(i =>
+          (if (bytes.length > i) bytes(i).toFloat else 0f) / 255f)
+        Row(id, w, h, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

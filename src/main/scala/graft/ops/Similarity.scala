@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §2c.27-29).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query
+  * set against the corpus — a map-side join with per-partition
+  * partial top-k, no n² shuffle. The LSH path buckets both sides on
+  * random-hyperplane signatures so candidate generation is an
+  * equi-join on bucket keys. Dot products are `zip_with` +
+  * `aggregate` column expressions (codegen'd, stays in whole-stage
+  * codegen; floats widened to double before multiply so engines
+  * agree bit-for-bit on each product).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** embedding-cosine near-dup pairs ≥ threshold (§2c.27).
+    * Exact quadratic verify — intended as the small-N baseline and
+    * the verifier behind [[lshTopK]]; the scale path is LSH buckets.
+    */
+  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame =
+    emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .where(col("cos") >= minCos)
+      .orderBy("a", "b")
+
+  /** brute-force cosine top-k per query vector (§2c.28): broadcast
+    * the query side, rank per query. k·|Q| output rows.
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb.as("c").join(
+        broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))),
+        col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("c.vec_id").as("nbr"),
+        round(cosine(col("qv"), col("c.embedding")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** random-hyperplane signature (Charikar 2002 SimHash for cosine):
+    * nbits sign bits of projections onto fixed pseudo-random planes.
+    * Plane components are a deterministic ±1 pattern derived from
+    * (bit, dim) so the signature is reproducible with no RNG state.
+    */
+  def hyperplaneSig(v: Column, dim: Int, nbits: Int): Column = {
+    def sign(bit: Int, d: Int): Double = {
+      // splitmix64 of (bit, d) → ±1
+      var z = bit.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val bits = (0 until nbits).map { b =>
+      val proj = (0 until dim).map(d =>
+        element_at(v, d + 1).cast("double") * sign(b, d)).reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k (§2c.29, scale path): candidates
+    * = corpus vectors sharing any of the `bands` signature bands with
+    * the query; exact cosine + rank only on candidates.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, nbits: Int = 16, bands: Int = 8): DataFrame = {
+    // Band width r = nbits/bands sets the recall/cost tradeoff: a
+    // band collides with prob (1-θ/π)^r, and ≥1-of-bands must hit.
+    // Corpora whose true neighbors sit at wide angles (cos ~0.3-0.5,
+    // like the synthetic test embeddings) need narrow bands (r=2);
+    // tightly-clustered corpora can afford r=8 with far fewer
+    // candidates. At 100 TB, raise nbits and bands together so bucket
+    // cardinality (2^r per band) keeps candidate sets ≪ n.
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, idCol: String): DataFrame = {
+      val sig = hyperplaneSig(col("embedding"), dim, nbits)
+      df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"),
+          sig.as("sig"))
+        .select(col(idCol), col(s"${idCol}_v"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(mask)): _*))
+            .as(Seq("band", "bucket")))
+    }
+    val c = banded(emb, "nbr")
+    val q = banded(queries, "qid")
+    val cand = c.join(broadcast(q),
+        c("band") === q("band") && c("bucket") === q("bucket") &&
+        col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"), col("qid_v"), col("nbr_v"))
+      .dropDuplicates("qid", "nbr")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
+    cand.select(col("qid"), col("nbr"),
+        round(cosine(col("qid_v"), col("nbr_v")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines
+  * (SURVEY §2c.30-33). All pure column expressions — codegen'd, no
+  * UDFs, one scan per query; safe at any scale because every measure
+  * is per-row (embarrassingly parallel) until the final ORDER BY.
+  */
+object TextAnalysis {
+
+  /** small multilingual stopword profiles for the heuristic lang-id.
+    * Deterministic by construction: profile hit-counts + fixed
+    * tie-break order, no model weights.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "que"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "zu", "den"))
+
+  private def tokensOf(text: Column): Column = split(lower(text), " ")
+
+  /** count of tokens that are in `words` */
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokensOf(text), t => t.isInCollection(words)))
+
+  /** whitespace + BPE-ish regex token counts (§2c.32) */
+  def tokenCounts(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(split(text, " ")).as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"))
+
+  /** length / punctuation / stopword / alpha ratios + a quality score
+    * (§2c.30). Score: alpha-ratio and stopword-ratio reward natural
+    * text; bare heuristic, but the point is the distributed shape.
+    */
+  def quality(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^a-z]", ""))
+    val nTok = size(split(text, " "))
+    val nStop = hitCount(text, stopwords("en"))
+    val alphaRatio = nAlpha.cast("double") / nChars
+    val stopRatio = nStop.cast("double") / nTok
+    df.select(
+      id.as("doc_id"),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(alphaRatio * 0.5 + least(stopRatio * lit(5.0), lit(1.0)) * 0.5, 6)
+        .as("quality"))
+  }
+
+  /** stopword-profile language scoring (§2c.31): per-language hit
+    * counts, argmax with deterministic tie-break (profile order).
+    */
+  def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val langs = Seq("en", "fr", "es", "de") // fixed tie-break order
+    val scores = langs.map(l => hitCount(text, stopwords(l)))
+    val best = langs.zip(scores).foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl),
+                                  when(s > bs, s).otherwise(bs))
+    }
+    df.select(
+      id.as("doc_id"),
+      best._1.as("pred_lang"),
+      best._2.as("score"))
+  }
+
+  /** document fingerprint: md5 over the sorted distinct token set
+    * (§2c.33) — order-invariant content identity, the join-key analog
+    * of the reference's index tokens.
+    */
+  def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokensOf(text))), " ")
+        .cast("binary")).as("fp"))
+}

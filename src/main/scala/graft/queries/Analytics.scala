@@ -96,7 +96,7 @@ object Analytics {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          rank().over(w).as("rnk"))
+          rank().over(w).cast("long").as("rnk"))
         .where(col("rnk") <= 3)
         .orderBy("o_custkey", "rnk", "o_orderkey")
     }),

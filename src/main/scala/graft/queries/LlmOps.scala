@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** SURVEY §2c — LLM-data-pipeline operators over documents/embeddings. */
+object LlmOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2c.23 — exact dedup by content hash
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // §2c.24 — exact n-gram Jaccard near-dup pairs (θ=0.5, w=3)
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // §2c.25 — MinHash+LSH near-dup (rows-only: hash family not SQL)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // §2c.26 — SimHash fingerprint dup groups (rows-only)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashGroups(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // §2c.27 — embedding-cosine near-dup pairs (θ=0.4)
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), 0.4)),
+
+    // §2c.28 — brute-force cosine top-k (queries = vec_id < 10, k=5)
+    "ann_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteTopK(e, e.where(col("vec_id") < 10), 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("nbr"), col("cos"))
+    }),
+
+    // §2c.29 — LSH-bucketed approximate top-k (rows-only)
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5)
+    }),
+
+    // §2c.30 — quality scoring
+    "text_quality" -> ((s, d) => {
+      val q = TextAnalysis.quality(Tables.documents(s, d), col("text"), col("doc_id"))
+      q.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("alpha_ratio"), col("stop_ratio"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // §2c.31 — stopword-profile language id
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("pred_lang"),
+          col("score").cast("long").as("score"))
+        .orderBy("doc_id")),
+
+    // §2c.32 — token counting (whitespace + BPE-ish regex)
+    "text_tokencount" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("re_tokens").cast("long").as("re_tokens"))
+        .orderBy("doc_id")),
+
+    // §2c.33 — document fingerprint over sorted distinct token set
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    // §2c.34 — multimodal payload plumbing: metadata projection that
+    // never touches payload bytes
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.metaOnly(
+        Multimodal.asPayload(Tables.documents(s, d), col("text"), col("doc_id")))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("content_md5")))
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+/** DuckDB oracles for the §2c LLM-pipeline queries. dedup_minhash,
+  * dedup_simhash and ann_lsh_topk are intentionally absent (hash
+  * families aren't SQL-expressible) — they get the driver's rows-only
+  * check plus ScalaTest specs.
+  */
+object OraclesLlm {
+
+  /** double-precision dot with explicit element order, mirroring
+    * Similarity.dot's zip_with+aggregate left fold.
+    */
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cos(a: String, b: String) =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private val stopEn = "'the','and','of','to','a','in','is','that'"
+
+  val all: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+        |  FROM base
+        |), capped AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM capped x JOIN capped y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY a, b
+        |)
+        |SELECT a, b,
+        |  round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) AS jaccard
+        |FROM pairs p JOIN sz za ON p.a = za.doc_id JOIN sz zb ON p.b = zb.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH c AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    round(${cos("x.embedding", "y.embedding")}, 6) AS cos
+        |  FROM embeddings x, embeddings y WHERE x.vec_id < y.vec_id
+        |)
+        |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT qid, c.vec_id AS nbr,
+        |    round(${cos("qv", "c.embedding")}, 6) AS cos
+        |  FROM embeddings c, q WHERE c.vec_id <> qid
+        |), r AS (
+        |  SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / length(text), 6) AS alpha_ratio,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        t -> t IN ($stopEn))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text) * 0.5
+        |        + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |            t -> t IN ($stopEn))) AS DOUBLE)
+        |            / len(string_split(text, ' ')) * 5.0, 1.0) * 0.5, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','a','in','is','that'))) AS c_en,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et','de','un','une','est','que'))) AS c_fr,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','y','de','un','una','es','que'))) AS c_es,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und','das','ein','ist','zu','den'))) AS c_de
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(c_en, c_fr, c_es, c_de) <= 0 THEN 'und'
+        |       WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+        |       WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+        |       WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+        |       ELSE 'de' END AS pred_lang,
+        |  greatest(c_en, c_fr, c_es, c_de) AS score
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_tokencount" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-streaming form of the events analytics (SURVEY §2b.21):
+  * readStream → event-time watermark → tumbling-window agg →
+  * writeStream. The batch query `events_window` in
+  * [[graft.queries.Analytics]] computes the same result on bounded
+  * input; `StreamingSpec` drives this with a MemoryStream and checks
+  * agreement with the batch path.
+  *
+  * Scale posture: state is bounded by the watermark (late data beyond
+  * 1 hour dropped); the shuffle key (window, event_type) is
+  * low-cardinality and time-partitioned, so state store size is
+  * O(windows·types), not O(events).
+  */
+object EventPipeline {
+
+  /** windowed counts/sums over a (possibly streaming) events frame
+    * with columns (ts: timestamp, event_type: string, value: double).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total"))
+}
