@@ -115,16 +115,16 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
 
 object IndexedFrame {
 
-  /** Append smoothed CoStats columns to a frame having n,fa,fb,fab.
-    * Doubles rounded to 6dp so a DuckDB oracle with the same formula
-    * hash-matches (log/div ulp differences are below 1e-6).
+  /** Raw (unrounded) smoothed-stats column expressions over columns
+    * n, fa, fb, fab — shared by [[withCoStatsCols]] and
+    * [[graft.ops.Knn]]. State s: bit0 = A, bit1 = B.
     */
-  def withCoStatsCols(counts: DataFrame): DataFrame = {
+  final class StatExprs {
     val n = col("n"); val fa = col("fa"); val fb = col("fb"); val fab = col("fab")
-    val priorW = lit(2.0)
-    def eP(f: Column, prior: Column, w: Column) = (f + prior * w) / (n + w)
-    val pA = eP(fa, lit(0.5), priorW / 0.5)
-    val pB = eP(fb, lit(0.5), priorW / 0.5)
+    private val priorW = lit(2.0)
+    private def eP(f: Column, prior: Column, w: Column) = (f + prior * w) / (n + w)
+    val pA: Column = eP(fa, lit(0.5), priorW / 0.5)
+    val pB: Column = eP(fb, lit(0.5), priorW / 0.5)
     def stateF(s: Int): Column = s match {
       case 0 => n - fa - fb + fab
       case 1 => fa - fab
@@ -141,16 +141,26 @@ object IndexedFrame {
       (stateF(s) + nv * (priorW / nv)) / (n + priorW / nv)
     }
     def dS(s: Int): Column = pS(s) / naiveP(s)
-    val log2e = lit(1.0 / math.log(2.0))
-    val mi = (0 until 4).map(s => pS(s) * log(dS(s)) * log2e).reduce(_ + _)
+    val mi: Column = {
+      val log2e = lit(1.0 / math.log(2.0))
+      (0 until 4).map(s => pS(s) * log(dS(s)) * log2e).reduce(_ + _)
+    }
+  }
+
+  /** Append smoothed CoStats columns to a frame having n,fa,fb,fab.
+    * Doubles rounded to 6dp so a DuckDB oracle with the same formula
+    * hash-matches (log/div ulp differences are below 1e-6).
+    */
+  def withCoStatsCols(counts: DataFrame): DataFrame = {
+    val e = new StatExprs
     counts.select(
-      n, fa, fb, fab,
-      round(pA, 6).as("pa"),
-      round(pB, 6).as("pb"),
-      round(dS(0), 6).as("d00"),
-      round(dS(1), 6).as("d10"),
-      round(dS(2), 6).as("d01"),
-      round(dS(3), 6).as("d11"),
-      round(mi, 6).as("mi"))
+      e.n, e.fa, e.fb, e.fab,
+      round(e.pA, 6).as("pa"),
+      round(e.pB, 6).as("pb"),
+      round(e.dS(0), 6).as("d00"),
+      round(e.dS(1), 6).as("d10"),
+      round(e.dS(2), 6).as("d01"),
+      round(e.dS(3), 6).as("d11"),
+      round(e.mi, 6).as("mi"))
   }
 }

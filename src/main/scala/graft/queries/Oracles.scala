@@ -106,6 +106,72 @@ object Oracles {
         |) GROUP BY field, value ORDER BY field, value""".stripMargin
   )
 
+  /** shared CTE chain computing per-(field,value) CoStats weight
+    * pairs on `part` vs target p_type='ECONOMY' — mirrors
+    * graft.ops.Knn.keyValueWeights' op order exactly.
+    */
+  private val knnWeightCtes =
+    """WITH tot AS (
+      |  SELECT count(*) AS n, count(*) FILTER (p_type = 'ECONOMY') AS fb FROM part
+      |), ex AS (
+      |  SELECT 'p_brand' AS field, p_brand AS value,
+      |    count(*) AS fa, count(*) FILTER (p_type = 'ECONOMY') AS fab
+      |  FROM part GROUP BY value
+      |  UNION ALL
+      |  SELECT 'p_size', CAST(p_size AS VARCHAR),
+      |    count(*), count(*) FILTER (p_type = 'ECONOMY')
+      |  FROM part GROUP BY p_size
+      |), jj AS (SELECT * FROM ex, tot),
+      |pp AS (
+      |  SELECT field, value, n, fa, fb, fab,
+      |    (fa + 0.5*4.0)/(n+4.0) AS pa_, (fb + 0.5*4.0)/(n+4.0) AS pb_
+      |  FROM jj
+      |), ss AS (
+      |  SELECT *,
+      |    (1-pa_)*(1-pb_) AS nv0, pa_*(1-pb_) AS nv1,
+      |    (1-pa_)*pb_ AS nv2, pa_*pb_ AS nv3,
+      |    (n - fa - fb + fab) AS f0, (fa - fab) AS f1,
+      |    (fb - fab) AS f2, fab AS f3
+      |  FROM pp
+      |), qq AS (
+      |  SELECT *,
+      |    (f0 + nv0*(2.0/nv0))/(n + 2.0/nv0) AS p0,
+      |    (f1 + nv1*(2.0/nv1))/(n + 2.0/nv1) AS p1,
+      |    (f2 + nv2*(2.0/nv2))/(n + 2.0/nv2) AS p2,
+      |    (f3 + nv3*(2.0/nv3))/(n + 2.0/nv3) AS p3
+      |  FROM ss
+      |), wt AS (
+      |  SELECT field, value,
+      |    round(abs(ln((p2/nv2)/(p0/nv0))), 6) AS w1,
+      |    round(abs(ln((p3/nv3)/(p1/nv1))), 6) AS w2
+      |  FROM qq
+      |)""".stripMargin
+
+  val knn: Map[String, String] = Map(
+    "knn_weights" ->
+      s"""$knnWeightCtes
+        |SELECT field, value, w1, w2 FROM wt ORDER BY field, value""".stripMargin,
+
+    "knn_topk" ->
+      s"""$knnWeightCtes, w AS (
+        |  SELECT *, (field = 'p_brand' AND value = 'Brand#13')
+        |          OR (field = 'p_size' AND value = '10') AS in_query
+        |  FROM wt
+        |), rowkv AS (
+        |  SELECT p_partkey, 'p_brand' AS field, p_brand AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR) FROM part
+        |), contrib AS (
+        |  SELECT p_partkey, sum(CASE WHEN in_query THEN -w2 ELSE w1 END) AS score
+        |  FROM rowkv JOIN w USING (field, value) GROUP BY p_partkey
+        |), base AS (
+        |  SELECT coalesce(sum(w2), 0.0) AS baseline FROM w WHERE in_query
+        |)
+        |SELECT p_partkey, round(coalesce(score, 0.0) + baseline, 6) AS distance
+        |FROM part LEFT JOIN contrib USING (p_partkey) CROSS JOIN base
+        |ORDER BY distance, p_partkey LIMIT 10""".stripMargin
+  )
+
   val analytics: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -170,5 +236,5 @@ object Oracles {
         |) GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
-  def all: Map[String, String] = refSurface ++ analytics
+  def all: Map[String, String] = refSurface ++ knn ++ analytics
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Analyzers, IndexSpec, IndexedFrame, Tables}
-import graft.ops.Merge
+import graft.ops.{Knn, Merge}
 
 /** SURVEY §2a — the reference's own surface re-expressed Spark-first.
   * Each entry has a DuckDB oracle in [[Oracles.refSurface]].
@@ -91,6 +91,22 @@ object RefSurface {
         Seq(li.where(col("l_linestatus") === "O"),
             li.where(col("l_linestatus") === "F")),
         IndexSpec(Seq("l_returnflag")))
+    }),
+
+    // §2a.13 — Knn.keyValueWeights: CoStats log-odds weight per
+    // (field,value) vs the target predicate p_type='ECONOMY'
+    "knn_weights" -> ((s, d) =>
+      Knn.keyValueWeights(Tables.part(s, d), Seq("p_brand", "p_size"),
+        col("p_type") === "ECONOMY")),
+
+    // §2a.14 — Knn.knn: top-k parts nearest to a query item by
+    // weighted feature distance
+    "knn_topk" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val w = Knn.keyValueWeights(part, Seq("p_brand", "p_size"),
+        col("p_type") === "ECONOMY")
+      Knn.topK(part, w, Seq("p_brand", "p_size"),
+        Map("p_brand" -> "Brand#13", "p_size" -> "10"), "p_partkey", 10)
     })
   )
 }
