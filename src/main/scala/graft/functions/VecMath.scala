@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the float-vector dot product.
+  *
+  * The similarity operators' hot loop is Σ aᵢ·bᵢ over array<float>
+  * pairs. The declarative spelling (`zip_with` + `aggregate`) builds
+  * an intermediate array and evaluates lambdas interpreted —
+  * measured ~50× slower over millions of pairs. This expression
+  * reads both ArrayData buffers directly and participates in
+  * whole-stage codegen (sequential i-ascending accumulation, same
+  * fold order as the lambda spelling and the DuckDB oracle, so
+  * results are bit-identical).
+  *
+  * Null handling: a null array yields null (BinaryExpression default);
+  * null *elements* are not expected in embedding data and read as 0.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecMath {
+  /** codegen'd Σ aᵢ·bᵢ as double */
+  def vecDot(a: Column, b: Column): Column =
+    GraftShims.column(
+      VecDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** ‖a‖₂ via the codegen'd dot */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+}

@@ -87,20 +87,19 @@ object Dedup {
   }
 
   /** per-doc MinHash signature as array<long> of length k.
-    * Shape: explode shingles → k hash columns (codegen'd) → posexplode
-    * → groupBy (doc, perm) min → re-assemble. Two shuffles, both on
-    * uniform keys; signature cost O(rows·k) map-side.
+    * Shape: one scan → k codegen'd hash expressions → ONE groupBy
+    * with k min() aggregates (map-side combined). No row explosion
+    * by k, no collect_list re-assembly — the signature build is a
+    * single shuffle of k-column rows on the uniform doc_id key.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
     val x = pmod(xxhash64(col("shingle")), lit(MersenneP))
-    val hashes = array(permParams(k).map { case (a, b) =>
-      pmod(pmod(x * a, lit(MersenneP)) + b, lit(MersenneP))
-    }: _*)
-    sh.select(col("doc_id"), posexplode(hashes).as(Seq("perm", "h")))
-      .groupBy("doc_id", "perm").agg(min("h").as("mh"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("perm"), col("mh")))).as("s"))
-      .select(col("doc_id"), transform(col("s"), e => e("mh")).as("sig"))
+    val withX = sh.select(col("doc_id"), x.as("x"))
+    val aggs = permParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(pmod(col("x") * a, lit(MersenneP)) + b, lit(MersenneP))).as(s"h$i")
+    }
+    withX.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding near-dup pairs (§2c.25): band the

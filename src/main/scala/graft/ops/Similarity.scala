@@ -16,16 +16,12 @@ import org.apache.spark.sql.functions._
   * agree bit-for-bit on each product).
   */
 object Similarity {
+  import graft.functions.VecMath.{vecDot, vecNorm}
 
-  /** Σ aᵢ·bᵢ in double */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double (codegen'd Catalyst expression) */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = vecNorm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -33,23 +29,32 @@ object Similarity {
   /** embedding-cosine near-dup pairs ≥ threshold (§2c.27).
     * Exact quadratic verify — intended as the small-N baseline and
     * the verifier behind [[lshTopK]]; the scale path is LSH buckets.
+    * Norms are hoisted out of the pair loop: computed once per
+    * vector, so each pair costs one codegen'd dot.
     */
-  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame =
-    emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+  def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"))
+    v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+        round(vecDot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .where(col("cos") >= minCos)
       .orderBy("a", "b")
+  }
 
   /** brute-force cosine top-k per query vector (§2c.28): broadcast
     * the query side, rank per query. k·|Q| output rows.
     */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = emb.as("c").join(
-        broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))),
-        col("c.vec_id") =!= col("qid"))
-      .select(col("qid"), col("c.vec_id").as("nbr"),
-        round(cosine(col("qv"), col("c.embedding")), 6).as("cos"))
+    val c = emb.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      vecNorm(col("embedding")).as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -95,8 +100,9 @@ object Similarity {
     def banded(df: DataFrame, idCol: String): DataFrame = {
       val sig = hyperplaneSig(col("embedding"), dim, nbits)
       df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"),
+          graft.functions.VecMath.vecNorm(col("embedding")).as(s"${idCol}_n"),
           sig.as("sig"))
-        .select(col(idCol), col(s"${idCol}_v"),
+        .select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * r).bitwiseAND(mask)): _*))
             .as(Seq("band", "bucket")))
@@ -106,11 +112,13 @@ object Similarity {
     val cand = c.join(broadcast(q),
         c("band") === q("band") && c("bucket") === q("bucket") &&
         col("nbr") =!= col("qid"))
-      .select(col("qid"), col("nbr"), col("qid_v"), col("nbr_v"))
+      .select(col("qid"), col("nbr"), col("qid_v"), col("nbr_v"),
+        col("qid_n"), col("nbr_n"))
       .dropDuplicates("qid", "nbr")
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
     cand.select(col("qid"), col("nbr"),
-        round(cosine(col("qid_v"), col("nbr_v")), 6).as("cos"))
+        round(graft.functions.VecMath.vecDot(col("qid_v"), col("nbr_v")) /
+          (col("qid_n") * col("nbr_n")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .orderBy("qid", "rnk")

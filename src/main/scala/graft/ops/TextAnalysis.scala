@@ -60,13 +60,21 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
     val langs = Seq("en", "fr", "es", "de") // fixed tie-break order
-    val scores = langs.map(l => hitCount(text, stopwords(l)))
-    val best = langs.zip(scores).foldLeft[(Column, Column)]((lit("und"), lit(0))) {
-      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl),
-                                  when(s > bs, s).otherwise(bs))
+    // materialize tokenization once and each profile count once —
+    // folding over the raw count expressions would duplicate the
+    // whole tokenize+filter tree 2^|langs| times (measured 15 s vs
+    // <1 s at sf0.1)
+    val toks = df.select(id.as("doc_id"), tokensOf(text).as("toks"))
+    val counts = toks.select(col("doc_id") +: langs.map(l =>
+      size(filter(col("toks"), t => t.isInCollection(stopwords(l))))
+        .as(s"c_$l")): _*)
+    val best = langs.foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+      case ((bl, bs), l) =>
+        (when(col(s"c_$l") > bs, lit(l)).otherwise(bl),
+         when(col(s"c_$l") > bs, col(s"c_$l")).otherwise(bs))
     }
-    df.select(
-      id.as("doc_id"),
+    counts.select(
+      col("doc_id"),
       best._1.as("pred_lang"),
       best._2.as("score"))
   }
