@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persistence for indexed frames — Spark-native analog of the
+  * reference's write/open/have lifecycle
+  * (/root/reference/src/main/scala/com/futurice/iodf/Dfs.scala:489-554:
+  * writeIndexedDf / openIndexedDf / haveIndexedDf over a memory-mapped
+  * dir).
+  *
+  * Layout: `<dir>/data` (the rows, parquet) and `<dir>/index` (the
+  * (field,value,f) index frame, parquet, sorted by field,value so
+  * min/max stats give per-file pruning on index lookups). Parquet is
+  * the mmap analog — reopening is O(footers), columns decode on
+  * demand, and both parts scale out instead of living in one file.
+  */
+object Store {
+
+  /** write rows + index (reference writeIndexedDf) */
+  def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    IndexedFrame(df, spec).entries
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index")
+  }
+
+  /** reopen a written frame + its persisted index (openIndexedDf) */
+  def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame =
+    StoredFrame(
+      IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
+      spark.read.parquet(s"$dir/index"))
+
+  /** write-if-absent then open (haveIndexedDf) */
+  def have(spark: SparkSession, dir: String, spec: IndexSpec)
+          (provide: => DataFrame): StoredFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) write(provide, dir, spec)
+    open(spark, dir, spec)
+  }
+}
+
+/** a reopened frame: live IndexedFrame + the persisted index table
+  * (pre-aggregated — index_freqs-style lookups hit the small sorted
+  * parquet instead of rescanning the data).
+  */
+final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame) {
+  /** frequency of (field,value) from the persisted index — a pruned
+    * point read, the analog of opening one bitmap's popcount.
+    */
+  def f(field: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    persistedIndex
+      .where(col("field") === field && col("value") === value)
+      .select(col("f"))
+  }
+}

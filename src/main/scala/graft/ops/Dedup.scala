@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus pipelines
@@ -46,9 +45,12 @@ object Dedup {
                    w: Int = 3, minJaccard: Double = 0.5,
                    maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = shingles(df, text, id, w)
-    val capped = sh.withColumn("sfreq",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .where(col("sfreq") <= maxShingleFreq).drop("sfreq")
+    // skew cap as an aggregate + broadcast anti-join on hot shingles:
+    // cheaper than a window (no full sort of the shingle stream), and
+    // the hot-shingle list is tiny by construction
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("sfreq"))
+      .where(col("sfreq") > maxShingleFreq).select("shingle")
+    val capped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.shingle") === col("y.shingle") &&

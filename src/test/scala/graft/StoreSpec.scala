@@ -1,0 +1,42 @@
+package graft
+
+import graft.core.{IndexSpec, Store}
+import org.apache.spark.sql.functions._
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = IndexSpec(Seq("cat"))
+
+  private def data = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0)
+  ).toDF("id", "cat", "v")
+
+  test("write/open round-trips rows and index") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    Store.write(data, dir, spec)
+    val st = Store.open(spark, dir, spec)
+    assert(st.frame.df.count() === 4)
+    val ix = st.persistedIndex.orderBy("value").collect()
+    assert(ix.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    assert(st.f("cat", "a").head().getLong(0) === 2L)
+  }
+
+  test("have() writes once, then reopens without rewriting") {
+    val dir = java.nio.file.Files.createTempDirectory("store2").toString
+    var calls = 0
+    def provide = { calls += 1; data }
+    Store.have(spark, dir, spec)(provide)
+    Store.have(spark, dir, spec)(provide)
+    assert(calls === 1)
+  }
+
+  test("persisted index f() matches live recount") {
+    val dir = java.nio.file.Files.createTempDirectory("store3").toString
+    Store.write(data, dir, spec)
+    val st = Store.open(spark, dir, spec)
+    val live = st.frame.fDF("cat", "a").head().getLong(0)
+    assert(st.f("cat", "a").head().getLong(0) === live)
+  }
+}
