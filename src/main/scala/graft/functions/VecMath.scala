@@ -71,6 +71,61 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature (Charikar 2002) as one codegen'd
+  * loop: bit b of the result = sign of the projection of the input
+  * float vector onto fixed ±1 plane b. The declarative spelling
+  * (nbits × dim `element_at` chains) builds a ~1000-node expression
+  * tree per row; this is a 2-level loop over the raw ArrayData and a
+  * referenced plane matrix.
+  */
+case class VecLshSig(child: Expression, planes: Array[Double], nbits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_lsh_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var b = 0
+    while (b < nbits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v.getFloat(d).toDouble * planes(b * dim + d); d += 1 }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nbits; $b++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $s += (double)$v.getFloat($d) * $planesRef[$b * $dim + $d];
+         |  }
+         |  if ($s >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshSig =
+    copy(child = newChild)
+}
+
 object VecMath {
   /** codegen'd Σ aᵢ·bᵢ as double */
   def vecDot(a: Column, b: Column): Column =
@@ -79,4 +134,10 @@ object VecMath {
 
   /** ‖a‖₂ via the codegen'd dot */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** codegen'd nbits-bit random-hyperplane signature over fixed ±1
+    * planes (deterministic, supplied by the caller).
+    */
+  def vecLshSig(v: Column, planes: Array[Double], nbits: Int, dim: Int): Column =
+    GraftShims.column(VecLshSig(GraftShims.expression(v), planes, nbits, dim))
 }

@@ -44,7 +44,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, text: Column, id: Column,
                    w: Int = 3, minJaccard: Double = 0.5,
                    maxShingleFreq: Long = 1000L): DataFrame = {
+    // the shingle frame feeds four branches (sizes, hot-list, both
+    // join sides) — persist so tokenize/slice/explode runs once, not 4×
     val sh = shingles(df, text, id, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew cap as an aggregate + broadcast anti-join on hot shingles:
     // cheaper than a window (no full sort of the shingle stream), and
     // the hot-shingle list is tiny by construction

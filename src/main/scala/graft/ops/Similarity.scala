@@ -74,12 +74,8 @@ object Similarity {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
     }
-    val bits = (0 until nbits).map { b =>
-      val proj = (0 until dim).map(d =>
-        element_at(v, d + 1).cast("double") * sign(b, d)).reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val planes = Array.tabulate(nbits * dim)(i => sign(i / dim, i % dim))
+    graft.functions.VecMath.vecLshSig(v, planes, nbits, dim)
   }
 
   /** LSH-bucketed approximate top-k (§2c.29, scale path): candidates

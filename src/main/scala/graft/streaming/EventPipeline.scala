@@ -27,4 +27,17 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  /** gap-based sessions per user via the native session_window —
+    * declarative (Catalyst plans/merges the session state), valid on
+    * both batch and streaming input; state bounded by the watermark.
+    * Batch-equivalent of the lag-based `events_sessionize` query.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
 }

@@ -41,4 +41,21 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size === 4) // (00h click), (00h view), (01h click), (01h view)
     } finally query.stop()
   }
+
+  test("session_window sessionize agrees with the lag-based query") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.events(spark, sfDir)
+
+    // sessions per user from the native session_window
+    val sw = graft.streaming.EventPipeline.sessionize(events)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // sessions per user from the lag/gap formulation (the oracle'd query)
+    val lagBased = graft.SparkEntry.queries("events_sessionize")(spark, sfDir)
+      .select("user_id", "n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(sw === lagBased)
+  }
 }
