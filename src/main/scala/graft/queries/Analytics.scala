@@ -111,6 +111,54 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // §2b.23 — existence filter as LEFT SEMI (no row duplication,
+    // build side can broadcast): orders having a returned line.
+    "semi_join" -> ((s, d) => {
+      val ret = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      Tables.orders(s, d)
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2b.24 — negative existence as LEFT ANTI: customers with no orders.
+    "anti_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_custkey")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2b.25 — post-aggregation filter (HAVING): brands with ≥ 5 parts.
+    "agg_having" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"),
+          countDistinct("p_type").cast("long").as("n_types"))
+        .where(col("n") >= 5)
+        .orderBy("p_brand")),
+
+    // §2b.26 — scalar subquery: parts priced above the global average.
+    "scalar_subquery" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val avgPrice = p.agg(
+        (sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("a"))
+      p.crossJoin(broadcast(avgPrice))
+        .where(col("p_retailprice") > col("a"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // §2b.27 — rollup: counts at (flag,status), (flag), and () levels
+    // in one pass (partial-aggregated like any groupBy).
+    "rollup_counts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // §2b.22 — gap-based sessionization per user via lag window.
     "events_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

@@ -225,6 +225,33 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
 
+    "semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "agg_having" ->
+      """SELECT p_brand, count(*) AS n, count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand HAVING count(*) >= 5
+        |ORDER BY p_brand""".stripMargin,
+
+    "scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
     "events_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
         |  sum(CASE WHEN prev_ts IS NULL
