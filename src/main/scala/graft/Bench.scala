@@ -21,16 +21,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def run(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
 
-    // warmup: touch parquet read + shuffle + agg + window machinery once
-    try run("q1_agg") catch { case _: Throwable => () }
+    // Steady-state methodology: run every query once against the
+    // smallest SF first — this compiles and caches the same generated
+    // classes the measured run uses (codegen cache is keyed on source,
+    // not data), so timings reflect execution, not JIT/codegen.
+    val warmDir = "/root/testdata/sf0.001"
+    val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    if (canWarm) SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try run(name, warmDir) catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

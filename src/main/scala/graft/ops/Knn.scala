@@ -56,8 +56,12 @@ object Knn {
     */
   def topK(df: DataFrame, weights: DataFrame, inFields: Seq[String],
            queryKVs: Map[String, String], idCol: String, k: Int): DataFrame = {
+    // the weight table is tiny (≤ distinct values of inFields) but
+    // feeds three plan branches (scoring join, baseline, flags) —
+    // persist so its aggregation pipeline runs once, not per branch
     val w = weights.select(col("field"), col("value"), col("w1"), col("w2"),
-      inQuery(queryKVs).as("in_query"))
+        inQuery(queryKVs).as("in_query"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // baseline = Σ w2 over the query's own weighted features
     val pairs = inFields.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value")))
