@@ -37,6 +37,19 @@ object Store {
     if (!fs.exists(path)) write(provide, dir, spec)
     open(spark, dir, spec)
   }
+
+  /** bucketed write for co-located joins: tables bucketed+sorted on
+    * the same key join with NO shuffle on either side (the 100 TB
+    * answer to "this join is run every day on the same key" — the
+    * reference's single-node analog is its presorted merge,
+    * Dfs.scala:222-228). Bucketing requires the table catalog, hence
+    * saveAsTable rather than a path write.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }
 
 /** a reopened frame: live IndexedFrame + the persisted index table

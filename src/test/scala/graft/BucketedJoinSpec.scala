@@ -1,0 +1,33 @@
+package graft
+
+import graft.core.Store
+import org.apache.spark.sql.functions._
+
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle on either side") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+
+    Store.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Store.writeBucketed(o, "o_b", "o_orderkey", 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so bucketing is what saves the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the right thing
+      val n = joined.count()
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
