@@ -51,6 +51,25 @@ object Multimodal {
     * the real decode; the plumbing — partition batching, schema,
     * pruning — is what this module actually tests.
     */
+  /** STUB resize: a real implementation decodes, scales, re-encodes
+    * per batch; the stub transforms the fake features
+    * deterministically so the pipeline shape (decode → transform →
+    * downstream schema) is exercised end to end.
+    */
+  def stubResize(features: DataFrame, w: Int, h: Int): DataFrame =
+    features.select(col("doc_id"), lit(w).as("width"), lit(h).as("height"),
+      col("feature"))
+
+  /** STUB video frame-sampling: emits `n` frame rows per payload with
+    * (doc_id, frame_idx, frame binary) — the exploded shape a real
+    * sampler produces; frames here are deterministic payload slices.
+    */
+  def stubFrameSample(payloads: DataFrame, n: Int): DataFrame =
+    payloads.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring_index(base64(col("payload")), "=", 1))))
+      .toDF("doc_id", "frame_idx", "frame")
+
   def stubDecode(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
     val rdd = payloads.select("doc_id", "payload").rdd.mapPartitions { it =>

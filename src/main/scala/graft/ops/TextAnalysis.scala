@@ -88,4 +88,14 @@ object TextAnalysis {
       id.as("doc_id"),
       md5(array_join(array_sort(array_distinct(tokensOf(text))), " ")
         .cast("binary")).as("fp"))
+
+  /** rolling-hash fingerprint (Rabin-Karp windows, winnowed to the
+    * min window hash) — byte-run-sensitive where [[fingerprint]] is
+    * token-set-sensitive; native codegen'd expression.
+    */
+  def rollingFingerprint(df: DataFrame, text: Column, id: Column,
+                         window: Int = 16): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      graft.functions.TextHash.rollingMinHash(text, window).as("rfp"))
 }

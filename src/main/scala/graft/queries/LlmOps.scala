@@ -72,6 +72,14 @@ object LlmOps {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // §2c.33b — rolling-hash (Rabin-Karp, winnowed-min) fingerprint;
+    // native codegen'd expression, rows-only check (hash family not
+    // SQL-expressible)
+    "text_rollinghash" -> ((s, d) =>
+      TextAnalysis.rollingFingerprint(Tables.documents(s, d),
+        col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
     // §2c.34 — multimodal payload plumbing: metadata projection that
     // never touches payload bytes
     "multimodal_meta" -> ((s, d) =>

@@ -40,4 +40,13 @@ object EventPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
+
+  /** streaming exact dedup: first occurrence per key wins; state
+    * bounded by the watermark (a key older than the watermark can be
+    * dropped because no earlier duplicate can still arrive). The
+    * streaming face of graft.ops.Dedup.exact.
+    */
+  def dedupStream(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.withWatermark(tsCol, "1 hour")
+      .dropDuplicates(keyCol)
 }
