@@ -111,6 +111,33 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
         col(fieldB).cast("string").as("b_value"))
       .agg(count(lit(1)).as("fab"))
       .orderBy("a_value", "b_value")
+
+  /** full CoStats for EVERY value pair of two fields — the bulk form
+    * of the reference's interactive cofreq/CoStats loop
+    * (DfTest.scala:236-253 runs 1024 point queries; here marginal and
+    * pair counts come from three grouped passes over one scan stage
+    * and the smoothed stats are column math on the joined counts).
+    * Pair/marginal tables are value-cardinality-sized → broadcast.
+    */
+  def coStatsMatrix(fieldA: String, fieldB: String): DataFrame = {
+    val a = col(fieldA).cast("string")
+    val b = col(fieldB).cast("string")
+    val tot = df.agg(count(lit(1)).as("n"))
+    val fa = df.groupBy(a.as("a_value")).agg(count(lit(1)).as("fa"))
+    val fb = df.groupBy(b.as("b_value")).agg(count(lit(1)).as("fb"))
+    val fab = df.groupBy(a.as("a_value"), b.as("b_value"))
+      .agg(count(lit(1)).as("fab"))
+    val counts = fab
+      .join(broadcast(fa), "a_value")
+      .join(broadcast(fb), "b_value")
+      .crossJoin(broadcast(tot))
+    val e = new IndexedFrame.StatExprs
+    counts.select(
+        col("a_value"), col("b_value"), e.n, e.fa, e.fb, e.fab,
+        round(e.dS(3), 6).as("d11"),
+        round(e.mi, 6).as("mi"))
+      .orderBy("a_value", "b_value")
+  }
 }
 
 object IndexedFrame {

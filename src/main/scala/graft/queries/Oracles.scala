@@ -87,6 +87,31 @@ object Oracles {
         |        + p2 * ln(p2/nv2)/ln(2) + p3 * ln(p3/nv3)/ln(2), 6) AS mi
         |FROM q""".stripMargin,
 
+    "costats_matrix" ->
+      """WITH tot AS (SELECT count(*) AS n FROM lineitem),
+        |fa AS (SELECT l_returnflag AS a_value, count(*) AS fa FROM lineitem GROUP BY 1),
+        |fb AS (SELECT l_linestatus AS b_value, count(*) AS fb FROM lineitem GROUP BY 1),
+        |fab AS (SELECT l_returnflag AS a_value, l_linestatus AS b_value, count(*) AS fab
+        |        FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT a_value, b_value, n, fa.fa, fb.fb, fab.fab
+        |      FROM fab JOIN fa USING (a_value) JOIN fb USING (b_value), tot),
+        |p AS (SELECT *, (fa + 0.5*4.0)/(n+4.0) AS pa_, (fb + 0.5*4.0)/(n+4.0) AS pb_ FROM c),
+        |s AS (SELECT *,
+        |  (1-pa_)*(1-pb_) AS nv0, pa_*(1-pb_) AS nv1, (1-pa_)*pb_ AS nv2, pa_*pb_ AS nv3,
+        |  (n - fa - fb + fab) AS f0, (fa - fab) AS f1, (fb - fab) AS f2, fab AS f3
+        |  FROM p),
+        |q AS (SELECT *,
+        |  (f0 + nv0*(2.0/nv0))/(n + 2.0/nv0) AS p0,
+        |  (f1 + nv1*(2.0/nv1))/(n + 2.0/nv1) AS p1,
+        |  (f2 + nv2*(2.0/nv2))/(n + 2.0/nv2) AS p2,
+        |  (f3 + nv3*(2.0/nv3))/(n + 2.0/nv3) AS p3
+        |  FROM s)
+        |SELECT a_value, b_value, n, fa, fb, fab,
+        |  round(p3/nv3, 6) AS d11,
+        |  round(  p0 * ln(p0/nv0)/ln(2) + p1 * ln(p1/nv1)/ln(2)
+        |        + p2 * ln(p2/nv2)/ln(2) + p3 * ln(p3/nv3)/ln(2), 6) AS mi
+        |FROM q ORDER BY a_value, b_value""".stripMargin,
+
     "multidf_union" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total

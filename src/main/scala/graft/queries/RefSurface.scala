@@ -73,6 +73,12 @@ object RefSurface {
       ix.coStatsDF(ix.predicate("l_returnflag", "R"), ix.predicate("l_linestatus", "F"))
     }),
 
+    // §2a.10b — bulk CoStats: the full (valueA × valueB) smoothed
+    // statistics matrix in one distributed query
+    "costats_matrix" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d), liSpec)
+        .coStatsMatrix("l_returnflag", "l_linestatus")),
+
     // §2a.11 — MultiDf: logical concat of segments + agg on top
     "multidf_union" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -11,6 +11,20 @@ class BucketedJoinSpec extends SparkSpec {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_totalprice")
 
+    // drop any stale table AND its orphaned location (the in-memory
+    // catalog forgets tables between JVMs but the warehouse dir stays)
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Store.writeBucketed(li, "li_b", "l_orderkey", 4)
     Store.writeBucketed(o, "o_b", "o_orderkey", 4)
 

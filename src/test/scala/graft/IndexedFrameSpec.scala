@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.{Analyzers, CoStats, IndexSpec, IndexedFrame}
+import org.apache.spark.sql.functions._
+
+class IndexedFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", "x", "red big"), ("a", "y", "red small"),
+    ("b", "x", "blue big"), ("a", "x", "red big")
+  ).toDF("f1", "f2", "txt")
+
+  private val spec = IndexSpec(Seq("f1", "f2", "txt"))
+    .withAnalyzer("txt", Analyzers.whitespace)
+
+  test("entries matches hand count, tokens analyzed") {
+    val ix = IndexedFrame(df, spec)
+    val e = ix.entries.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e(("f1", "a")) === 3L)
+    assert(e(("f2", "x")) === 3L)
+    assert(e(("txt", "red")) === 3L)
+    assert(e(("txt", "big")) === 3L)
+    assert(e(("txt", "small")) === 1L)
+  }
+
+  test("analyzed predicate matches token membership") {
+    val ix = IndexedFrame(df, spec)
+    assert(ix.fDF("txt", "red").head().getLong(0) === 3L)
+    assert(ix.fDF("f1", "b").head().getLong(0) === 1L)
+    assert(ix.fDF("txt", "missing").head().getLong(0) === 0L)
+  }
+
+  test("distributed coStats equals the closed-form case class") {
+    val ix = IndexedFrame(df, spec)
+    val cs = ix.coStats(ix.predicate("f1", "a"), ix.predicate("txt", "big"))
+    val expected = CoStats(n = 4, fA = 3, fB = 3, fAB = 2)
+    assert(cs === expected)
+    assert(math.abs(cs.mi - expected.mi) < 1e-12)
+  }
+
+  test("coStatsMatrix rows carry the same counts as point coStats") {
+    val ix = IndexedFrame(df, spec)
+    val m = ix.coStatsMatrix("f1", "f2").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (a, x): n=4, fa=3 (f1=a), fb=3 (f2=x), fab=2
+    assert(m(("a", "x")) === ((4L, 3L, 3L, 2L)))
+    val point = ix.coStats(ix.predicate("f1", "a"), ix.predicate("f2", "x"))
+    assert(point.fAB === 2L)
+  }
+}
