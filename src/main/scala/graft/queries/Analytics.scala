@@ -111,6 +111,18 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // §2b.28 — semi-structured extraction: schema'd from_json over the
+    // props column, grouped stats on the extracted field. Catalyst
+    // prunes unneeded JSON fields at parse time.
+    "events_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // §2b.23 — existence filter as LEFT SEMI (no row duplication,
     // build side can broadcast): orders having a returned line.
     "semi_join" -> ((s, d) => {
