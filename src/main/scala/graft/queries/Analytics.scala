@@ -111,6 +111,47 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // §2b.29 — cumulative window: running order-count per customer in
+    // date order (rows-frame running aggregation).
+    "running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2b.32 — exact interpolated quantiles per group.
+    "quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // §2b.30 — pivot: returnflag × linestatus counts as columns.
+    "pivot_status" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count_if(col("l_linestatus") === "O").as("n_o"),
+          count_if(col("l_linestatus") === "F").as("n_f"))
+        .orderBy("l_returnflag")),
+
+    // §2b.31 — ordered collect: per-brand sorted size list (the
+    // array_agg/string_agg shape).
+    "agg_collect" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list("p_size")), _.cast("string")))
+          .as("sizes"))
+        .orderBy("p_brand")),
+
     // §2b.28 — semi-structured extraction: schema'd from_json over the
     // props column, grouped stats on the extracted field. Catalyst
     // prunes unneeded JSON fields at parse time.

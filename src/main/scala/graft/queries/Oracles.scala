@@ -250,6 +250,32 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
 
+    "running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS running_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'O') AS n_o,
+        |  count(*) FILTER (l_linestatus = 'F') AS n_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT p_brand,
+        |  string_agg(CAST(p_size AS VARCHAR), ',' ORDER BY p_size) AS sizes
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
