@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{RollingMinHash, VecDot}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so pure-SQL users get them too:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * spark.sql("SELECT rolling_min_hash(text) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** the SQL function catalog graft contributes */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (new FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (children: Seq[Expression]) =>
+        if (children.length > 1)
+          RollingMinHash(children.head, children(1).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => other.toString.toInt
+          })
+        else RollingMinHash(children.head)))
+
+  /** register on an already-running session (same builders the
+    * extension injects; for sessions not launched with the config)
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      org.apache.spark.sql.GraftShims.registerFunction(spark, id, info, b)
+    }
+}

@@ -162,6 +162,43 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Connected components over near-dup pairs → cluster assignment
+    * (minimum reachable id wins), so a near-dup pair list becomes an
+    * actionable keep/drop set. Iterative label propagation: each
+    * round every node takes the min label in its neighborhood;
+    * converges in O(cluster diameter) rounds — near-dup clusters are
+    * shallow, so `maxIter` rounds of one shuffle each suffice. Each
+    * iteration persists its labels and unpersists the previous ones
+    * (bounded lineage — no exponential recompute at scale).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      // neighbor labels ∪ own label → min per node
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("id")
+  }
+
   /** SimHash near-dup groups (§2c.26): docs sharing the full 64-bit
     * fingerprint (hamming 0), plus 16-bit-band buckets as the
     * hamming≤3 candidate path — shuffles only on fingerprint keys.

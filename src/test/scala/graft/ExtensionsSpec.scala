@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions: vec_dot and rolling_min_hash") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val h1 = spark.sql("SELECT rolling_min_hash('identical text body here')")
+      .head().getLong(0)
+    val h2 = spark.sql("SELECT rolling_min_hash('identical text body here')")
+      .head().getLong(0)
+    assert(h1 === h2)
+    // windowed variant with explicit window arg
+    val h3 = spark.sql("SELECT rolling_min_hash('identical text body here', 8)")
+      .head().getLong(0)
+    assert(h3 !== 0L)
+  }
+}
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("near-dup pairs collapse into min-labeled clusters") {
+    // chain 1-2, 2-3 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters of the corpus minhash pairs match exact-jaccard pairs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashLsh(corpus, col("text"), col("doc_id"))
+    val c = Dedup.clusters(pairs)
+    // every clustered doc's label is ≤ its own id, and labels are members
+    val rows = c.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (id, l) => l <= id })
+    val ids = rows.map(_._1).toSet
+    assert(rows.map(_._2).forall(ids.contains))
+  }
+}
