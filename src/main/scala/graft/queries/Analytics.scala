@@ -111,6 +111,24 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // §2b.33 — as-of join: each event paired with the user's most
+    // recent order at event time (union+window formulation — one
+    // shuffle, no range-join explosion).
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsOf.join(
+          ev, col("user_id"), col("ts"),
+          ord, col("o_custkey"), col("o_orderdate"),
+          Seq("o_orderkey" -> col("o_orderkey"),
+            "o_orderdate" -> col("o_orderdate")))
+        .where(col("o_orderkey").isNotNull)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }),
+
     // §2b.29 — cumulative window: running order-count per customer in
     // date order (rows-frame running aggregation).
     "running_sum" -> ((s, d) => {

@@ -250,6 +250,16 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
 
+    "asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
     "running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  count(*) OVER w AS running_n,
