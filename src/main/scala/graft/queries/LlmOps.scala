@@ -72,6 +72,23 @@ object LlmOps {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // §2c.35 — composed curation pipeline: quality-filter → exact
+    // dedup (keep representative) → per-language corpus stats. The
+    // operators chain as one declarative plan — Catalyst sees through
+    // all three stages.
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextAnalysis.quality(docs, col("text"), col("doc_id"))
+        .where(col("quality") >= 0.6).select("doc_id")
+      val good = docs.join(q, "doc_id")
+      val kept = Dedup.exact(good, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      good.join(kept, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // §2c.33b — rolling-hash (Rabin-Karp, winnowed-min) fingerprint;
     // native codegen'd expression, rows-only check (hash family not
     // SQL-expressible)

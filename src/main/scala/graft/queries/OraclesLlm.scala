@@ -115,6 +115,23 @@ object OraclesLlm {
         |    string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curate" ->
+      s"""WITH q AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |          / length(text) * 0.5
+        |        + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |            t -> t IN ($stopEn))) AS DOUBLE)
+        |            / len(string_split(text, ' ')) * 5.0, 1.0) * 0.5, 6) >= 0.6
+        |), good AS (
+        |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+        |), kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM good JOIN kept USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
