@@ -112,6 +112,23 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
       .agg(count(lit(1)).as("fab"))
       .orderBy("a_value", "b_value")
 
+  /** approximate per-field index cardinality via DataSketches HLL —
+    * the sketch path for "how many index entries would this column
+    * produce" without building the index. Mergeable across segments
+    * (hll_union), so segment sketches roll up exactly like the
+    * reference's merged index metadata would.
+    */
+  def approxCardinalities(): DataFrame = {
+    val pairs = spec.fields.map(f =>
+      struct(lit(f).as("field"), tokens(f).as("ts")))
+    df.select(explode(array(pairs: _*)).as("fv"))
+      .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
+      .groupBy("field")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("value")))
+        .as("approx_distinct"))
+      .orderBy("field")
+  }
+
   /** full CoStats for EVERY value pair of two fields — the bulk form
     * of the reference's interactive cofreq/CoStats loop
     * (DfTest.scala:236-253 runs 1024 point queries; here marginal and

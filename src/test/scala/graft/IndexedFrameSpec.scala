@@ -40,6 +40,21 @@ class IndexedFrameSpec extends SparkSpec {
     assert(math.abs(cs.mi - expected.mi) < 1e-12)
   }
 
+  test("approx cardinalities within tolerance of exact distinct counts") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val spec2 = graft.core.IndexSpec(Seq("l_returnflag", "l_partkey"))
+    val ix = IndexedFrame(li, spec2)
+    val approx = ix.approxCardinalities().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map(
+      "l_returnflag" -> li.select("l_returnflag").distinct().count(),
+      "l_partkey" -> li.select("l_partkey").distinct().count())
+    exact.foreach { case (f, e) =>
+      val a = approx(f)
+      assert(math.abs(a - e).toDouble / e <= 0.1, s"$f: approx $a vs exact $e")
+    }
+  }
+
   test("coStatsMatrix rows carry the same counts as point coStats") {
     val ix = IndexedFrame(df, spec)
     val m = ix.coStatsMatrix("f1", "f2").collect()
