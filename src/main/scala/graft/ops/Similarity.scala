@@ -61,6 +61,61 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF (inverted-file) ANN — the cluster-routed scale path: a
+    * coarse k-means quantizer assigns every corpus vector to one of
+    * `nlist` centroid lists; a query probes its `nprobe` nearest
+    * centroids and scores only those lists (~nprobe/nlist of the
+    * corpus). At 100 TB: fit the quantizer on a sample, broadcast the
+    * centroid matrix (nlist·dim floats), and the corpus assignment is
+    * a map-only pass; the candidate join shuffles on the small
+    * (qid, list) key space.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feats = emb.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(feats)
+
+    // corpus: top-1 list assignment via the model (map-only)
+    val corpus = model.transform(feats)
+      .select(col("vec_id").as("nbr"), col("embedding").as("nbr_v"),
+        graft.functions.VecMath.vecNorm(col("embedding")).as("nbr_n"),
+        col("prediction").as("list"))
+
+    // queries: rank ALL centroids by L2 and keep nprobe per query
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("list", "cvec")
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        graft.functions.VecMath.vecNorm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        -graft.functions.VecMath.vecDot(col("qv"), col("cvec")) * 2 +
+          graft.functions.VecMath.vecDot(col("cvec"), col("cvec")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("list"))))
+      .where(col("crnk") <= nprobe)
+      .select("qid", "qv", "qn", "list")
+
+    // score only the probed lists
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
+    corpus.join(probed, Seq("list"))
+      .where(col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+        round(graft.functions.VecMath.vecDot(col("qv"), col("nbr_v")) /
+          (col("qn") * col("nbr_n")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
   /** random-hyperplane signature (Charikar 2002 SimHash for cosine):
     * nbits sign bits of projections onto fixed pseudo-random planes.
     * Plane components are a deterministic ±1 pattern derived from

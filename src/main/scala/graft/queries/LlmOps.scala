@@ -44,6 +44,12 @@ object LlmOps {
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5)
     }),
 
+    // §2c.29b — IVF cluster-routed approximate top-k (rows-only)
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5)
+    }),
+
     // §2c.30 — quality scoring
     "text_quality" -> ((s, d) => {
       val q = TextAnalysis.quality(Tables.documents(s, d), col("text"), col("doc_id"))

@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= brute.size / 2, s"$hits/${brute.size} top-1 agreement")
   }
 
+  test("ivf top-1 recall beats random-subset expectation") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, q, 1)
+      .select("qid", "nbr").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, q, 1, nlist = 8, nprobe = 4)
+      .select("qid", "nbr").as[(Long, Long)].collect().toMap
+    // probing half the lists should recover well over half the top-1s
+    val hits = brute.count { case (k, v) => ivf.get(k).contains(v) }
+    assert(hits >= brute.size / 2, s"$hits/${brute.size} ivf top-1 agreement")
+  }
+
   test("hyperplane signature is deterministic") {
     val s1 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()
     val s2 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()
