@@ -19,6 +19,30 @@ object Analyzers {
   val whitespace: Column => Column = c => split(c.cast("string"), " ")
   /** lowercased whitespace tokenizer */
   val lowerWhitespace: Column => Column = c => split(lower(c.cast("string")), " ")
+
+  /** character n-grams of each whitespace token (edge-padded by the
+    * token itself when shorter) — substring-searchable index entries.
+    */
+  def charNgrams(n: Int): Column => Column = c =>
+    flatten(transform(split(lower(c.cast("string")), " "), tok =>
+      when(length(tok) <= n, array(tok)).otherwise(
+        transform(sequence(lit(1), length(tok) - (n - 1)),
+          i => tok.substr(i, lit(n))))))
+
+  /** suffix-stripping stemmer-lite (s/es/ed/ing) over lowercased
+    * whitespace tokens — the analyzer-extension shape; swap in a real
+    * stemmer the same way.
+    */
+  val stemmed: Column => Column = c =>
+    transform(split(lower(c.cast("string")), " "), tok =>
+      when(tok.endsWith("ing") && length(tok) > 5, expr_strip(tok, 3))
+        .when(tok.endsWith("ed") && length(tok) > 4, expr_strip(tok, 2))
+        .when(tok.endsWith("es") && length(tok) > 4, expr_strip(tok, 2))
+        .when(tok.endsWith("s") && length(tok) > 3, expr_strip(tok, 1))
+        .otherwise(tok))
+
+  private def expr_strip(tok: Column, n: Int): Column =
+    tok.substr(lit(1), length(tok) - n)
 }
 
 final case class IndexSpec(

@@ -40,6 +40,34 @@ class IndexedFrameSpec extends SparkSpec {
     assert(math.abs(cs.mi - expected.mi) < 1e-12)
   }
 
+  test("char-ngram and stemmer analyzers produce expected tokens") {
+    val d = Seq((1L, "spark running dogs")).toDF("id", "txt")
+    val ng = d.select(Analyzers.charNgrams(3)(col("txt"))).head().getSeq[String](0)
+    assert(ng.contains("spa") && ng.contains("par") && ng.contains("ark"))
+    assert(ng.contains("run") && ng.contains("ing"))
+    val st = d.select(Analyzers.stemmed(col("txt"))).head().getSeq[String](0)
+    assert(st === Seq("spark", "runn", "dog"))
+  }
+
+  test("hot-shingle cap prevents quadratic pairs from stop phrases") {
+    // 6 docs all share one phrase; only 0 and 1 are real near-dups
+    val shared = "common boilerplate header phrase appears everywhere"
+    val docs = Seq(
+      (0L, s"$shared unique alpha beta gamma delta epsilon zeta eta"),
+      (1L, s"$shared unique alpha beta gamma delta epsilon zeta theta"),
+      (2L, s"$shared totally different content one two three four five"),
+      (3L, s"$shared other words entirely six seven eight nine ten"),
+      (4L, s"$shared more unrelated body eleven twelve thirteen fourteen"),
+      (5L, s"$shared final variant fifteen sixteen seventeen eighteen nineteen")
+    ).toDF("doc_id", "text")
+    // cap=3: the shared-phrase shingles (freq 6) are dropped; the
+    // unique-content shingles keep 0-1 paired
+    val pairs = graft.ops.Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
+        minJaccard = 0.2, maxShingleFreq = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("approx cardinalities within tolerance of exact distinct counts") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val spec2 = graft.core.IndexSpec(Seq("l_returnflag", "l_partkey"))
