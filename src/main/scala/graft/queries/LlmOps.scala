@@ -78,6 +78,12 @@ object LlmOps {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // §2c.25b — near-dup clusters: minhash pairs → min-label
+    // connected components (rows-only; iterative)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id")))),
+
     // §2c.35 — composed curation pipeline: quality-filter → exact
     // dedup (keep representative) → per-language corpus stats. The
     // operators chain as one declarative plan — Catalyst sees through

@@ -43,6 +43,11 @@ object Oracles {
     "index_f" ->
       "SELECT count(*) AS f FROM lineitem WHERE l_returnflag = 'R'",
 
+    "salted_agg" ->
+      """SELECT l_returnflag AS k, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY k ORDER BY k""".stripMargin,
+
     "index_fand" ->
       """SELECT count(*) AS n,
         |  count(*) FILTER (l_returnflag = 'R') AS fa,

@@ -99,6 +99,22 @@ object RefSurface {
         IndexSpec(Seq("l_returnflag")))
     }),
 
+    // §2a.5b — sketch path: approximate per-field index cardinality
+    // via mergeable DataSketches HLL (rows-only; estimates)
+    "index_approx" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d),
+        IndexSpec(Seq("l_returnflag", "l_partkey", "l_suppkey")))
+        .approxCardinalities()),
+
+    // §2a.5c — salted two-stage aggregation: equals plain GROUP BY
+    // (the oracle IS the plain form — proves the skew path exact)
+    "salted_agg" -> ((s, d) =>
+      graft.ops.Salt.saltedAgg(Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_quantity").cast("decimal(18,2)"),
+          col("l_orderkey"))
+        .select(col("k"), col("n"), col("total").cast("double").as("total"))
+        .orderBy("k")),
+
     // §2a.13 — Knn.keyValueWeights: CoStats log-odds weight per
     // (field,value) vs the target predicate p_type='ECONOMY'
     "knn_weights" -> ((s, d) =>
