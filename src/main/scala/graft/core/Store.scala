@@ -38,6 +38,32 @@ object Store {
     open(spark, dir, spec)
   }
 
+  /** incremental segment append — the reference's merge story
+    * (writeMergedIndexedDf, Dfs.scala:476-487) as streaming ingest:
+    * new rows append as a parquet segment and the persisted index is
+    * merged incrementally (old index ∪ batch index → groupBy sum),
+    * NEVER by rescanning old data. Usable directly as a
+    * foreachBatch sink: `.foreachBatch((b, _) => Store.append(b, dir, spec))`.
+    */
+  def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchIndex = IndexedFrame(batch, spec).entries
+    val merged =
+      if (fs.exists(indexPath)) {
+        // read BEFORE overwrite: materialize the old index first
+        val old = spark.read.parquet(s"$dir/index").localCheckpoint(true)
+        old.unionByName(batchIndex)
+          .groupBy("field", "value").agg(sum("f").as("f"))
+          .orderBy("field", "value")
+      } else batchIndex
+    val mergedStable = merged.localCheckpoint(true)
+    batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
+    mergedStable.write.mode(SaveMode.Overwrite).parquet(s"$dir/index")
+  }
+
   /** bucketed write for co-located joins: tables bucketed+sorted on
     * the same key join with NO shuffle on either side (the 100 TB
     * answer to "this join is run every day on the same key" — the

@@ -111,6 +111,19 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")),
 
+    // §2b.34 — set operations: customers who ordered in both halves
+    // of the date range (INTERSECT) minus high-balance ones (EXCEPT).
+    "set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.where(col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+      val late = o.where(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey")
+      val rich = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"))
+      early.intersect(late).except(rich)
+        .select(col("o_custkey").as("custkey"))
+        .orderBy("custkey")
+    }),
+
     // §2b.33 — as-of join: each event paired with the user's most
     // recent order at event time (union+window formulation — one
     // shuffle, no range-join explosion).

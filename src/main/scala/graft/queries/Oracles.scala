@@ -255,6 +255,15 @@ object Oracles {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
 
+    "set_ops" ->
+      """SELECT o_custkey AS custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |) ORDER BY custkey""".stripMargin,
+
     "asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

@@ -32,6 +32,22 @@ class StoreSpec extends SparkSpec {
     assert(calls === 1)
   }
 
+  test("incremental appends equal a one-shot write of the union") {
+    val dirA = java.nio.file.Files.createTempDirectory("inc").toString
+    val dirB = java.nio.file.Files.createTempDirectory("oneshot").toString
+    val batch1 = data.where($"id" <= 2)
+    val batch2 = data.where($"id" > 2)
+    Store.append(batch1, dirA, spec)
+    Store.append(batch2, dirA, spec)
+    Store.write(data, dirB, spec)
+    val inc = Store.open(spark, dirA, spec)
+    val one = Store.open(spark, dirB, spec)
+    assert(inc.frame.df.count() === one.frame.df.count())
+    def ix(s: graft.core.StoredFrame) = s.persistedIndex
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix(inc) === ix(one))
+  }
+
   test("persisted index f() matches live recount") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     Store.write(data, dir, spec)
