@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Knn
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's MlTest."knn" scenario
+  * (/root/reference/src/test/scala/com/futurice/iodf/MlTest.scala):
+  * animals with tokenized feature text, predicting isDuck.
+  */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // MlTest.scala:23-29, with features pre-tokenized into columns the
+  // identity-indexed Knn consumes (legs + each feature word as a field)
+  private def animals = Seq(
+    (0L, 2, "yellow walks", false),
+    (1L, 4, "moo white walks", false),
+    (2L, 4, "moo black walks", false),
+    (3L, 2, "flies white swims", false),
+    (4L, 2, "flies yellow swims", true),
+    (5L, 2, "flies yellow swims", true)
+  ).toDF("id", "legs", "features", "is_duck")
+    .withColumn("has_flies", array_contains(split(col("features"), " "), "flies").cast("string"))
+    .withColumn("has_swims", array_contains(split(col("features"), " "), "swims").cast("string"))
+    .withColumn("has_moo", array_contains(split(col("features"), " "), "moo").cast("string"))
+
+  private val fields = Seq("legs", "has_flies", "has_swims", "has_moo")
+
+  test("duck-predictive features get the heaviest weights") {
+    val w = Knn.keyValueWeights(animals, fields, col("is_duck") === true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // flies/swims=true co-occur with ducks; moo=true never does —
+    // both directions should carry non-trivial weight
+    assert(w(("has_flies", "true")) > 0.1)
+    assert(w(("has_swims", "true")) > 0.1)
+    assert(w(("has_moo", "true")) > 0.1)
+  }
+
+  test("nearest neighbours of a duck-like query are the ducks") {
+    val w = Knn.keyValueWeights(animals, fields, col("is_duck") === true)
+    // query: 2 legs, flies+swims (duck-shaped, like MlTest's tAnimal)
+    val top = Knn.topK(animals, w, fields,
+        Map("legs" -> "2", "has_flies" -> "true", "has_swims" -> "true",
+          "has_moo" -> "false"),
+        "id", 3)
+      .collect().map(_.getLong(0))
+    // ducks (4, 5) and the duck-adjacent swimmer (3) are the closest
+    assert(top.toSet === Set(3L, 4L, 5L))
+  }
+}

@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs events within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "cts").withWatermark("cts", "1 hour")
+    val v = views.toDF().toDF("v_user_id", "vts").withWatermark("vts", "1 hour")
+
+    // view followed by a click from the same user within 10 minutes
+    val joined = v.join(c,
+      col("v_user_id") === col("user_id") &&
+        col("cts") >= col("vts") &&
+        col("cts") <= col("vts") + expr("INTERVAL 10 MINUTES"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      views.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),  // within window → joins
+        (2L, ts("2024-01-01 10:30:00")))  // outside window → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(2) === 1L)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
