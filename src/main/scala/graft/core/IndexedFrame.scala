@@ -113,6 +113,19 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
       count_if(b).as("fb"),
       count_if(a && b).as("fab"))
 
+  /** full boolean algebra over two predicate "bitmaps" in ONE pass
+    * (the reference's LBits &/|/createAnd surface, ioseq/IoBits): AND,
+    * OR, A∖B, XOR, NOT-A — all conditional counts on a single scan.
+    */
+  def boolCountsDF(a: Column, b: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("n"),
+      count_if(a && b).as("f_and"),
+      count_if(a || b).as("f_or"),
+      count_if(a && !b).as("f_diff"),
+      count_if((a && !b) || (!a && b)).as("f_xor"),
+      count_if(!a).as("f_not_a"))
+
   /** CoStats collected to the driver (4 longs — scale-safe) */
   def coStats(a: Column, b: Column): CoStats = {
     val r = countsDF(a, b).head()

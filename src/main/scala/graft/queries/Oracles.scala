@@ -55,6 +55,16 @@ object Oracles {
         |  count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F') AS fab
         |FROM lineitem""".stripMargin,
 
+    "index_bool" ->
+      """SELECT count(*) AS n,
+        |  count(*) FILTER (l_returnflag = 'R' AND l_linestatus = 'F') AS f_and,
+        |  count(*) FILTER (l_returnflag = 'R' OR l_linestatus = 'F') AS f_or,
+        |  count(*) FILTER (l_returnflag = 'R' AND NOT l_linestatus = 'F') AS f_diff,
+        |  count(*) FILTER ((l_returnflag = 'R' AND NOT l_linestatus = 'F')
+        |                OR (NOT l_returnflag = 'R' AND l_linestatus = 'F')) AS f_xor,
+        |  count(*) FILTER (NOT l_returnflag = 'R') AS f_not_a
+        |FROM lineitem""".stripMargin,
+
     "cofreq_matrix" ->
       """SELECT l_returnflag AS a_value, l_linestatus AS b_value, count(*) AS fab
         |FROM lineitem GROUP BY a_value, b_value ORDER BY a_value, b_value""".stripMargin,

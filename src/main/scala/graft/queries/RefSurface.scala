@@ -62,6 +62,14 @@ object RefSurface {
       ix.countsDF(ix.predicate("l_returnflag", "R"), ix.predicate("l_linestatus", "F"))
     }),
 
+    // §2a.8b — full bitmap boolean algebra (AND/OR/DIFF/XOR/NOT) in
+    // one conditional-aggregation pass
+    "index_bool" -> ((s, d) => {
+      val ix = IndexedFrame(Tables.lineitem(s, d), liSpec)
+      ix.boolCountsDF(ix.predicate("l_returnflag", "R"),
+        ix.predicate("l_linestatus", "F"))
+    }),
+
     // §2a.9 — bulk cofreq: full contingency table of two fields
     "cofreq_matrix" -> ((s, d) =>
       IndexedFrame(Tables.lineitem(s, d), liSpec)
