@@ -181,18 +181,19 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // neighbor labels ∪ own label → min per node
+      // neighbor labels ∪ own label → min per node; carry the old
+      // label so convergence detection needs no extra join
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("nbr"))
         .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .select(col("id"), least(col("label"), col("nbr")).as("label"),
+          col("label").as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count() > 0
+      changed = next.where(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
