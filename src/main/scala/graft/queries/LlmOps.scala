@@ -109,6 +109,13 @@ object LlmOps {
         col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // §2c.34b — multimodal decode surface: batch-shaped stub decoder
+    // over payload bytes (rows-only; RDD mapPartitions plumbing)
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.stubDecode(
+        Multimodal.asPayload(Tables.documents(s, d), col("text"), col("doc_id")))
+        .orderBy("doc_id")),
+
     // §2c.34 — multimodal payload plumbing: metadata projection that
     // never touches payload bytes
     "multimodal_meta" -> ((s, d) =>

@@ -136,6 +136,15 @@ object Oracles {
         |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "store_roundtrip" ->
+      """SELECT field, value, count(*) AS f FROM (
+        |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |) GROUP BY field, value ORDER BY field, value""".stripMargin,
+
     "merge_index" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Analyzers, IndexSpec, IndexedFrame, Tables}
+import graft.core.{Analyzers, IndexSpec, IndexedFrame, Store, Tables}
 import graft.ops.{Knn, Merge}
 
 /** SURVEY §2a — the reference's own surface re-expressed Spark-first.
@@ -122,6 +122,17 @@ object RefSurface {
           col("l_orderkey"))
         .select(col("k"), col("n"), col("total").cast("double").as("total"))
         .orderBy("k")),
+
+    // §2a.12c — persistence round-trip: write the frame + index to a
+    // store dir, reopen, and serve the PERSISTED index — must equal
+    // the index computed directly from the data (same oracle as
+    // index_freqs), proving write/open loses nothing.
+    "store_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_store_${new java.io.File(d).getName}"
+      Store.write(Tables.lineitem(s, d), dir, liSpec)
+      Store.open(s, dir, liSpec).persistedIndex
+        .orderBy("field", "value")
+    }),
 
     // §2a.13 — Knn.keyValueWeights: CoStats log-odds weight per
     // (field,value) vs the target predicate p_type='ECONOMY'
