@@ -48,6 +48,30 @@ class StoreSpec extends SparkSpec {
     assert(ix(inc) === ix(one))
   }
 
+  test("streaming foreachBatch ingest builds the same store as a batch write") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = stream.toDF().toDF("id", "cat", "v")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Store.append(batch, dir, spec))
+      .start()
+    try {
+      stream.addData((1L, "a", 10.0), (2L, "b", 20.0))
+      q.processAllAvailable()
+      stream.addData((3L, "a", 30.0), (4L, "c", 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Store.open(spark, dir, spec)
+    assert(streamed.frame.df.count() === 4)
+    val ix = streamed.persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix === Map(("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
+  }
+
   test("persisted index f() matches live recount") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     Store.write(data, dir, spec)
