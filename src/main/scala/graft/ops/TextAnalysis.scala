@@ -43,8 +43,10 @@ object TextAnalysis {
     val nAlpha = length(regexp_replace(text, "[^a-z]", ""))
     val nTok = size(split(text, " "))
     val nStop = hitCount(text, stopwords("en"))
-    val alphaRatio = nAlpha.cast("double") / nChars
-    val stopRatio = nStop.cast("double") / nTok
+    // nullif guards: empty text must yield null ratios, not a
+    // DIVIDE_BY_ZERO job failure under ANSI mode
+    val alphaRatio = nAlpha.cast("double") / nullif(nChars, lit(0))
+    val stopRatio = nStop.cast("double") / nullif(nTok, lit(0))
     df.select(
       id.as("doc_id"),
       nChars.as("n_chars"),

@@ -74,15 +74,15 @@ object OraclesLlm {
         |  length(text) AS n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |        / length(text), 6) AS alpha_ratio,
+        |        / nullif(length(text), 0), 6) AS alpha_ratio,
         |  round(CAST(len(list_filter(string_split(lower(text), ' '),
         |        t -> t IN ($stopEn))) AS DOUBLE)
-        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |        / nullif(len(string_split(text, ' ')), 0), 6) AS stop_ratio,
         |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |          / length(text) * 0.5
+        |          / nullif(length(text), 0) * 0.5
         |        + least(CAST(len(list_filter(string_split(lower(text), ' '),
         |            t -> t IN ($stopEn))) AS DOUBLE)
-        |            / len(string_split(text, ' ')) * 5.0, 1.0) * 0.5, 6) AS quality
+        |            / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
@@ -119,10 +119,10 @@ object OraclesLlm {
       s"""WITH q AS (
         |  SELECT doc_id FROM documents
         |  WHERE round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-        |          / length(text) * 0.5
+        |          / nullif(length(text), 0) * 0.5
         |        + least(CAST(len(list_filter(string_split(lower(text), ' '),
         |            t -> t IN ($stopEn))) AS DOUBLE)
-        |            / len(string_split(text, ' ')) * 5.0, 1.0) * 0.5, 6) >= 0.6
+        |            / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6) >= 0.6
         |), good AS (
         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
         |), kept AS (

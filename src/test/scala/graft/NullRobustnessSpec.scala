@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The test corpus has no nulls; real corpora do. Text/dedup
+  * operators must degrade gracefully (drop or null-mark), never throw.
+  */
+class NullRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, Some("normal document text here")),
+    (1L, None),
+    (2L, Some("")),
+    (3L, Some("   ")),
+    (4L, Some("normal document text here"))
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: null and empty texts form their own groups") {
+    val g = Dedup.exact(docs, col("text"), col("doc_id")).collect()
+    // 0 and 4 collapse; null hashes to null group; "" and "   " distinct
+    val dup = g.filter(_.getLong(1) == 2)
+    assert(dup.length === 1 && dup.head.getLong(2) === 0L)
+  }
+
+  test("ngram jaccard ignores null/empty docs without throwing") {
+    val pairs = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), minJaccard = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 4L)))
+  }
+
+  test("text analysis yields null-safe rows for null/empty text") {
+    val q = TextAnalysis.quality(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(q.length === 5)
+    assert(q(1).isNullAt(1) || q(1).isNullAt(5)) // null text → null measures
+    val tc = TextAnalysis.tokenCounts(docs, col("text"), col("doc_id")).count()
+    assert(tc === 5)
+    val li = TextAnalysis.langId(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(li.length === 5)
+  }
+
+  test("simhash and fingerprints survive null/empty text") {
+    assert(Dedup.simhash(docs, col("text"), col("doc_id")).count() <= 5)
+    assert(TextAnalysis.fingerprint(docs, col("text"), col("doc_id")).count() === 5)
+    assert(TextAnalysis.rollingFingerprint(docs, col("text"), col("doc_id")).count() === 5)
+  }
+}
