@@ -234,10 +234,15 @@ object IndexedFrame {
     */
   def withCoStatsCols(counts: DataFrame): DataFrame = {
     val e = new StatExprs
+    val log2e = lit(1.0 / math.log(2.0))
+    def h(p: Column): Column =
+      p * -(log(p) * log2e) + (lit(1.0) - p) * -(log(lit(1.0) - p) * log2e)
     counts.select(
       e.n, e.fa, e.fb, e.fab,
       round(e.pA, 6).as("pa"),
       round(e.pB, 6).as("pb"),
+      round(h(e.pA), 6).as("ha"),
+      round(h(e.pB), 6).as("hb"),
       round(e.dS(0), 6).as("d00"),
       round(e.dS(1), 6).as("d10"),
       round(e.dS(2), 6).as("d01"),

@@ -96,6 +96,8 @@ object Oracles {
         |)
         |SELECT n, fa, fb, fab,
         |  round(pa_, 6) AS pa, round(pb_, 6) AS pb,
+        |  round(pa_ * -(ln(pa_)/ln(2)) + (1-pa_) * -(ln(1-pa_)/ln(2)), 6) AS ha,
+        |  round(pb_ * -(ln(pb_)/ln(2)) + (1-pb_) * -(ln(1-pb_)/ln(2)), 6) AS hb,
         |  round(p0/nv0, 6) AS d00, round(p1/nv1, 6) AS d10,
         |  round(p2/nv2, 6) AS d01, round(p3/nv3, 6) AS d11,
         |  round(  p0 * ln(p0/nv0)/ln(2) + p1 * ln(p1/nv1)/ln(2)
