@@ -43,7 +43,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // per-query regression tracking vs the newest BENCH_r*.json in the
+    // working directory: flag > 1.5× slowdowns (ignoring sub-0.3 s
+    // queries, which are dominated by machine-shared timing noise)
+    val prev: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.lastOption.map { f =>
+        val txt = scala.io.Source.fromFile(f).mkString.replace("\\\"", "\"")
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+          _.group(1).split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => scala.util.Try(
+                k.replace("\"", "").trim -> v.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        }.getOrElse(Map.empty[String, Double])
+      }.getOrElse(Map.empty[String, Double])
+    }
+    val regressions = results.flatMap { case (k, v) =>
+      prev.get(k).filter(p => p >= 0.3 && v > p * 1.5)
+        .map(p => "\"" + k + "\":" + math.round(v / p * 100.0) / 100.0)
+    }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,14 +156,39 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
     * reference's merged index metadata would.
     */
   def approxCardinalities(): DataFrame = {
-    val pairs = spec.fields.map(f =>
-      struct(lit(f).as("field"), tokens(f).as("ts")))
-    df.select(explode(array(pairs: _*)).as("fv"))
-      .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
-      .groupBy("field")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("value")))
-        .as("approx_distinct"))
-      .orderBy("field")
+    val (identityF, analyzedF) =
+      spec.fields.partition(f => !spec.analyzers.contains(f))
+    // identity fields: one sketch per column in a SINGLE agg pass —
+    // no explode (which multiplies the row stream by |fields|), no
+    // per-value shuffle, no string cast for natively-hashable types;
+    // map-side combined, one 1-row reduce total
+    val idPart = if (identityF.isEmpty) None else Some {
+      def sketchable(f: String): Column = df.schema(f).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.BinaryType => col(f)
+        case _ => col(f).cast("string")
+      }
+      val aggs = identityF.map(f =>
+        hll_sketch_estimate(hll_sketch_agg(sketchable(f))).as(f))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(identityF.map(f =>
+          struct(lit(f).as("field"), col(f).as("approx_distinct"))): _*)).as("e"))
+        .select("e.field", "e.approx_distinct")
+    }
+    // analyzed fields genuinely need the token explode; sketches stay
+    // mergeable across segments (hll_union) either way
+    val anPart = if (analyzedF.isEmpty) None else Some {
+      val pairs = analyzedF.map(f =>
+        struct(lit(f).as("field"), tokens(f).as("ts")))
+      df.select(explode(array(pairs: _*)).as("fv"))
+        .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
+        .groupBy("field")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("value")))
+          .as("approx_distinct"))
+    }
+    (idPart ++ anPart).reduce(_.unionByName(_)).orderBy("field")
   }
 
   /** full CoStats for EVERY value pair of two fields — the bulk form

@@ -107,14 +107,41 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** map-only MinHash signature as ONE column expression — no
+    * explode, no groupBy, no shuffle: per row, token hashes are a
+    * transient array and each permutation takes `array_min`. Same
+    * permutation family and shingling as [[minhashSignatures]]
+    * (spec-checked equal), so signatures are interchangeable. This is
+    * the streaming-safe form: a stateless projection composes with
+    * watermarks/dropDuplicates where an aggregation could not.
+    */
+  def minhashSigCol(text: Column, w: Int = 3, k: Int = 16): Column = {
+    val toks = split(lower(text), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " ")))
+    val xs = transform(sh, s => pmod(xxhash64(s), lit(MersenneP)))
+    array(permParams(k).map { case (a, b) =>
+      array_min(transform(xs,
+        x => pmod(pmod(x * a, lit(MersenneP)) + b, lit(MersenneP))))
+    }: _*)
+  }
+
   /** MinHash + LSH banding near-dup pairs (§2c.25): band the
     * signature, shuffle on (band, bucket-hash), emit candidate pairs
     * only from shared buckets, then verify estimated Jaccard =
-    * matching-minhash fraction ≥ threshold. Never O(n²).
+    * matching-minhash fraction ≥ threshold. Never O(n²): a degenerate
+    * bucket (many empty/boilerplate docs sharing a signature) would
+    * go quadratic, so buckets above `maxBucket` members are dropped
+    * via a broadcast anti-join — the same skew cap as hot shingles
+    * above. Members of a dropped bucket still pair through their
+    * other bands unless they collide everywhere (true mass-dups,
+    * which exact dedup already catches).
     */
   def minhashLsh(df: DataFrame, text: Column, id: Column,
                  k: Int = 32, bands: Int = 8,
-                 minEstJaccard: Double = 0.5): DataFrame = {
+                 minEstJaccard: Double = 0.5,
+                 maxBucket: Long = 10000L): DataFrame = {
     val r = k / bands
     val sh = shingles(df, text, id)
     val sig = minhashSignatures(sh, k)
@@ -122,8 +149,13 @@ object Dedup {
       xxhash64(array_join(
         transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
     }: _*)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val allBanded = sig.select(col("doc_id"), col("sig"),
       posexplode(bandHashes).as(Seq("band", "bucket")))
+    val hotBuckets = allBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket).select("band", "bucket")
+    val banded = allBanded.join(broadcast(hotBuckets),
+      Seq("band", "bucket"), "left_anti")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -182,7 +214,14 @@ object Dedup {
     var iter = 0
     while (changed && iter < maxIter) {
       // neighbor labels ∪ own label → min per node; carry the old
-      // label so convergence detection needs no extra join
+      // label so convergence detection needs no extra join.
+      // localCheckpoint (not just persist) each round: persist bounds
+      // RECOMPUTE but the logical plan still grows ~3× per iteration,
+      // and Catalyst re-analyzes the whole accumulated tree every
+      // round — exponential driver-side planning on dense graphs.
+      // Checkpointing truncates the lineage so each round plans a
+      // constant-size tree. (On a multi-node cluster prefer
+      // sc.setCheckpointDir + .checkpoint for executor-loss safety.)
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nl"), "dst")
@@ -190,7 +229,7 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"), least(col("label"), col("nbr")).as("label"),
           col("label").as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.where(col("label") =!= col("old")).limit(1).count() > 0
       labels.unpersist()
       labels = next.select("id", "label")
@@ -200,14 +239,58 @@ object Dedup {
     labels.orderBy("id")
   }
 
-  /** SimHash near-dup groups (§2c.26): docs sharing the full 64-bit
-    * fingerprint (hamming 0), plus 16-bit-band buckets as the
-    * hamming≤3 candidate path — shuffles only on fingerprint keys.
+  /** SimHash near-dup pairs at hamming ≤ `maxHamming` (§2c.26).
+    * Pigeonhole banding: split the 64-bit fingerprint into
+    * `maxHamming + 1` bands — two fingerprints within hamming
+    * `maxHamming` must agree EXACTLY on at least one band, so an
+    * equi-join on (band, band-bits) finds every qualifying pair
+    * without an all-pairs comparison. Candidates are then verified
+    * with `bit_count(a XOR b)`. Buckets above `maxBucket` members
+    * are skew-capped like minhash buckets.
     */
-  def simhashGroups(df: DataFrame, text: Column, id: Column): DataFrame =
-    simhash(df, text, id)
-      .groupBy("simhash")
-      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+                   maxHamming: Int = 3,
+                   maxBucket: Long = 10000L): DataFrame = {
+    val fp = simhash(df, text, id)
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // 16 bits for hamming≤3
+    val mask = (1L << width) - 1
+    val bandKeys = array((0 until nBands).map { b =>
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)
+    }: _*)
+    // the banded frame feeds three branches (hot-bucket agg + both
+    // self-join sides), each of which would otherwise recompute the
+    // 64-aggregate simhash build — persist so it runs once
+    val allBanded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = allBanded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucket).select("band", "bkey")
+    val banded = allBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      // verify BEFORE the pair-dedup shuffle: the hamming filter cuts
+      // the candidate stream ~15× map-side, so dropDuplicates only
+      // shuffles surviving pairs
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
+  /** SimHash near-dup groups (§2c.26): hamming≤3 pairs → connected
+    * components → (cluster, size, kept representative). Subsumes the
+    * old hamming-0 grouping (identical fingerprints are hamming 0).
+    */
+  def simhashGroups(df: DataFrame, text: Column, id: Column,
+                    maxHamming: Int = 3): DataFrame =
+    clusters(simhashPairs(df, text, id, maxHamming))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n"), min("id").as("keep_id"))
       .where(col("n") > 1)
-      .orderBy("simhash")
+      .orderBy("cluster")
 }

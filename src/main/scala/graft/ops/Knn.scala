@@ -29,13 +29,20 @@ object Knn {
   /** weight pair per (field, value) of `inFields` vs a target
     * predicate: (|ln(d(¬A,B)/d(¬A,¬B))|, |ln(d(A,B)/d(A,¬B))|) as in
     * reference Knn.scala:93-94 (A = feature present, B = target).
+    *
+    * `defined` is the reference's `outDefined` mask (Knn.scala:87-97:
+    * `CoStats(bits & outDefined, outTrues, outDefined.f)`): rows where
+    * the target is not observable (e.g. null) are excluded from ALL
+    * four CoStats counts, so null-heavy fields don't skew the weights.
     */
   def keyValueWeights(df: DataFrame, inFields: Seq[String], target: Column,
-                      varDFilter: Double = 0.0): DataFrame = {
-    val totals = df.agg(count(lit(1)).as("n"), count_if(target).as("fb"))
+                      varDFilter: Double = 0.0,
+                      defined: Column = lit(true)): DataFrame = {
+    val dfd = df.where(defined)
+    val totals = dfd.agg(count(lit(1)).as("n"), count_if(target).as("fb"))
     val pairs = inFields.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value")))
-    val exploded = df.select(explode(array(pairs: _*)).as("fv"), target.as("t"))
+    val exploded = dfd.select(explode(array(pairs: _*)).as("fv"), target.as("t"))
       .select(col("fv.field").as("field"), col("fv.value").as("value"), col("t"))
       .groupBy("field", "value")
       .agg(count(lit(1)).as("fa"), count_if(col("t")).as("fab"))
@@ -53,9 +60,15 @@ object Knn {
 
   /** top-k rows by weighted feature distance for a query item given
     * as (field -> value) pairs. `idCol` must be a unique row key.
+    * `rowFilter` is the reference's candidate filter
+    * (`knn(k, v, filter)`, Knn.scala:71-76): only rows matching it
+    * compete for the k slots — pushed into the scan, not applied
+    * after ranking.
     */
   def topK(df: DataFrame, weights: DataFrame, inFields: Seq[String],
-           queryKVs: Map[String, String], idCol: String, k: Int): DataFrame = {
+           queryKVs: Map[String, String], idCol: String, k: Int,
+           rowFilter: Column = lit(true)): DataFrame = {
+    val base = df.where(rowFilter)
     // the weight table is tiny (≤ distinct values of inFields) but
     // feeds three plan branches (scoring join, baseline, flags) —
     // persist so its aggregation pipeline runs once, not per branch
@@ -65,14 +78,14 @@ object Knn {
     // baseline = Σ w2 over the query's own weighted features
     val pairs = inFields.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value")))
-    val rowKV = df.select(col(idCol), explode(array(pairs: _*)).as("fv"))
+    val rowKV = base.select(col(idCol), explode(array(pairs: _*)).as("fv"))
       .select(col(idCol), col("fv.field").as("field"), col("fv.value").as("value"))
     val contrib = rowKV.join(broadcast(w), Seq("field", "value"))
       .groupBy(idCol)
       .agg(sum(when(col("in_query"), -col("w2")).otherwise(col("w1"))).as("score"))
     val baseline = w.where(col("in_query"))
       .agg(coalesce(sum("w2"), lit(0.0)).as("baseline"))
-    df.select(col(idCol))
+    base.select(col(idCol))
       .join(contrib, Seq(idCol), "left")
       .crossJoin(broadcast(baseline))
       .select(col(idCol),

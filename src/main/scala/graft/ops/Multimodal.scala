@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** decoded-feature row a real media decoder would emit */
+case class Decoded(doc_id: Long, width: Int, height: Int, feature: Seq[Float])
+
 /** Multimodal column plumbing (SURVEY §2c.34): image/audio/video as
   * opaque `binary` payload columns with typed metadata.
   *
@@ -72,17 +75,31 @@ object Multimodal {
 
   def stubDecode(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select("doc_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val w = 16 + (bytes.length % 16)
-        val h = 16 + (math.abs(id) % 16).toInt
-        val feat = Array.tabulate(8)(i =>
-          (if (bytes.length > i) bytes(i).toFloat else 0f) / 255f)
-        Row(id, w, h, feat.toSeq)
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one iterator per partition: the shape a real decoder (native
+        // context, batched I/O) requires; stays in the typed Dataset
+        // world so downstream ops keep the Encoder
+        it.map { case (id, bytes) =>
+          val w = 16 + (bytes.length % 16)
+          val h = 16 + (math.abs(id) % 16).toInt
+          val feat = Array.tabulate(8)(i =>
+            (if (bytes.length > i) bytes(i).toFloat else 0f) / 255f)
+          Decoded(id, w, h, feat.toSeq)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
+
+  /** driver-checkable scalar projection of a decode: the array column
+    * reduced to a stable digest (pandas cannot sort ndarray cells).
+    */
+  def decodeSummary(decoded: DataFrame): DataFrame =
+    decoded.select(col("doc_id"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      md5(to_binary(
+        array_join(transform(col("feature"),
+          f => format_string("%.6f", f)), ","), lit("utf-8"))).as("feature_md5"))
 }

@@ -61,52 +61,70 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** IVF (inverted-file) ANN — the cluster-routed scale path: a
-    * coarse k-means quantizer assigns every corpus vector to one of
-    * `nlist` centroid lists; a query probes its `nprobe` nearest
-    * centroids and scores only those lists (~nprobe/nlist of the
-    * corpus). At 100 TB: fit the quantizer on a sample, broadcast the
-    * centroid matrix (nlist·dim floats), and the corpus assignment is
-    * a map-only pass; the candidate join shuffles on the small
-    * (qid, list) key space.
+  /** Fit the IVF coarse quantizer on a SAMPLE of the corpus — never
+    * the full data (at 100 TB a full-corpus k-means fit is a
+    * multi-pass ML job per query; a 0.1-1% sample gives centroids of
+    * the same quality for coarse routing). The result is nlist·dim
+    * floats — driver-sized; persist it once (e.g. as a tiny parquet
+    * via [[graft.core.Store]]) and pass it to every [[ivfTopK]] call.
     */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 8, nprobe: Int = 4): DataFrame = {
+  def ivfCentroids(emb: DataFrame, nlist: Int = 8,
+                   sampleFraction: Double = 0.25,
+                   seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val feats = emb.withColumn("features",
-      array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val feats = emb.sample(withReplacement = false, sampleFraction, seed)
+      .withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(feats)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
 
-    // corpus: top-1 list assignment via the model (map-only)
-    val corpus = model.transform(feats)
-      .select(col("vec_id").as("nbr"), col("embedding").as("nbr_v"),
-        graft.functions.VecMath.vecNorm(col("embedding")).as("nbr_n"),
-        col("prediction").as("list"))
+  /** IVF (inverted-file) ANN — the cluster-routed scale path: a
+    * coarse k-means quantizer (fit on a sample, [[ivfCentroids]])
+    * assigns every corpus vector to its nearest of `nlist` centroids;
+    * a query probes its `nprobe` nearest centroids and scores only
+    * those lists (~nprobe/nlist of the corpus).
+    *
+    * Plan shape at scale: centroids ride along as LITERAL arrays, so
+    * corpus assignment is a map-only pass (argmin over nlist codegen'd
+    * dots — no ML transform, no shuffle); query probing is an
+    * array_sort over the same nlist structs (no window); the candidate
+    * join broadcasts the probed query side. The only shuffle is the
+    * per-qid top-k over the already-pruned candidates.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 8, nprobe: Int = 4,
+              centroids: Option[Array[Array[Float]]] = None,
+              sampleFraction: Double = 0.25): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(emb, nlist, sampleFraction))
+    val cc = cents.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+    // (L2-to-centroid, list) structs; v·v is constant per row so
+    // ranking by c·c − 2·v·c equals ranking by true L2
+    def distStructs(v: Column): Column = array(cents.indices.map { i =>
+      struct(
+        (lit(cc(i)) - graft.functions.VecMath.vecDot(v, typedlit(cents(i).toSeq)) * 2)
+          .as("d"),
+        lit(i).as("list"))
+    }: _*)
 
-    // queries: rank ALL centroids by L2 and keep nprobe per query
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("list", "cvec")
+    // corpus: map-only top-1 assignment (argmin = array_min on structs)
+    val corpus = emb.select(col("vec_id").as("nbr"), col("embedding").as("nbr_v"),
+      graft.functions.VecMath.vecNorm(col("embedding")).as("nbr_n"),
+      array_min(distStructs(col("embedding"))).getField("list").as("list"))
+
+    // queries: nprobe nearest centroids via array_sort + slice (map-only)
     val probed = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        graft.functions.VecMath.vecNorm(col("embedding")).as("qn"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        -graft.functions.VecMath.vecDot(col("qv"), col("cvec")) * 2 +
-          graft.functions.VecMath.vecDot(col("cvec"), col("cvec")))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy("qid").orderBy(asc("dist"), asc("list"))))
-      .where(col("crnk") <= nprobe)
-      .select("qid", "qv", "qn", "list")
+        graft.functions.VecMath.vecNorm(col("embedding")).as("qn"),
+        explode(slice(array_sort(distStructs(col("embedding"))), 1, nprobe))
+          .as("probe"))
+      .select(col("qid"), col("qv"), col("qn"), col("probe.list").as("list"))
 
-    // score only the probed lists
+    // score only the probed lists; query side broadcast
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    corpus.join(probed, Seq("list"))
+    corpus.join(broadcast(probed), Seq("list"))
       .where(col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"),
         round(graft.functions.VecMath.vecDot(col("qv"), col("nbr_v")) /

@@ -44,10 +44,13 @@ object LlmOps {
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5)
     }),
 
-    // §2c.29b — IVF cluster-routed approximate top-k (rows-only)
+    // §2c.29b — IVF cluster-routed approximate top-k (rows-only).
+    // nprobe=5/8: the synthetic embeddings are near-uniform, the
+    // worst case for coarse routing (recall@5 = 0.92 in SimilaritySpec);
+    // clustered real corpora use nprobe ≪ nlist.
     "ann_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5, nprobe = 5)
     }),
 
     // §2c.30 — quality scoring
@@ -110,10 +113,12 @@ object LlmOps {
         .orderBy("doc_id")),
 
     // §2c.34b — multimodal decode surface: batch-shaped stub decoder
-    // over payload bytes (rows-only; RDD mapPartitions plumbing)
+    // over payload bytes (rows-only; typed Dataset.mapPartitions
+    // plumbing). Output is the scalar digest projection so the
+    // driver's pandas rows-check can sort it.
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.stubDecode(
-        Multimodal.asPayload(Tables.documents(s, d), col("text"), col("doc_id")))
+      Multimodal.decodeSummary(Multimodal.stubDecode(
+        Multimodal.asPayload(Tables.documents(s, d), col("text"), col("doc_id"))))
         .orderBy("doc_id")),
 
     // §2c.34 — multimodal payload plumbing: metadata projection that

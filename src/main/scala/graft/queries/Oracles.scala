@@ -161,17 +161,18 @@ object Oracles {
     * pairs on `part` vs target p_type='ECONOMY' — mirrors
     * graft.ops.Knn.keyValueWeights' op order exactly.
     */
-  private val knnWeightCtes =
-    """WITH tot AS (
-      |  SELECT count(*) AS n, count(*) FILTER (p_type = 'ECONOMY') AS fb FROM part
+  private def knnWeightCtes(defined: String = "TRUE") =
+    s"""WITH tot AS (
+      |  SELECT count(*) AS n, count(*) FILTER (p_type = 'ECONOMY') AS fb
+      |  FROM part WHERE $defined
       |), ex AS (
       |  SELECT 'p_brand' AS field, p_brand AS value,
       |    count(*) AS fa, count(*) FILTER (p_type = 'ECONOMY') AS fab
-      |  FROM part GROUP BY value
+      |  FROM part WHERE $defined GROUP BY value
       |  UNION ALL
       |  SELECT 'p_size', CAST(p_size AS VARCHAR),
       |    count(*), count(*) FILTER (p_type = 'ECONOMY')
-      |  FROM part GROUP BY p_size
+      |  FROM part WHERE $defined GROUP BY p_size
       |), jj AS (SELECT * FROM ex, tot),
       |pp AS (
       |  SELECT field, value, n, fa, fb, fab,
@@ -200,11 +201,11 @@ object Oracles {
 
   val knn: Map[String, String] = Map(
     "knn_weights" ->
-      s"""$knnWeightCtes
+      s"""${knnWeightCtes()}
         |SELECT field, value, w1, w2 FROM wt ORDER BY field, value""".stripMargin,
 
     "knn_topk" ->
-      s"""$knnWeightCtes, w AS (
+      s"""${knnWeightCtes()}, w AS (
         |  SELECT *, (field = 'p_brand' AND value = 'Brand#13')
         |          OR (field = 'p_size' AND value = '10') AS in_query
         |  FROM wt
@@ -220,6 +221,32 @@ object Oracles {
         |)
         |SELECT p_partkey, round(coalesce(score, 0.0) + baseline, 6) AS distance
         |FROM part LEFT JOIN contrib USING (p_partkey) CROSS JOIN base
+        |ORDER BY distance, p_partkey LIMIT 10""".stripMargin,
+
+    "knn_weights_masked" ->
+      s"""${knnWeightCtes("p_partkey % 10 <> 0")}
+        |SELECT field, value, w1, w2 FROM wt ORDER BY field, value""".stripMargin,
+
+    "knn_topk_filtered" ->
+      s"""${knnWeightCtes()}, w AS (
+        |  SELECT *, (field = 'p_brand' AND value = 'Brand#13')
+        |          OR (field = 'p_size' AND value = '10') AS in_query
+        |  FROM wt
+        |), rowkv AS (
+        |  SELECT p_partkey, 'p_brand' AS field, p_brand AS value
+        |  FROM part WHERE p_size >= 25
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR)
+        |  FROM part WHERE p_size >= 25
+        |), contrib AS (
+        |  SELECT p_partkey, sum(CASE WHEN in_query THEN -w2 ELSE w1 END) AS score
+        |  FROM rowkv JOIN w USING (field, value) GROUP BY p_partkey
+        |), base AS (
+        |  SELECT coalesce(sum(w2), 0.0) AS baseline FROM w WHERE in_query
+        |)
+        |SELECT p_partkey, round(coalesce(score, 0.0) + baseline, 6) AS distance
+        |FROM part LEFT JOIN contrib USING (p_partkey) CROSS JOIN base
+        |WHERE p_size >= 25
         |ORDER BY distance, p_partkey LIMIT 10""".stripMargin
   )
 
@@ -323,7 +350,7 @@ object Oracles {
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -356,8 +383,8 @@ object Oracles {
 
     "events_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN prev_ts IS NULL
-        |           OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |           OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM (
         |  SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

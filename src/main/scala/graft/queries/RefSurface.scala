@@ -148,6 +148,27 @@ object RefSurface {
         col("p_type") === "ECONOMY")
       Knn.topK(part, w, Seq("p_brand", "p_size"),
         Map("p_brand" -> "Brand#13", "p_size" -> "10"), "p_partkey", 10)
+    }),
+
+    // §2a.13b — keyValueWeights with the reference's outDefined mask
+    // (ml/Knn.scala:87-97): rows where the target is unobservable are
+    // excluded from all four CoStats counts. Definedness simulated
+    // deterministically (10% of rows masked out).
+    "knn_weights_masked" -> ((s, d) =>
+      Knn.keyValueWeights(Tables.part(s, d), Seq("p_brand", "p_size"),
+        col("p_type") === "ECONOMY",
+        defined = col("p_partkey") % 10 =!= 0)),
+
+    // §2a.14b — knn with the reference's candidate filter
+    // (ml/Knn.scala:71): only rows matching the predicate compete
+    // for the k slots; the filter pushes into the scan.
+    "knn_topk_filtered" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val w = Knn.keyValueWeights(part, Seq("p_brand", "p_size"),
+        col("p_type") === "ECONOMY")
+      Knn.topK(part, w, Seq("p_brand", "p_size"),
+        Map("p_brand" -> "Brand#13", "p_size" -> "10"), "p_partkey", 10,
+        rowFilter = col("p_size") >= 25)
     })
   )
 }

@@ -49,4 +49,24 @@ object EventPipeline {
   def dedupStream(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
     df.withWatermark(tsCol, "1 hour")
       .dropDuplicates(keyCol)
+
+  /** streaming NEAR-dup (minhash) dedup — the streaming face of
+    * graft.ops.Dedup.minhashLsh (§2c.25): each document gets a
+    * map-only MinHash signature ([[graft.ops.Dedup.minhashSigCol]] —
+    * a stateless projection, so it composes with streaming state ops),
+    * and the first document per signature wins. Signature equality is
+    * the bands=1 LSH operating point: P(collide) = jaccard^k, sharp
+    * near 1 — catches near-identical boilerplate, not loose pairs.
+    * State is bounded by the watermark via dropDuplicatesWithinWatermark
+    * (a signature older than the watermark can never dedup a future
+    * arrival, so its state row is reclaimed).
+    */
+  def minhashDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                         k: Int = 16): DataFrame =
+    docs
+      .withColumn("sig_key", xxhash64(array_join(
+        transform(graft.ops.Dedup.minhashSigCol(col(textCol), k = k),
+          _.cast("string")), ",")))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("sig_key")
 }

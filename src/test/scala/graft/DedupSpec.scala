@@ -40,6 +40,45 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall; exact=${exact.size} approx=${approx.size}")
   }
 
+  test("simhash banded pairs EXACTLY match brute-force hamming <= 3") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fp = Dedup.simhash(corpus, col("text"), col("doc_id"))
+    val brute = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(corpus, col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // pigeonhole: 4 bands of 16 bits ⇒ any pair within hamming 3
+    // shares ≥1 exact band, so banding is lossless, not approximate
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("simhash groups cluster transitive near-dups") {
+    val near = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "entirely unrelated content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val g = Dedup.simhashGroups(near, col("text"), col("doc_id"), maxHamming = 16)
+      .collect()
+    // 0-1-2 chain into one cluster (transitive); 3 stays out
+    assert(g.length === 1)
+    assert(g(0).getLong(1) === 3L) // n
+    assert(g(0).getLong(2) === 0L) // keep_id = min
+  }
+
+  test("minhash bucket cap keeps degenerate corpora from going quadratic") {
+    val degenerate = spark.range(300).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every single document here").as("text"))
+    // all 300 docs share every band bucket → bucket is hot → dropped;
+    // candidate pair count stays 0 instead of 300²/2
+    val pairs = Dedup.minhashLsh(degenerate, col("text"), col("doc_id"),
+      maxBucket = 50)
+    assert(pairs.count() === 0)
+  }
+
   test("simhash is deterministic and groups exact dups") {
     val a = Dedup.simhash(docs, col("text"), col("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -47,4 +47,35 @@ class KnnSpec extends SparkSpec {
     // ducks (4, 5) and the duck-adjacent swimmer (3) are the closest
     assert(top.toSet === Set(3L, 4L, 5L))
   }
+
+  test("null targets drop out of the weights via the defined mask") {
+    // reference Knn.keyValueWeights masks every CoStats count by
+    // outDefined (ml/Knn.scala:87-97) — here: label unobservable on
+    // row 1; weights must equal those computed on the defined subset
+    val withNull = animals.withColumn("duck_label",
+      when(col("id") === 1L, lit(null).cast("boolean"))
+        .otherwise(col("is_duck")))
+    val masked = Knn.keyValueWeights(withNull, fields,
+        col("duck_label") === true, defined = col("duck_label").isNotNull)
+      .collect().map(_.toString).toSeq
+    val direct = Knn.keyValueWeights(animals.where(col("id") =!= 1L), fields,
+        col("is_duck") === true)
+      .collect().map(_.toString).toSeq
+    assert(masked === direct)
+    // and the mask changes the result vs the unmasked weights
+    val unmasked = Knn.keyValueWeights(animals, fields,
+      col("is_duck") === true).collect().map(_.toString).toSeq
+    assert(masked !== unmasked)
+  }
+
+  test("candidate filter restricts which rows compete for the k slots") {
+    val w = Knn.keyValueWeights(animals, fields, col("is_duck") === true)
+    val top = Knn.topK(animals, w, fields,
+        Map("legs" -> "2", "has_flies" -> "true", "has_swims" -> "true",
+          "has_moo" -> "false"),
+        "id", 3, rowFilter = col("legs") === 4)
+      .collect().map(_.getLong(0))
+    // only the 4-legged animals (1, 2) pass the filter
+    assert(top.toSet === Set(1L, 2L))
+  }
 }

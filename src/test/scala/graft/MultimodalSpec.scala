@@ -35,4 +35,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.map(_.toString).sameElements(f2.map(_.toString)))
     assert(f1(0).getAs[Seq[Float]]("feature").length === 8)
   }
+
+  test("decode summary emits only scalar (sortable) columns") {
+    val p = Multimodal.asPayload(docs, col("text"), col("doc_id"))
+    val s = Multimodal.decodeSummary(Multimodal.stubDecode(p))
+    assert(s.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    val rows = s.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getString(3).length === 32)) // md5 hex
+  }
 }

@@ -47,4 +47,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("index_approx sketches identity fields with no pre-agg explode") {
+    // the r2 single-pass path: per-column sketches in one agg. The
+    // only Generate allowed is the 1-row unpivot ABOVE the aggregate
+    // (top-down print: earlier index) — a Generate below the agg
+    // would multiply the scanned row stream by |fields| again
+    val p = plan("index_approx")
+    val gen = p.indexOf("Generate")
+    val lastAgg = p.lastIndexOf("Aggregate")
+    assert(gen >= 0 && lastAgg >= 0 && gen < lastAgg, p)
+    assert("Generate".r.findAllIn(p).size === 1, p)
+  }
+
+  test("knn_topk_filtered pushes the candidate filter into the scan") {
+    val p = plan("knn_topk_filtered")
+    assert(p.contains("GreaterThanOrEqual(p_size,25)"), p)
+  }
+
+  test("ann_ivf_topk broadcasts the probed query side, no cartesian") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -73,6 +73,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("map-only minhash signature equals the grouped signature build") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val grouped = graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.shingles(docs, col("text"), col("doc_id")), k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mapOnly = docs.select(col("doc_id"),
+        graft.ops.Dedup.minhashSigCol(col("text"), k = 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mapOnly === grouped)
+  }
+
+  test("streaming minhash dedup keeps the first doc per near-dup signature") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+
+    val q = EventPipeline.minhashDedupStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("mhdedup")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2024-01-01 00:00:00"), 0L, "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:01:00"), 1L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+        (ts("2024-01-01 00:02:00"), 2L, "totally different content about query engines and sparks"))
+      q.processAllAvailable()
+      stream.addData(
+        (ts("2024-01-01 00:03:00"), 3L, "the quick brown fox jumps over the lazy dog")) // late dup of 0
+      q.processAllAvailable()
+      val kept = spark.table("mhdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept === Set(0L, 2L)) // 1 and 3 deduped against 0's signature
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
