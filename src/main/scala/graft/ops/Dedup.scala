@@ -44,17 +44,25 @@ object Dedup {
   def ngramJaccard(df: DataFrame, text: Column, id: Column,
                    w: Int = 3, minJaccard: Double = 0.5,
                    maxShingleFreq: Long = 1000L): DataFrame = {
-    // the shingle frame feeds four branches (sizes, hot-list, both
-    // join sides) — persist so tokenize/slice/explode runs once, not 4×
-    val sh = shingles(df, text, id, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // skew cap as an aggregate + broadcast anti-join on hot shingles:
-    // cheaper than a window (no full sort of the shingle stream), and
-    // the hot-shingle list is tiny by construction
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("sfreq"))
-      .where(col("sfreq") > maxShingleFreq).select("shingle")
-    val capped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // per-doc distinct-shingle count computed MAP-ONLY from the source
+    // (size of the distinct shingle array) — no explode, no shuffle,
+    // no shared subtree to cache
+    val toks = split(lower(text), " ")
+    val shArr = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " ")))
+    val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
+    // skew cap as a COUNT WINDOW over the shingle partitioning: the
+    // window requires hashpartitioning(shingle) — exactly what the
+    // self-join requires — so Catalyst plans ONE exchange and the
+    // second join side becomes a ReusedExchange. The shingle
+    // tokenize/explode runs once with no session-lifetime persist()
+    // (the r2 cache leaked blocks for the life of the session).
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val capped = shingles(df, text, id, w)
+      .withColumn("sfreq", count(lit(1)).over(wS))
+      .where(col("sfreq") <= maxShingleFreq)
+      .drop("sfreq")
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -149,13 +157,16 @@ object Dedup {
       xxhash64(array_join(
         transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
     }: _*)
-    val allBanded = sig.select(col("doc_id"), col("sig"),
-      posexplode(bandHashes).as(Seq("band", "bucket")))
-    val hotBuckets = allBanded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bn"))
-      .where(col("bn") > maxBucket).select("band", "bucket")
-    val banded = allBanded.join(broadcast(hotBuckets),
-      Seq("band", "bucket"), "left_anti")
+    // bucket skew cap as a count window over (band,bucket): the window
+    // forces the same hashpartitioning the candidate self-join needs,
+    // so the signature build + banding is computed ONCE and the second
+    // join side reuses the exchange (no session-lifetime persist)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(bandHashes).as(Seq("band", "bucket")))
+      .withColumn("bn", count(lit(1)).over(wB))
+      .where(col("bn") <= maxBucket)
+      .drop("bn")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -176,23 +187,18 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint per doc (Charikar 2002): per-token
-    * xxhash64, each output bit = sign of the per-bit vote sum. One
-    * exploded pass with 64 conditional sums (single codegen'd agg).
+    * xxhash64, each output bit = sign of the per-bit vote sum.
+    * MAP-ONLY via the native codegen'd [[graft.functions.SimHash64]]
+    * expression — the r2 spelling exploded every token and ran a
+    * 64-conditional-sum aggregation (a full shuffle of the token
+    * stream); this is one projection, no shuffle, streaming-safe.
+    * Null-text docs are dropped (as the exploded spelling did).
     */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-      explode(array_distinct(split(lower(text), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.SimHash.simhash64(
+          array_distinct(split(lower(text), " "))).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Connected components over near-dup pairs → cluster assignment
     * (minimum reachable id wins), so a near-dup pair list becomes an
@@ -204,24 +210,31 @@ object Dedup {
     * (bounded lineage — no exponential recompute at scale).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialization policy: every intermediate is an EAGER
+    // localCheckpoint, never a persist(). persist() pins blocks in the
+    // session CacheManager until someone calls unpersist — in a
+    // long-lived session (Bench/Verify run 58 queries in one session)
+    // that is a leak. Checkpoint blocks are owned by their RDD object
+    // and reclaimed by the ContextCleaner as soon as the frame becomes
+    // unreachable — bounded lifetime with no caller-side protocol.
+    // Checkpointing (vs plain caching) also truncates lineage so each
+    // round plans a constant-size tree instead of a 3×/round-growing
+    // one. (On a multi-node cluster prefer sc.setCheckpointDir +
+    // .checkpoint for executor-loss safety.)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // round 0 folds the first propagation into initialization:
+    // label = min(own id, min direct neighbour) — one round saved
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
+      .localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
       // neighbor labels ∪ own label → min per node; carry the old
-      // label so convergence detection needs no extra join.
-      // localCheckpoint (not just persist) each round: persist bounds
-      // RECOMPUTE but the logical plan still grows ~3× per iteration,
-      // and Catalyst re-analyzes the whole accumulated tree every
-      // round — exponential driver-side planning on dense graphs.
-      // Checkpointing truncates the lineage so each round plans a
-      // constant-size tree. (On a multi-node cluster prefer
-      // sc.setCheckpointDir + .checkpoint for executor-loss safety.)
+      // label so convergence detection needs no extra join
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nl"), "dst")
@@ -231,11 +244,11 @@ object Dedup {
           col("label").as("old"))
         .localCheckpoint()
       changed = next.where(col("label") =!= col("old")).limit(1).count() > 0
-      labels.unpersist()
       labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
+    // the returned frame reads the final checkpoint's blocks — freed
+    // by the ContextCleaner when the result is no longer referenced
     labels.orderBy("id")
   }
 
@@ -258,16 +271,18 @@ object Dedup {
     val bandKeys = array((0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)
     }: _*)
-    // the banded frame feeds three branches (hot-bucket agg + both
-    // self-join sides), each of which would otherwise recompute the
-    // 64-aggregate simhash build — persist so it runs once
-    val allBanded = fp.select(col("doc_id"), col("simhash"),
-      posexplode(bandKeys).as(Seq("band", "bkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = allBanded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bn"))
-      .where(col("bn") > maxBucket).select("band", "bkey")
-    val banded = allBanded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    // the fingerprint build is now map-only (native simhash64), so the
+    // ONLY exchange in this plan is hashpartitioning(band,bkey) — the
+    // skew-cap count window forces it, the self-join requires the same
+    // partitioning, and both join sides are identical subplans, so
+    // Catalyst computes the banded stream once (ReusedExchange) with
+    // no session-lifetime persist (the r2 cache leaked blocks)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(bandKeys).as(Seq("band", "bkey")))
+      .withColumn("bn", count(lit(1)).over(wB))
+      .where(col("bn") <= maxBucket)
+      .drop("bn")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&
@@ -282,13 +297,34 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** SimHash near-dup groups (§2c.26): hamming≤3 pairs → connected
-    * components → (cluster, size, kept representative). Subsumes the
-    * old hamming-0 grouping (identical fingerprints are hamming 0).
+  /** Budget a near-dup pair list to each doc's `m` best pairs (lowest
+    * `rank` first) before connected components. On a boilerplate-heavy
+    * corpus the verified-pair set is O(Σ cluster²) even when the plan
+    * shape is right — a 10k-doc hamming-ball contributes 50M pairs.
+    * Capping per-doc out-degree bounds CC input to m·n edges (an m-NN
+    * graph); dense near-dup clusters stay connected through chains of
+    * nearest neighbours, so cluster membership is preserved in
+    * practice while the edge volume stops scaling quadratically.
+    */
+  def capPairsPerDoc(pairs: DataFrame, m: Int, rank: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(rank, col("b"))
+    pairs.withColumn("prnk", row_number().over(w))
+      .where(col("prnk") <= m)
+      .drop("prnk")
+  }
+
+  /** SimHash near-dup groups (§2c.26): hamming≤3 pairs → per-doc pair
+    * budget (top-`maxPairsPerDoc` by hamming — the 100 TB guard
+    * against quadratic pair volume inside dup-dense corpora) →
+    * connected components → (cluster, size, kept representative).
+    * Subsumes the old hamming-0 grouping (identical fingerprints are
+    * hamming 0).
     */
   def simhashGroups(df: DataFrame, text: Column, id: Column,
-                    maxHamming: Int = 3): DataFrame =
-    clusters(simhashPairs(df, text, id, maxHamming))
+                    maxHamming: Int = 3, maxPairsPerDoc: Int = 8): DataFrame =
+    clusters(capPairsPerDoc(simhashPairs(df, text, id, maxHamming),
+        maxPairsPerDoc, col("hamming")))
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n"), min("id").as("keep_id"))
       .where(col("n") > 1)

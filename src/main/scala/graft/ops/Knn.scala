@@ -69,12 +69,14 @@ object Knn {
            queryKVs: Map[String, String], idCol: String, k: Int,
            rowFilter: Column = lit(true)): DataFrame = {
     val base = df.where(rowFilter)
-    // the weight table is tiny (≤ distinct values of inFields) but
-    // feeds three plan branches (scoring join, baseline, flags) —
-    // persist so its aggregation pipeline runs once, not per branch
+    // the weight table feeds two plan branches (scoring join and the
+    // baseline scalar). No cache: both branches contain the identical
+    // groupBy(field,value) shuffle from keyValueWeights, so Catalyst's
+    // ReuseExchange computes the weight scan once — the post-exchange
+    // agg that "recomputes" is a few hundred rows. (The r2 persist()
+    // here leaked CacheManager blocks for the session lifetime.)
     val w = weights.select(col("field"), col("value"), col("w1"), col("w2"),
         inQuery(queryKVs).as("in_query"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // baseline = Σ w2 over the query's own weighted features
     val pairs = inFields.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value")))

@@ -29,12 +29,18 @@ object RefSurface {
         .orderBy("l_orderkey", "l_linenumber")
         .offset(100).limit(100)),
 
-    // §2a.3 — Df.apply(colId, i): point lookup via pushed-down key
+    // §2a.3 — Df.apply(colId, i): point lookup by key. The key (the
+    // min orderkey) is computed IN-PLAN as a broadcast 1-row aggregate
+    // and applied via a left-semi BroadcastHashJoin — one declarative
+    // plan, one job, no driver-side `.head()` round-trip. (With a
+    // LITERAL key Spark would push the filter to parquet row-groups;
+    // the semi-join spelling trades that pushdown for a single job —
+    // the right call when the key itself is query-derived.)
     "df_cell_lookup" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val k = li.agg(min("l_orderkey")).head().getLong(0)
+      val k = li.agg(min("l_orderkey").as("k"))
       li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .where(col("l_orderkey") === k)
+        .join(broadcast(k), col("l_orderkey") === col("k"), "left_semi")
         .orderBy("l_linenumber")
     }),
 
