@@ -16,18 +16,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
-  /** write rows + index (reference writeIndexedDf) */
+  /** write rows + index as segment 0 (reference writeIndexedDf) */
   def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // fresh store: clear any prior segments
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     IndexedFrame(df, spec).entries
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
   }
 
-  /** reopen a written frame + its persisted index (openIndexedDf) */
+  /** reopen a written frame + its persisted index (openIndexedDf);
+    * the served index is the merge-on-read union of all segments
+    */
   def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame =
     StoredFrame(
       IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
-      spark.read.parquet(s"$dir/index"))
+      mergedIndex(spark, dir))
 
   /** write-if-absent then open (haveIndexedDf) */
   def have(spark: SparkSession, dir: String, spec: IndexSpec)
@@ -38,30 +43,57 @@ object Store {
     open(spark, dir, spec)
   }
 
-  /** incremental segment append — the reference's merge story
-    * (writeMergedIndexedDf, Dfs.scala:476-487) as streaming ingest:
-    * new rows append as a parquet segment and the persisted index is
-    * merged incrementally (old index ∪ batch index → groupBy sum),
-    * NEVER by rescanning old data. Usable directly as a
-    * foreachBatch sink: `.foreachBatch((b, _) => Store.append(b, dir, spec))`.
+  /** incremental SEGMENTED append — the reference's merge-sorted
+    * segment story (writeMergedIndexedDf, Dfs.scala:476-487) as
+    * streaming ingest: new rows append as a parquet data segment and
+    * the batch's index is written as a NEW index segment under
+    * `<dir>/index/seg_<n>` — the existing index is neither read nor
+    * rewritten, so append cost is O(batch), independent of how much
+    * index already exists (the r2 version rewrote the full index per
+    * batch — O(index) per append, quadratic over a stream's life).
+    * Readers merge on read ([[mergedIndex]]); [[compact]] folds
+    * accumulated segments back to one when read amplification grows.
+    * Usable directly as a foreachBatch sink:
+    * `.foreachBatch((b, _) => Store.append(b, dir, spec))`.
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
-    import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
-    val indexPath = new org.apache.hadoop.fs.Path(s"$dir/index")
-    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchIndex = IndexedFrame(batch, spec).entries
-    val merged =
-      if (fs.exists(indexPath)) {
-        // read BEFORE overwrite: materialize the old index first
-        val old = spark.read.parquet(s"$dir/index").localCheckpoint(true)
-        old.unionByName(batchIndex)
-          .groupBy("field", "value").agg(sum("f").as("f"))
-          .orderBy("field", "value")
-      } else batchIndex
-    val mergedStable = merged.localCheckpoint(true)
+    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segId =
+      if (!fs.exists(indexRoot)) 0
+      else fs.listStatus(indexRoot)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("seg_") => s.drop(4).toInt }
+        .foldLeft(-1)(math.max) + 1
     batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
-    mergedStable.write.mode(SaveMode.Overwrite).parquet(s"$dir/index")
+    IndexedFrame(batch, spec).entries
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_$segId")
+  }
+
+  /** merge-on-read over all index segments: union of the per-segment
+    * (field,value,f) frames re-aggregated. One shuffle over index
+    * entries (small by construction — the index is the aggregate, not
+    * the data); parquet's field/value column stats still prune
+    * per-segment point reads.
+    */
+  private[core] def mergedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/index/seg_*")
+      .groupBy("field", "value").agg(sum("f").as("f"))
+      .orderBy("field", "value")
+  }
+
+  /** fold all index segments into seg_0 — run when a stream has
+    * accumulated enough segments that merge-on-read amplification
+    * matters (the reference's explicit writeMergedIndexedDf step).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val merged = mergedIndex(spark, dir).localCheckpoint(true)
+    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(indexRoot, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
   }
 
   /** bucketed write for co-located joins: tables bucketed+sorted on

@@ -7,6 +7,15 @@ import org.apache.spark.sql.types._
 /** decoded-feature row a real media decoder would emit */
 case class Decoded(doc_id: Long, width: Int, height: Int, feature: Seq[Float])
 
+/** an ingested image row: opaque encoded bytes + typed id */
+case class ImagePayload(doc_id: Long, payload: Array[Byte])
+
+/** real decode output: true dimensions + per-channel mean intensity
+  * in [0,1] (the simplest genuine pixel-derived feature)
+  */
+case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal column plumbing (SURVEY §2c.34): image/audio/video as
   * opaque `binary` payload columns with typed metadata.
   *
@@ -87,6 +96,90 @@ object Multimodal {
           val feat = Array.tabulate(8)(i =>
             (if (bytes.length > i) bytes(i).toFloat else 0f) / 255f)
           Decoded(id, w, h, feat.toSeq)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic REAL PNG payload per row: a solid-colour image
+    * whose dimensions and colour are pure functions of doc_id, encoded
+    * through `javax.imageio` (JDK built-in — no external media dep).
+    * This is the ingest half of a genuine encode→decode round trip:
+    * the bytes on the wire are a true PNG stream, so [[decodeImages]]
+    * exercises a real codec, and the expected width/height/colour are
+    * SQL-computable — the decode is oracle-checkable, not fabricated.
+    * Batch-shaped like any real media ingest (one iterator per
+    * partition; an encoder context could be hoisted per partition).
+    */
+  def syntheticImagePayload(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val w = 16 + (docId % 16).toInt
+        val h = 16 + ((docId / 16) % 16).toInt
+        val r = (docId % 256).toInt
+        val g = ((docId * 7) % 256).toInt
+        val b = ((docId * 13) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImagePayload(docId, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** REAL image decode over a (doc_id, payload binary) frame via
+    * `javax.imageio` (PNG/BMP/GIF/JPEG — whatever the JDK registry
+    * handles): true width/height plus per-channel mean intensity
+    * computed from the actual pixel raster. Batch-shaped typed
+    * mapPartitions — the decoder streams one partition's payloads
+    * through one iterator, the shape a native codec context needs.
+    *
+    * Payloads no registered codec can parse fall back to the same
+    * deterministic fake as [[stubDecode]] (width/height from byte
+    * stats, means 0) rather than failing the batch — a real pipeline
+    * tags-and-quarantines undecodable media instead of aborting.
+    */
+  def decodeImages(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) {
+            DecodedImage(id, 16 + (bytes.length % 16),
+              16 + (math.abs(id) % 16).toInt, 0.0, 0.0, 0.0)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            DecodedImage(id, w, h,
+              sr.toDouble / n / 255.0, sg.toDouble / n / 255.0,
+              sb.toDouble / n / 255.0)
+          }
         }
       }
       .toDF()

@@ -81,6 +81,42 @@ object Similarity {
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
+  /** Persist fitted centroids as a tiny parquet — the reference's
+    * build-once / reopen index lifecycle (Dfs.scala:489-554:
+    * writeIndexedDf / openIndexedDf / haveIndexedDf) applied to the
+    * IVF coarse quantizer: fit ONCE, store, and every subsequent
+    * query loads nlist·dim floats instead of re-running k-means.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** reopen persisted centroids. The collect is driver-sized BY
+    * DESIGN: centroids are nlist·dim floats that ride into the query
+    * plan as literals (see [[ivfTopK]]) — this is index metadata, not
+    * data.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Array[Array[Float]] =
+    spark.read.parquet(dir).orderBy("list_id")
+      .collect().map(_.getAs[Seq[Float]]("centroid").toArray)
+
+  /** load-if-present else fit+save (the haveIndexedDf analog): the
+    * k-means fit runs at most once per store dir; steady-state queries
+    * never contain a fit.
+    */
+  def haveCentroids(spark: org.apache.spark.sql.SparkSession, dir: String)
+                   (fit: => Array[Array[Float]]): Array[Array[Float]] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) saveCentroids(spark, dir, fit)
+    loadCentroids(spark, dir)
+  }
+
   /** IVF (inverted-file) ANN — the cluster-routed scale path: a
     * coarse k-means quantizer (fit on a sample, [[ivfCentroids]])
     * assigns every corpus vector to its nearest of `nlist` centroids;

@@ -135,6 +135,18 @@ object OraclesLlm {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decode query round-trips REAL PNGs whose dimensions/colour
+    // are pure functions of doc_id — so the expected decoder output is
+    // plain SQL (solid-colour image: channel mean == the channel value)
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  16 + doc_id % 16 AS width,
+        |  16 + (doc_id // 16) % 16 AS height,
+        |  round((doc_id % 256) / 255.0, 6) AS mean_r,
+        |  round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
+        |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,18 +68,20 @@ class IndexedFrameSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
-  test("approx cardinalities within tolerance of exact distinct counts") {
+  test("approx cardinalities within ±5% of exact distinct counts") {
+    // quantitative accuracy guarantee for the rows-only index_approx
+    // query (the HLL family used — DataSketches lgK=12 — carries
+    // ~1.6% RSE, so ±5% holds with wide margin on every indexed
+    // field of the index_approx query's own spec)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val spec2 = graft.core.IndexSpec(Seq("l_returnflag", "l_partkey"))
-    val ix = IndexedFrame(li, spec2)
+    val fields = Seq("l_returnflag", "l_partkey", "l_suppkey")
+    val ix = IndexedFrame(li, graft.core.IndexSpec(fields))
     val approx = ix.approxCardinalities().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Map(
-      "l_returnflag" -> li.select("l_returnflag").distinct().count(),
-      "l_partkey" -> li.select("l_partkey").distinct().count())
-    exact.foreach { case (f, e) =>
+    fields.foreach { f =>
+      val e = li.select(f).distinct().count()
       val a = approx(f)
-      assert(math.abs(a - e).toDouble / e <= 0.1, s"$f: approx $a vs exact $e")
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$f: approx $a vs exact $e")
     }
   }
 

@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).getAs[Seq[Float]]("feature").length === 8)
   }
 
+  test("real PNG encode/decode round-trips true dimensions and pixel means") {
+    val p = Multimodal.syntheticImagePayload(docs, col("doc_id"))
+    // the payloads are genuine PNG streams (magic bytes)
+    val payloads = p.orderBy("doc_id").collect()
+    assert(payloads.forall { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    })
+    val d = Multimodal.decodeImages(p).orderBy("doc_id").collect()
+    // doc 1: width = 16 + 1%16 = 17, height = 16 + 0 = 16, red = 1/255
+    assert(d(1).getAs[Int]("width") === 17)
+    assert(d(1).getAs[Int]("height") === 16)
+    assert(math.abs(d(1).getAs[Double]("mean_r") - 1.0 / 255.0) < 1e-12)
+    assert(math.abs(d(1).getAs[Double]("mean_g") - 7.0 / 255.0) < 1e-12)
+    assert(math.abs(d(1).getAs[Double]("mean_b") - 13.0 / 255.0) < 1e-12)
+  }
+
+  test("undecodable payloads fall back to the deterministic stub, not a crash") {
+    val junk = Multimodal.asPayload(docs, col("text"), col("doc_id"))
+    val d = Multimodal.decodeImages(junk).orderBy("doc_id").collect()
+    assert(d.length === 2)
+    assert(d(0).getAs[Int]("width") === 16 + (12 % 16)) // byte-stat fake
+    assert(d(0).getAs[Double]("mean_r") === 0.0)
+  }
+
   test("decode summary emits only scalar (sortable) columns") {
     val p = Multimodal.asPayload(docs, col("text"), col("doc_id"))
     val s = Multimodal.decodeSummary(Multimodal.stubDecode(p))

@@ -60,6 +60,24 @@ class SimilaritySpec extends SparkSpec {
     assert(viaPre.sameElements(viaPre2)) // deterministic given centroids
   }
 
+  test("centroids persist and reopen via the build-once store lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids"
+    var fits = 0
+    def fit = { fits += 1; Similarity.ivfCentroids(emb, nlist = 8, sampleFraction = 0.5) }
+    val c1 = Similarity.haveCentroids(spark, dir)(fit)
+    val c2 = Similarity.haveCentroids(spark, dir)(fit)
+    assert(fits === 1) // k-means ran once; second call loaded
+    assert(c1.length === 8 && c2.length === 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq) // bit-identical reload
+    // queries against loaded centroids equal queries against fitted ones
+    val q = emb.where(col("vec_id") < 5)
+    val viaLoaded = Similarity.ivfTopK(emb, q, 3, centroids = Some(c2))
+      .collect().map(_.toString)
+    val viaFitted = Similarity.ivfTopK(emb, q, 3, centroids = Some(c1))
+      .collect().map(_.toString)
+    assert(viaLoaded.sameElements(viaFitted))
+  }
+
   test("hyperplane signature is deterministic") {
     val s1 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()
     val s2 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()

@@ -72,6 +72,35 @@ class StoreSpec extends SparkSpec {
     assert(ix === Map(("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
   }
 
+  test("append never reads or rewrites existing index segments") {
+    val dir = java.nio.file.Files.createTempDirectory("seg").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    val seg0 = new java.io.File(s"$dir/index/seg_0")
+    val before = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100) // parquet mtime granularity
+    Store.append(data.where($"id" > 2), dir, spec)
+    // old segment untouched byte-for-byte (append cost is O(batch),
+    // independent of accumulated index size)
+    val after = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after === before)
+    assert(new java.io.File(s"$dir/index/seg_1").isDirectory)
+  }
+
+  test("compact folds segments to one and preserves the merged index") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2), dir, spec)
+    val beforeIx = Store.open(spark, dir, spec).persistedIndex
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Store.compact(spark, dir)
+    val segs = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("seg_"))
+    assert(segs.map(_.getName).toSeq === Seq("seg_0"))
+    val afterIx = Store.open(spark, dir, spec).persistedIndex
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterIx === beforeIx)
+  }
+
   test("persisted index f() matches live recount") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     Store.write(data, dir, spec)
