@@ -52,6 +52,12 @@ final case class IndexSpec(
     analyzers.getOrElse(field, Analyzers.identity)
   def withAnalyzer(field: String, a: Column => Column): IndexSpec =
     copy(analyzers = analyzers + (field -> a))
+  /** exclude a field from indexing (IndexConf.withoutField,
+    * IndexedDf.scala:31) — here the field simply leaves the spec.
+    */
+  def withoutField(field: String): IndexSpec =
+    copy(fields = fields.filterNot(_ == field),
+      analyzers = analyzers - field)
 }
 
 /** Spark-native re-expression of the reference's inverted index
@@ -98,6 +104,38 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
   def colValues(field: String): DataFrame =
     df.select(explode(tokens(field)).as("value"))
       .distinct().orderBy("value")
+
+  /** (field, value, idx) for one field, where idx is the entry's
+    * GLOBAL ordinal in the full sorted index — the reference's
+    * colNameValuesWithIndex (IndexedDf.scala:57: positions address
+    * bitmaps inside the mmap'd index). Scale shape: the ordinal is a
+    * per-field ranked window (partitioned — no single-partition
+    * global sort) plus each field's broadcast cumulative offset.
+    */
+  def colNameValuesWithIndex(field: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("field").orderBy("value")
+    val perFieldCounts = entries.groupBy("field").agg(count(lit(1)).as("n"))
+    val offsets = perFieldCounts
+      .withColumn("offset",
+        coalesce(sum("n").over(org.apache.spark.sql.expressions.Window
+          .orderBy("field").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("field", "offset")
+    entries
+      .withColumn("ford", row_number().over(w).cast("long") - 1)
+      .join(broadcast(offsets), "field")
+      .where(col("field") === field)
+      .select(col("field"), col("value"),
+        (col("ford") + col("offset")).as("idx"))
+      .orderBy("idx")
+  }
+
+  /** typed view over the indexed rows — the reference's
+    * IndexedDf.cast[E] (IndexedDf.scala:117): a schema re-projection
+    * (Dataset encoder), no data movement; the index is unchanged.
+    */
+  def typedView[T](implicit enc: org.apache.spark.sql.Encoder[T]):
+      org.apache.spark.sql.Dataset[T] = Typed.view[T](df)
 
   /** frequency of one predicate as a 1-row frame (IndexedDf.f) */
   def fDF(field: String, value: String): DataFrame =

@@ -26,6 +26,21 @@ object Oracles {
     "index_colvalues" ->
       "SELECT DISTINCT p_brand AS value FROM part ORDER BY value",
 
+    "index_nav" ->
+      """SELECT field, value, idx FROM (
+        |  SELECT field, value,
+        |    row_number() OVER (ORDER BY field, value) - 1 AS idx
+        |  FROM (
+        |    SELECT field, value FROM (
+        |      SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem
+        |      UNION ALL
+        |      SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |      UNION ALL
+        |      SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |    ) GROUP BY field, value
+        |  )
+        |) WHERE field = 'l_returnflag' ORDER BY idx""".stripMargin,
+
     "index_freqs" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem

@@ -113,6 +113,13 @@ object RefSurface {
         IndexSpec(Seq("l_returnflag")))
     }),
 
+    // §2a.4b — IndexedDf.colNameValuesWithIndex: one field's entries
+    // with their global ordinal in the sorted index (the reference
+    // addresses bitmaps by this position, IndexedDf.scala:57)
+    "index_nav" -> ((s, d) =>
+      IndexedFrame(Tables.lineitem(s, d), liSpec)
+        .colNameValuesWithIndex("l_returnflag")),
+
     // §2a.5b — sketch path: approximate per-field index cardinality
     // via mergeable DataSketches HLL (rows-only; estimates)
     "index_approx" -> ((s, d) =>

@@ -32,6 +32,30 @@ class IndexedFrameSpec extends SparkSpec {
     assert(ix.fDF("txt", "missing").head().getLong(0) === 0L)
   }
 
+  test("withoutField drops a field from the index spec and its entries") {
+    val ix = IndexedFrame(df, spec.withoutField("f2"))
+    val fields = ix.entries.select("field").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fields === Set("f1", "txt"))
+  }
+
+  test("colNameValuesWithIndex yields global ordinals in index sort order") {
+    val ix = IndexedFrame(df, spec)
+    // full index sorted (field,value): f1:[a,b] f2:[x,y] txt:[big,blue,red,small]
+    val f2 = ix.colNameValuesWithIndex("f2").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(f2.toSeq === Seq(("x", 2L), ("y", 3L))) // offset past f1's 2 entries
+    val txt = ix.colNameValuesWithIndex("txt").collect().map(_.getLong(2))
+    assert(txt.toSeq === Seq(4L, 5L, 6L, 7L))
+  }
+
+  test("typedView re-projects rows as case classes without data movement") {
+    val ix = IndexedFrame(df, spec)
+    val typed = ix.typedView[FrameRow].collect()
+    assert(typed.length === 4)
+    assert(typed.count(_.f1 == "a") === 3)
+  }
+
   test("distributed coStats equals the closed-form case class") {
     val ix = IndexedFrame(df, spec)
     val cs = ix.coStats(ix.predicate("f1", "a"), ix.predicate("txt", "big"))
@@ -96,3 +120,6 @@ class IndexedFrameSpec extends SparkSpec {
     assert(point.fAB === 2L)
   }
 }
+
+/** typedView target (top-level for a stable Encoder) */
+case class FrameRow(f1: String, f2: String, txt: String)
