@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingMinHash, VecDot}
+import graft.functions.{RollingMinHash, SimHash64, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so pure-SQL users get them too:
@@ -37,7 +37,10 @@ object GraftExtensions {
             case l: Long => l.toInt
             case other => other.toString.toInt
           })
-        else RollingMinHash(children.head)))
+        else RollingMinHash(children.head)),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
 
   /** register on an already-running session (same builders the
     * extension injects; for sessions not launched with the config)

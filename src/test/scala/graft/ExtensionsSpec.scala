@@ -18,6 +18,16 @@ class ExtensionsSpec extends SparkSpec {
     val h2 = spark.sql("SELECT rolling_min_hash('identical text body here')")
       .head().getLong(0)
     assert(h1 === h2)
+    // simhash64 from SQL equals the DataFrame-side operator's value
+    val sqlFp = spark.sql(
+      "SELECT simhash64(array('red', 'big')) AS fp").head().getLong(0)
+    import spark.implicits._
+    val dfFp = graft.ops.Dedup.simhash(
+        Seq((1L, "red big")).toDF("doc_id", "text"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .head().getLong(1)
+    assert(sqlFp === dfFp)
     // windowed variant with explicit window arg
     val h3 = spark.sql("SELECT rolling_min_hash('identical text body here', 8)")
       .head().getLong(0)
