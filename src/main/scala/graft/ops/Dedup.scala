@@ -297,21 +297,28 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Budget a near-dup pair list to each doc's `m` best pairs (lowest
-    * `rank` first) before connected components. On a boilerplate-heavy
-    * corpus the verified-pair set is O(Σ cluster²) even when the plan
-    * shape is right — a 10k-doc hamming-ball contributes 50M pairs.
-    * Capping per-doc out-degree bounds CC input to m·n edges (an m-NN
-    * graph); dense near-dup clusters stay connected through chains of
-    * nearest neighbours, so cluster membership is preserved in
-    * practice while the edge volume stops scaling quadratically.
+  /** Budget a near-dup pair list to the SYMMETRIZED m-nearest-
+    * neighbour graph before connected components: keep a pair iff it
+    * ranks in the top `m` (best `rank` first) of EITHER endpoint. On a
+    * boilerplate-heavy corpus the verified-pair set is O(Σ cluster²)
+    * even when the plan shape is right — a 10k-doc hamming-ball
+    * contributes 50M pairs — and the symmetric cap bounds CC input to
+    * 2m·n edges. Symmetrization matters: pairs are (a<b)-ordered, so a
+    * one-sided cap starves high-id docs of edges and can split dense
+    * clusters; the standard symmetric k-NN graph keeps them connected
+    * through mutual nearest-neighbour chains (spec-checked equal to
+    * uncapped clustering on the test corpus).
     */
   def capPairsPerDoc(pairs: DataFrame, m: Int, rank: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    if (m == Int.MaxValue) return pairs
+    val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(rank, col("b"))
-    pairs.withColumn("prnk", row_number().over(w))
-      .where(col("prnk") <= m)
-      .drop("prnk")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(rank, col("a"))
+    pairs.withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .where(col("ra") <= m || col("rb") <= m)
+      .drop("ra", "rb")
   }
 
   /** SimHash near-dup groups (§2c.26): hamming≤3 pairs → per-doc pair

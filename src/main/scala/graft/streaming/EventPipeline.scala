@@ -69,4 +69,24 @@ object EventPipeline {
           _.cast("string")), ",")))
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("sig_key")
+
+  /** streaming SimHash near-dup dedup — the streaming face of
+    * graft.ops.Dedup.simhashGroups (§2c.26): the native [[graft
+    * .functions.SimHash64]] fingerprint is a stateless map-only
+    * projection (this is WHY the expression exists — the batch r2
+    * spelling was an aggregation, unusable in a streaming projection),
+    * and the first document per fingerprint wins. Fingerprint equality
+    * is the hamming-0 operating point — near-identical token
+    * multisets collide; looser hamming radii need the batch banded
+    * path. State bounded by the watermark as in
+    * [[minhashDedupStream]]. Spec-checked equal to the batch
+    * [[graft.ops.Dedup.simhash]] fingerprints.
+    */
+  def simhashDedupStream(docs: DataFrame, textCol: String,
+                         tsCol: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.SimHash.simhash64(
+        array_distinct(split(lower(col(textCol)), " "))))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -69,6 +69,19 @@ class DedupSpec extends SparkSpec {
     assert(g(0).getLong(2) === 0L) // keep_id = min
   }
 
+  test("per-doc pair budget preserves cluster membership on the corpus") {
+    // the m-NN cap bounds CC input to m·n edges; on the real test
+    // corpus the capped and uncapped edge sets must produce the SAME
+    // clusters (dense near-dup clusters stay connected through
+    // nearest-neighbour chains)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    def groups(cap: Int) =
+      Dedup.simhashGroups(corpus, col("text"), col("doc_id"),
+          maxPairsPerDoc = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups(8) === groups(Int.MaxValue))
+  }
+
   test("minhash bucket cap keeps degenerate corpora from going quadratic") {
     val degenerate = spark.range(300).select(col("id").as("doc_id"),
       lit("the same boilerplate text repeated in every single document here").as("text"))

@@ -111,6 +111,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup fingerprints equal the batch operator's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+
+    val q = EventPipeline.simhashDedupStream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("shdedup")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2024-01-01 00:00:00"), 0L, "alpha beta gamma delta epsilon"),
+        (ts("2024-01-01 00:01:00"), 1L, "beta alpha delta gamma epsilon"), // same token SET -> same fp
+        (ts("2024-01-01 00:02:00"), 2L, "completely different text body here"))
+      q.processAllAvailable()
+      val out = spark.table("shdedup")
+      val kept = out.select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(0L, 2L)) // 1 collides with 0 at hamming 0
+      // the streamed fingerprint IS the batch operator's fingerprint
+      val batchFp = graft.ops.Dedup.simhash(
+          Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+          col("text"), col("doc_id"))
+        .head().getLong(1)
+      val streamFp = out.where(col("doc_id") === 0L).select("fp")
+        .head().getLong(0)
+      assert(streamFp === batchFp)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
