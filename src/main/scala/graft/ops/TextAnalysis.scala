@@ -85,6 +85,40 @@ object TextAnalysis {
     * (§2c.33) — order-invariant content identity, the join-key analog
     * of the reference's index tokens.
     */
+  /** Repetition quality signals (Gopher-style filters, Rae et al.
+    * 2021 §A1.1: "repetitious documents are low quality"):
+    *  - dup_word_frac: fraction of tokens that are repeats of an
+    *    earlier token — MAP-ONLY (array expressions, no shuffle);
+    *  - top_bigram_frac: frequency share of the most common bigram —
+    *    explode → (doc,bigram) count → per-doc max/sum. Two shuffles
+    *    on the uniform doc_id key; at 100 TB the bigram stream is
+    *    ~|tokens| rows, the same scale class as the shingle family.
+    * Docs with fewer than 2 tokens have no bigrams: frac 0.
+    */
+  def repetition(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = tokensOf(text)
+    val nTok = size(toks)
+    val base = df.select(id.as("doc_id"), toks.as("toks"),
+      round((nTok - size(array_distinct(toks))).cast("double") / nTok, 6)
+        .as("dup_word_frac"))
+    val bigrams = base.select(col("doc_id"), col("dup_word_frac"),
+      explode_outer(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+            element_at(col("toks"), i + 2))))).as("bg"))
+    bigrams
+      .groupBy("doc_id", "dup_word_frac", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "dup_word_frac")
+      .agg(round(
+        coalesce(
+          max(when(col("bg").isNotNull, col("c"))).cast("double") /
+            sum(when(col("bg").isNotNull, col("c"))),
+          lit(0.0)), 6).as("top_bigram_frac"))
+      .select("doc_id", "dup_word_frac", "top_bigram_frac")
+      .orderBy("doc_id")
+  }
+
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(
       id.as("doc_id"),

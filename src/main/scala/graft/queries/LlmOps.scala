@@ -110,6 +110,17 @@ object LlmOps {
         .orderBy("lang")
     }),
 
+    // §2c.30b — Gopher-style repetition quality signals: duplicate-
+    // word fraction (map-only) + top-bigram frequency share
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    // §2c.35b — token-budgeted shard packing per source (the step
+    // that turns a curated corpus into ~2000-token training shards)
+    "pipeline_shards" -> ((s, d) =>
+      graft.ops.Sharding.tokenBudgeted(Tables.documents(s, d),
+        col("text"), col("doc_id"), col("source"), 2000L)),
+
     // §2c.33b — rolling-hash (Rabin-Karp, winnowed-min) fingerprint;
     // native codegen'd expression, rows-only check (hash family not
     // SQL-expressible)

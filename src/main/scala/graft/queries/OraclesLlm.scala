@@ -132,6 +132,47 @@ object OraclesLlm {
         |FROM good JOIN kept USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+        |      / len(toks), 6) AS dup_word_frac,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    ELSE [] END AS bgs
+        |  FROM base
+        |), c AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(bgs) AS bg FROM b
+        |  ) GROUP BY doc_id, bg
+        |), t AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+        |    AS top_bigram_frac
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.dup_word_frac,
+        |  coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM b LEFT JOIN t ON b.doc_id = t.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "pipeline_shards" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT source AS part,
+        |  CAST(floor((cum - ntok) / 2000.0) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY part, shard ORDER BY part, shard""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5

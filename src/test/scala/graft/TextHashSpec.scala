@@ -41,6 +41,39 @@ class TextHashSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) == 3))
   }
 
+  test("repetition signals match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a b"),                 // dup 1/3; bigrams "a a","a b" → top 1/2
+      (1L, "x y z w"),               // dup 0; all bigrams unique → top 1/3
+      (2L, "solo"),                  // single token: no bigrams → 0.0
+      (3L, "go go go go")            // dup 3/4; bigram "go go" ×3 → top 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(0L) === ((0.333333, 0.5)))
+    assert(r(1L) === ((0.0, 0.333333)))
+    assert(r(2L) === ((0.0, 0.0)))
+    assert(r(3L) === ((0.75, 1.0)))
+  }
+
+  test("token-budgeted shards pack per part in id order") {
+    import spark.implicits._
+    // part p: 3 docs of 2 tokens each, budget 4 → docs 0,1 in shard 0
+    // (cum-before 0,2), doc 2 in shard 1 (cum-before 4)
+    val docs = Seq(
+      (0L, "t t", "p"), (1L, "t t", "p"), (2L, "t t", "p"),
+      (3L, "u u u u u", "q")
+    ).toDF("doc_id", "text", "source")
+    val s = graft.ops.Sharding.tokenBudgeted(docs, col("text"), col("doc_id"),
+        col("source"), 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(s(("p", 0L)) === ((2L, 4L)))
+    assert(s(("p", 1L)) === ((1L, 2L)))
+    assert(s(("q", 0L)) === ((1L, 5L)))
+  }
+
   test("streaming dedup keeps first occurrence per key") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
