@@ -154,10 +154,13 @@ object Multimodal {
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
           if (img == null) {
             DecodedImage(id, 16 + (bytes.length % 16),
               16 + (math.abs(id) % 16).toInt, 0.0, 0.0, 0.0)

@@ -47,4 +47,23 @@ class NullRobustnessSpec extends SparkSpec {
     assert(TextAnalysis.fingerprint(docs, col("text"), col("doc_id")).count() === 5)
     assert(TextAnalysis.rollingFingerprint(docs, col("text"), col("doc_id")).count() === 5)
   }
+
+  test("repetition and sharding degrade gracefully on null/empty text") {
+    val r = TextAnalysis.repetition(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(r.length === 5)
+    assert(r(1).isNullAt(1)) // null text → null dup fraction, no throw
+    assert(r(1).getDouble(2) === 0.0)
+    val s = graft.ops.Sharding.tokenBudgeted(docs, col("text"), col("doc_id"),
+      lit("all"), 4L)
+    assert(s.count() >= 1) // no throw; null-token docs pass through
+  }
+
+  test("decodeImages tolerates null payload bytes") {
+    val p = Seq((0L, Some(Array[Byte](1, 2, 3))), (1L, None))
+      .toDF("doc_id", "payload")
+    val d = graft.ops.Multimodal.decodeImages(p).orderBy("doc_id").collect()
+    assert(d.length === 2)
+    assert(d(1).getInt(1) === 16) // null payload → empty-byte stub fallback
+  }
 }
