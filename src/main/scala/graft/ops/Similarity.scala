@@ -35,11 +35,25 @@ object Similarity {
   def cosinePairs(emb: DataFrame, minCos: Double): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm"))
-    v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+    val rawCos = vecDot(col("x.embedding"), col("y.embedding")) /
+      (col("x.nrm") * col("y.nrm"))
+    // The reported (and oracle-compared) value is round(cos, 6), but
+    // Spark's double round() goes through BigDecimal — evaluating it
+    // per PAIR costs an allocation for each of the n²/2 candidates.
+    // The join condition therefore ANDs a cheap RAW-cosine prefilter
+    // (threshold relaxed by 1e-6 — a strict superset of
+    // round(x,6) >= minCos under any rounding mode) BEFORE the exact
+    // round()-based test: codegen'd AND short-circuits, so BigDecimal
+    // runs only for the rare boundary survivors. Spelled inside the
+    // join condition (not a post-join .where) on purpose — Catalyst
+    // would push a post-join filter back in FRONT of the cheap
+    // conjunct and re-instate the per-pair BigDecimal.
+    v.as("x").join(v.as("y"),
+        col("x.vec_id") < col("y.vec_id") &&
+        rawCos >= minCos - 1e-6 &&
+        round(rawCos, 6) >= minCos)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(vecDot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-      .where(col("cos") >= minCos)
+        round(rawCos, 6).as("cos"))
       .orderBy("a", "b")
   }
 
