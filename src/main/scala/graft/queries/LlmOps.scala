@@ -38,6 +38,29 @@ object LlmOps {
           col("nbr"), col("cos"))
     }),
 
+    // §2c.28b — brute-force cosine top-k through the CUSTOM per-group
+    // top-k operator (graft.plans.TopKPerGroup: bounded k-heaps with
+    // map-side partial pruning, no per-group sort) — same semantics
+    // and oracle as ann_cosine_topk, different physical plan: the
+    // custom LogicalPlan/Strategy/Exec path hash-matches DuckDB.
+    "ann_topk_native" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      import graft.functions.VecMath.{vecDot, vecNorm}
+      val c = e.select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("cn"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          vecNorm(col("embedding")).as("qn"))
+      val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6)
+            .as("cos"))
+      graft.ops.TopK.perGroup(scored, Seq(col("qid")),
+          Seq(desc("cos"), asc("nbr")), 5)
+        .select(col("qid"), col("rnk"), col("nbr"), col("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // §2c.29 — LSH-bucketed approximate top-k (rows-only)
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

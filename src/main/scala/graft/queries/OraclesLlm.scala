@@ -69,6 +69,22 @@ object OraclesLlm {
         |)
         |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    // same oracle shape as ann_cosine_topk — the custom physical
+    // operator must produce bit-identical results
+    "ann_topk_native" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT qid, c.vec_id AS nbr,
+        |    round(${cos("qv", "c.embedding")}, 6) AS cos
+        |  FROM embeddings c, q WHERE c.vec_id <> qid
+        |), r AS (
+        |  SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
         |  length(text) AS n_chars,

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scores = Seq(
+    ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.95), ("a", 4L, 0.7),
+    ("b", 5L, 0.5), ("b", 6L, 0.6),
+    ("c", 7L, 0.1) // fewer rows than k
+  ).toDF("g", "id", "score")
+
+  private def native(k: Int) =
+    TopK.perGroup(scores, Seq(col("g")), Seq(desc("score"), asc("id")), k)
+      .select("g", "rnk", "id", "score")
+
+  private def windowed(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+    scores.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("g", "rnk", "id", "score")
+  }
+
+  test("native per-group top-k equals the window row_number spelling") {
+    for (k <- Seq(1, 2, 3, 10)) {
+      val n = native(k).collect().map(_.toString).sorted.toSeq
+      val w = windowed(k).collect().map(_.toString).sorted.toSeq
+      assert(n === w, s"k=$k")
+    }
+  }
+
+  test("plan is partial heap -> exchange -> final heap, with no sort") {
+    val plan = native(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    // the whole point: no per-group SortExec anywhere in the operator
+    assert(!plan.toLowerCase.contains("sort "), plan)
+  }
+
+  test("partial phase bounds rows shuffled per (group, partition) to k") {
+    // 1000 rows in one group, k=5: after the partial phase at most
+    // k rows per input partition survive to the exchange
+    val big = spark.range(1000)
+      .select(lit("g").as("g"), col("id"), rand(7).as("score"))
+      .repartition(4)
+    val topk = TopK.perGroup(big, Seq(col("g")), Seq(desc("score")), 5)
+    assert(topk.count() === 5)
+    // agreement with the sort-based answer on a deterministic column
+    val viaSort = big.orderBy(desc("score")).limit(5)
+      .select(sum("id")).head().getLong(0)
+    val viaHeap = topk.select(sum("id")).head().getLong(0)
+    assert(viaHeap === viaSort)
+  }
+
+  test("matches the ann brute-force query shape on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val scored = graft.ops.Similarity.bruteTopK(
+      emb, emb.where(col("vec_id") < 10), 5)
+    val viaNative = {
+      import graft.functions.VecMath.{vecDot, vecNorm}
+      val c = emb.select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("cn"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          vecNorm(col("embedding")).as("qn"))
+      val s = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6).as("cos"))
+      TopK.perGroup(s, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), 5)
+        .select("qid", "nbr", "cos", "rnk")
+    }
+    val a = scored.select("qid", "nbr", "cos", "rnk")
+      .collect().map(_.toString).sorted.toSeq
+    val b = viaNative.collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
