@@ -58,7 +58,10 @@ object Similarity {
   }
 
   /** brute-force cosine top-k per query vector (§2c.28): broadcast
-    * the query side, rank per query. k·|Q| output rows.
+    * the query side, rank per query. k·|Q| output rows. Ranking runs
+    * through the custom bounded-heap operator ([[TopK.perGroup]]) —
+    * no per-group sort, candidates pruned to k map-side before the
+    * shuffle (spec-checked equal to the window row_number spelling).
     */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = emb.select(col("vec_id"), col("embedding"),
@@ -69,9 +72,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nbr"),
         round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6)
           .as("cos"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
+    TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
       .orderBy("qid", "rnk")
   }
 
@@ -172,15 +173,14 @@ object Similarity {
           .as("probe"))
       .select(col("qid"), col("qv"), col("qn"), col("probe.list").as("list"))
 
-    // score only the probed lists; query side broadcast
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    corpus.join(broadcast(probed), Seq("list"))
+    // score only the probed lists; query side broadcast; rank via the
+    // custom bounded-heap top-k (no per-group sort)
+    val scored = corpus.join(broadcast(probed), Seq("list"))
       .where(col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"),
         round(graft.functions.VecMath.vecDot(col("qv"), col("nbr_v")) /
           (col("qn") * col("nbr_n")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
+    TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
       .orderBy("qid", "rnk")
   }
 
@@ -234,12 +234,10 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("qid_v"), col("nbr_v"),
         col("qid_n"), col("nbr_n"))
       .dropDuplicates("qid", "nbr")
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))
-    cand.select(col("qid"), col("nbr"),
-        round(graft.functions.VecMath.vecDot(col("qid_v"), col("nbr_v")) /
-          (col("qid_n") * col("nbr_n")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
+    val scored = cand.select(col("qid"), col("nbr"),
+      round(graft.functions.VecMath.vecDot(col("qid_v"), col("nbr_v")) /
+        (col("qid_n") * col("nbr_n")), 6).as("cos"))
+    TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
       .orderBy("qid", "rnk")
   }
 }

@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "rnk", "cos").collect()
     assert(res.length === 12)
     res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
       assert(cs.sorted.reverse.sameElements(cs)) // descending
     }
   }
