@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.LongType
   *
   *  - `TakeOrderedAndProject` is GLOBAL top-k only;
   *  - the `row_number().over(partitionBy(g).orderBy(o)) <= k` spelling
-  *    fully SORTS every group (and, before Spark's window-group-limit
-  *    pushdown can help, shuffles every candidate row).
+  *    fully SORTS every group. Spark 3.5+'s WindowGroupLimit pushdown
+  *    (SPARK-37099) prunes rows early, but both its partial and final
+  *    phases still require SORTED input — SortExec on the full
+  *    candidate stream on both sides of the shuffle — and the Window
+  *    operator still runs after it. Bounded heaps need no sort at
+  *    all: O(n·log k) inserts vs O(n·log n) sorting, and only the k
+  *    winners per group are ever ordered.
   *
   * This operator keeps a bounded k-heap per group in two phases, the
   * aggregation shape applied to top-k:
