@@ -142,6 +142,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality scoring and repetition signals run as streaming projections") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // all text-analysis measures are stateless column expressions, so
+    // they compose with readStream directly — the streaming curation
+    // face of pipeline_curate's quality gate
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = graft.ops.TextAnalysis.quality(docs, col("text"), col("doc_id"))
+      .where(col("quality") >= 0.5)
+      .writeStream.format("memory").queryName("squality")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (0L, "the cat and the dog are in the house of the king"),
+        (1L, "@@@@ #### $$$$ %%%% ^^^^"))
+      q.processAllAvailable()
+      val kept = spark.table("squality").select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(0L)) // natural text passes, symbol soup filtered
+      // streamed scores equal the batch operator's on the same rows
+      val batch = graft.ops.TextAnalysis.quality(
+          Seq((0L, "the cat and the dog are in the house of the king"))
+            .toDF("doc_id", "text"), col("text"), col("doc_id"))
+        .head().getDouble(5)
+      val streamed = spark.table("squality").where(col("doc_id") === 0L)
+        .head().getDouble(5)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
