@@ -165,6 +165,21 @@ object Analytics {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
 
+    // §2b.29b — sketch path for percentiles: mergeable KLL-style
+    // approx_percentile (rows-only; SketchSpec asserts each estimate
+    // within 1% relative of the exact interpolated percentile). At
+    // 100 TB the exact path's per-group value collection is the
+    // bottleneck; the sketch is fixed-size per group and map-side
+    // mergeable — the same scale posture as index_approx's HLL.
+    "quantiles_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          round(col("pcts")(0), 4).as("p50"), round(col("pcts")(1), 4).as("p90"))
+        .orderBy("l_returnflag")),
+
     // §2b.30 — pivot: returnflag × linestatus counts as columns.
     "pivot_status" -> ((s, d) =>
       Tables.lineitem(s, d)
