@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.core.{IndexSpec, IndexedFrame}
 
 /** Spark-native analog of the reference's MultiDf / merged writes
@@ -21,10 +22,34 @@ object Merge {
   def multiFrame(segments: Seq[DataFrame]): DataFrame =
     segments.reduce(_ unionByName _)
 
+  /** zero-or-more-segment concatenation (reference
+    * DfTest."merging-zero-indexed-dfs" / "empty-indexed-multidf":
+    * merging no segments yields a valid EMPTY frame, not an error).
+    * With no segment to infer from, the schema is supplied.
+    */
+  def multiFrame(spark: SparkSession, schema: StructType,
+                 segments: Seq[DataFrame]): DataFrame =
+    if (segments.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else multiFrame(segments)
+
+  /** schema of every index frame: (field, value, f) */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("field", StringType, nullable = false),
+    StructField("value", StringType),
+    StructField("f", LongType, nullable = false)))
+
   /** merged index over N segments == index of the concatenation
     * (writeMergedIndexedDf analog: merge-sorted (field,value) entries
     * with per-entry frequencies summed across segments).
     */
   def mergedIndex(segments: Seq[DataFrame], spec: IndexSpec): DataFrame =
     IndexedFrame(multiFrame(segments), spec).entries
+
+  /** zero-segment merged index: a valid empty index frame */
+  def mergedIndex(spark: SparkSession, segments: Seq[DataFrame],
+                  spec: IndexSpec): DataFrame =
+    if (segments.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+    else mergedIndex(segments, spec)
 }

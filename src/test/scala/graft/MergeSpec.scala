@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.IndexSpec
+import graft.ops.Merge
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's merge edge-case tests
+  * (DfTest."merging-zero-indexed-dfs", "empty-indexed-multidf",
+  * "indexed-multidf"): zero segments merge to a valid empty frame,
+  * and a merged index equals the index of the concatenation.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = IndexSpec(Seq("cat"))
+  private def segA = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+  private def segB = Seq((3L, "a"), (4L, "c")).toDF("id", "cat")
+
+  test("merging zero segments yields a valid empty frame and index") {
+    val empty = Merge.multiFrame(spark, segA.schema, Seq.empty)
+    assert(empty.count() === 0)
+    assert(empty.schema === segA.schema)
+    val emptyIx = Merge.mergedIndex(spark, Seq.empty, spec)
+    assert(emptyIx.count() === 0)
+    assert(emptyIx.columns.toSeq === Seq("field", "value", "f"))
+    // an empty index still answers queries (with empty results), as
+    // the reference's tDf exercises on the empty multidf
+    assert(emptyIx.where(col("field") === "cat").count() === 0)
+  }
+
+  test("merged index equals the index of the concatenation") {
+    val merged = Merge.mergedIndex(Seq(segA, segB), spec)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === Map(
+      ("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
+    // single-segment merge is the segment's own index
+    val single = Merge.mergedIndex(Seq(segA), spec)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(single === Map(("cat", "a") -> 1L, ("cat", "b") -> 1L))
+  }
+}
