@@ -130,6 +130,17 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
       .orderBy("idx")
   }
 
+  /** global ordinal of one (field, value) entry in the sorted index —
+    * the reference's indexOf (DfTest."index": `index.indexOf("name" ->
+    * "b")` addresses the entry's bitmap). Empty frame when the entry
+    * is absent (the reference returns an insertion point; on Spark an
+    * absent entry has no addressable payload, so absence is explicit).
+    */
+  def indexOfDF(field: String, value: String): DataFrame =
+    colNameValuesWithIndex(field)
+      .where(col("value") === value)
+      .select(col("idx"))
+
   /** typed view over the indexed rows — the reference's
     * IndexedDf.cast[E] (IndexedDf.scala:117): a schema re-projection
     * (Dataset encoder), no data movement; the index is unchanged.

@@ -49,6 +49,13 @@ class IndexedFrameSpec extends SparkSpec {
     assert(txt.toSeq === Seq(4L, 5L, 6L, 7L))
   }
 
+  test("indexOf returns the global ordinal of one entry, empty when absent") {
+    val ix = IndexedFrame(df, spec)
+    // sorted index: f1:[a,b] f2:[x,y] ... → f2->y is ordinal 3
+    assert(ix.indexOfDF("f2", "y").head().getLong(0) === 3L)
+    assert(ix.indexOfDF("f2", "missing").count() === 0)
+  }
+
   test("typedView re-projects rows as case classes without data movement") {
     val ix = IndexedFrame(df, spec)
     val typed = ix.typedView[FrameRow].collect()
