@@ -204,30 +204,48 @@ object Similarity {
   /** LSH-bucketed approximate top-k (§2c.29, scale path): candidates
     * = corpus vectors sharing any of the `bands` signature bands with
     * the query; exact cosine + rank only on candidates.
+    *
+    * `multiProbe` (Lv et al. 2007, multi-probe LSH): the QUERY side
+    * additionally probes each band's buckets at hamming distance 1
+    * (per-bit flips of the band key) — recovering the near-misses a
+    * wider band would lose without expanding the corpus side at all.
+    * Probing multiplies only the broadcast query rows (×(1+r·p/r)),
+    * letting a deployment run NARROWER bands (larger r ⇒ 2^r buckets
+    * ⇒ far fewer candidates per bucket) at the same recall.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              dim: Int = 64, nbits: Int = 16, bands: Int = 8): DataFrame = {
+              dim: Int = 64, nbits: Int = 16, bands: Int = 8,
+              multiProbe: Int = 0): DataFrame = {
     // Band width r = nbits/bands sets the recall/cost tradeoff: a
     // band collides with prob (1-θ/π)^r, and ≥1-of-bands must hit.
     // Corpora whose true neighbors sit at wide angles (cos ~0.3-0.5,
     // like the synthetic test embeddings) need narrow bands (r=2);
     // tightly-clustered corpora can afford r=8 with far fewer
     // candidates. At 100 TB, raise nbits and bands together so bucket
-    // cardinality (2^r per band) keeps candidate sets ≪ n.
+    // cardinality (2^r per band) keeps candidate sets ≪ n, and use
+    // multiProbe to claw back the recall narrower bands cost.
     val r = nbits / bands
     val mask = (1L << r) - 1
-    def banded(df: DataFrame, idCol: String): DataFrame = {
+    def banded(df: DataFrame, idCol: String, probes: Int): DataFrame = {
       val sig = hyperplaneSig(col("embedding"), dim, nbits)
+      val bandBuckets = (0 until bands).flatMap { b =>
+        val base = shiftright(col("sig"), b * r).bitwiseAND(mask)
+        // probe buckets = the band key plus its `probes` 1-bit flips
+        (struct(lit(b).as("band"), base.as("bucket")) +:
+          (0 until math.min(probes, r)).map(j =>
+            struct(lit(b).as("band"),
+              base.bitwiseXOR(1L << j).as("bucket"))))
+      }
       df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_v"),
           graft.functions.VecMath.vecNorm(col("embedding")).as(s"${idCol}_n"),
           sig.as("sig"))
         .select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("sig"), b * r).bitwiseAND(mask)): _*))
-            .as(Seq("band", "bucket")))
+          explode(array(bandBuckets: _*)).as("bb"))
+        .select(col(idCol), col(s"${idCol}_v"), col(s"${idCol}_n"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
-    val c = banded(emb, "nbr")
-    val q = banded(queries, "qid")
+    val c = banded(emb, "nbr", 0)           // corpus never expands
+    val q = banded(queries, "qid", multiProbe)
     val cand = c.join(broadcast(q),
         c("band") === q("band") && c("bucket") === q("bucket") &&
         col("nbr") =!= col("qid"))

@@ -60,6 +60,23 @@ class SimilaritySpec extends SparkSpec {
     assert(viaPre.sameElements(viaPre2)) // deterministic given centroids
   }
 
+  test("multi-probe recovers the recall that narrower bands lose") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, q, 5)
+      .select("qid", "nbr").as[(Long, Long)].collect().toSet
+    // bands=4 ⇒ r=4 ⇒ 2^4 buckets per band: 4× fewer collisions per
+    // band than the r=2 default, but single-probe recall collapses on
+    // this wide-angle corpus…
+    val single = recallAt5(
+      Similarity.lshTopK(emb, q, 5, bands = 4), brute)
+    assert(single < 0.6, s"single-probe r=4 recall unexpectedly high: $single")
+    // …and probing each band's 1-bit-flip buckets (query side only —
+    // the corpus never expands) restores it past the 0.9 bar
+    val probed = recallAt5(
+      Similarity.lshTopK(emb, q, 5, bands = 4, multiProbe = 4), brute)
+    assert(probed >= 0.9, s"multi-probe r=4 recall: $probed")
+  }
+
   test("centroids persist and reopen via the build-once store lifecycle") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids"
     var fits = 0
