@@ -55,6 +55,22 @@ class TopKSpec extends SparkSpec {
     assert(viaHeap === viaSort)
   }
 
+  test("null sort keys and ties rank identically to the window spelling") {
+    val messy = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 0.5), ("a", 2L, null), ("a", 3L, 0.5), ("a", 4L, 0.9),
+      ("b", 5L, null), ("b", 6L, null)
+    ).toDF("g", "id", "score")
+    val n = TopK.perGroup(messy, Seq(col("g")), Seq(desc("score"), asc("id")), 2)
+      .select("g", "rnk", "id").collect().map(_.toString).sorted.toSeq
+    val w = {
+      val win = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+      messy.withColumn("rnk", row_number().over(win).cast("long"))
+        .where(col("rnk") <= 2).select("g", "rnk", "id")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(n === w) // desc => NULLS LAST, ties broken by id — identical
+  }
+
   test("matches the ann brute-force query shape on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val scored = graft.ops.Similarity.bruteTopK(
