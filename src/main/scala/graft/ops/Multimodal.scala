@@ -72,6 +72,41 @@ object Multimodal {
     features.select(col("doc_id"), lit(w).as("width"), lit(h).as("height"),
       col("feature"))
 
+  /** REAL image resize: decode → scale onto a w×h raster (JDK
+    * Graphics2D, headless-safe offscreen draw) → re-encode PNG.
+    * Batch-shaped typed mapPartitions like [[decodeImages]];
+    * undecodable payloads pass through unchanged (tag-and-continue,
+    * not abort). Output schema matches the ingest schema (doc_id,
+    * payload), so resize composes with decode/feature stages —
+    * the decode(resize(x)) chain is oracle-checked end to end.
+    */
+  def resizeImages(payloads: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) ImagePayload(id, bytes)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ImagePayload(id, bos.toByteArray)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** STUB video frame-sampling: emits `n` frame rows per payload with
     * (doc_id, frame_idx, frame binary) — the exploded shape a real
     * sampler produces; frames here are deterministic payload slices.

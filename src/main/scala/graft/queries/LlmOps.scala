@@ -169,6 +169,23 @@ object LlmOps {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")),
 
+    // §2c.34c — REAL resize in the middle of the media pipeline:
+    // encode → resize (Graphics2D raster scale, re-encoded PNG) →
+    // decode. A solid-colour source keeps its channel means under any
+    // scaling, and the output dimensions are the requested 8×8 — so
+    // the whole chain is hash-oracle-checked.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.resizeImages(
+          Multimodal.syntheticImagePayload(Tables.documents(s, d), col("doc_id")),
+          8, 8))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id")),
+
     // §2c.34 — multimodal payload plumbing: metadata projection that
     // never touches payload bytes
     "multimodal_meta" -> ((s, d) =>

@@ -204,6 +204,16 @@ object OraclesLlm {
         |  round((doc_id % 256) / 255.0, 6) AS mean_r,
         |  round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
         |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // resize to 8×8 preserves a solid colour's channel means exactly
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  round((doc_id % 256) / 255.0, 6) AS mean_r,
+        |  round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
+        |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -53,6 +53,19 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d(1).getAs[Double]("mean_b") - 13.0 / 255.0) < 1e-12)
   }
 
+  test("real resize rescales the raster and preserves solid colours") {
+    val p = Multimodal.syntheticImagePayload(docs, col("doc_id"))
+    val r = Multimodal.decodeImages(Multimodal.resizeImages(p, 4, 6))
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getInt(1) == 4) && r.forall(_.getInt(2) == 6))
+    // solid colour survives scaling bit-exactly: doc 1 is rgb(1,7,13)
+    assert(math.abs(r(1).getAs[Double]("mean_g") - 7.0 / 255.0) < 1e-12)
+    // undecodable payloads pass through resize unchanged
+    val junk = Multimodal.asPayload(docs, col("text"), col("doc_id"))
+    val passed = Multimodal.resizeImages(junk, 4, 4).orderBy("doc_id").collect()
+    assert(passed(0).getAs[Array[Byte]]("payload").length === 12)
+  }
+
   test("undecodable payloads fall back to the deterministic stub, not a crash") {
     val junk = Multimodal.asPayload(docs, col("text"), col("doc_id"))
     val d = Multimodal.decodeImages(junk).orderBy("doc_id").collect()
