@@ -16,6 +16,13 @@ case class ImagePayload(doc_id: Long, payload: Array[Byte])
 case class DecodedImage(doc_id: Long, width: Int, height: Int,
                         mean_r: Double, mean_g: Double, mean_b: Double)
 
+/** one sampled frame from a multi-frame payload */
+case class FramePayload(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+/** decoded frame: (doc, frame) key + true dimensions and pixel means */
+case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** Multimodal column plumbing (SURVEY §2c.34): image/audio/video as
   * opaque `binary` payload columns with typed metadata.
   *
@@ -63,15 +70,6 @@ object Multimodal {
     * the real decode; the plumbing — partition batching, schema,
     * pruning — is what this module actually tests.
     */
-  /** STUB resize: a real implementation decodes, scales, re-encodes
-    * per batch; the stub transforms the fake features
-    * deterministically so the pipeline shape (decode → transform →
-    * downstream schema) is exercised end to end.
-    */
-  def stubResize(features: DataFrame, w: Int, h: Int): DataFrame =
-    features.select(col("doc_id"), lit(w).as("width"), lit(h).as("height"),
-      col("feature"))
-
   /** REAL image resize: decode → scale onto a w×h raster (JDK
     * Graphics2D, headless-safe offscreen draw) → re-encode PNG.
     * Batch-shaped typed mapPartitions like [[decodeImages]];
@@ -106,16 +104,6 @@ object Multimodal {
       }
       .toDF()
   }
-
-  /** STUB video frame-sampling: emits `n` frame rows per payload with
-    * (doc_id, frame_idx, frame binary) — the exploded shape a real
-    * sampler produces; frames here are deterministic payload slices.
-    */
-  def stubFrameSample(payloads: DataFrame, n: Int): DataFrame =
-    payloads.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)),
-          i => substring_index(base64(col("payload")), "=", 1))))
-      .toDF("doc_id", "frame_idx", "frame")
 
   def stubDecode(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
@@ -221,6 +209,119 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Deterministic multi-frame ("video") payload: `nFrames`
+    * solid-colour PNGs per doc, concatenated with 4-byte big-endian
+    * length prefixes — a real (if minimal) container format, the
+    * MJPEG-style frame stream shape. Frame colour/size are pure
+    * functions of (doc_id, frame_idx), so downstream sampling +
+    * decode is oracle-checkable.
+    */
+  def syntheticVideoPayload(df: DataFrame, id: Column,
+                            nFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        var f = 0
+        while (f < nFrames) {
+          val w = 8 + f
+          val h = 8 + (docId % 8).toInt
+          val rgb = (((docId + 31 * f) % 256).toInt << 16) |
+            (((docId * 7 + 17 * f) % 256).toInt << 8) |
+            ((docId * 13 + 29 * f) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frame)
+          out.writeInt(frame.size())
+          frame.writeTo(out)
+          f += 1
+        }
+        ImagePayload(docId, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** REAL frame sampling over the length-prefixed frame container:
+    * every `every`-th frame is extracted; the others are SKIPPED at
+    * the byte level (length prefix → seek) without ever being
+    * decoded — the IO-efficiency property that makes frame sampling
+    * worth doing at all. Batch-shaped typed mapPartitions; malformed
+    * tails are dropped, not fatal.
+    */
+  def sampleFrames(payloads: DataFrame, every: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val buf = java.nio.ByteBuffer.wrap(
+            if (bytes == null) Array.empty[Byte] else bytes)
+          val frames = scala.collection.mutable.ArrayBuffer.empty[FramePayload]
+          var idx = 0L
+          var ok = true
+          while (ok && buf.remaining() >= 4) {
+            val len = buf.getInt()
+            if (len < 0 || len > buf.remaining()) ok = false
+            else {
+              if (idx % every == 0) {
+                val frame = new Array[Byte](len)
+                buf.get(frame)
+                frames += FramePayload(id, idx, frame)
+              } else buf.position(buf.position() + len) // skip, no copy
+              idx += 1
+            }
+          }
+          frames
+        }
+      }.toDF()
+  }
+
+  /** decode sampled frames — [[decodeImages]] keyed by
+    * (doc_id, frame_idx)
+    */
+  def decodeFrames(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select("doc_id", "frame_idx", "frame")
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, idx, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) DecodedFrame(id, idx, -1, -1, 0.0, 0.0, 0.0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            DecodedFrame(id, idx, w, h,
+              sr.toDouble / n / 255.0, sg.toDouble / n / 255.0,
+              sb.toDouble / n / 255.0)
+          }
+        }
+      }.toDF()
   }
 
   /** driver-checkable scalar projection of a decode: the array column

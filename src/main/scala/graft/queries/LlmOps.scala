@@ -186,6 +186,23 @@ object LlmOps {
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy("doc_id")),
 
+    // §2c.34d — REAL frame sampling: 4-frame length-prefixed PNG
+    // container per doc → every 2nd frame extracted (others SKIPPED
+    // at the byte level, never decoded) → real decode. Frame colour/
+    // size are pure functions of (doc_id, frame_idx) → hash-oracled.
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.decodeFrames(Multimodal.sampleFrames(
+          Multimodal.syntheticVideoPayload(Tables.documents(s, d),
+            col("doc_id"), nFrames = 4),
+          every = 2))
+        .select(col("doc_id"), col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("doc_id", "frame_idx")),
+
     // §2c.34 — multimodal payload plumbing: metadata projection that
     // never touches payload bytes
     "multimodal_meta" -> ((s, d) =>

@@ -206,6 +206,19 @@ object OraclesLlm {
         |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // sampled frames 0 and 2 of the 4-frame container; colour/size
+    // are pure functions of (doc_id, frame_idx)
+    "multimodal_frames" ->
+      """SELECT doc_id, frame_idx,
+        |  CAST(8 + frame_idx AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS height,
+        |  round(((doc_id + 31 * frame_idx) % 256) / 255.0, 6) AS mean_r,
+        |  round(((doc_id * 7 + 17 * frame_idx) % 256) / 255.0, 6) AS mean_g,
+        |  round(((doc_id * 13 + 29 * frame_idx) % 256) / 255.0, 6) AS mean_b
+        |FROM documents
+        |CROSS JOIN (SELECT CAST(unnest([0, 2]) AS BIGINT) AS frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // resize to 8×8 preserves a solid colour's channel means exactly
     "multimodal_resize" ->
       """SELECT doc_id,

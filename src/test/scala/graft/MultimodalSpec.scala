@@ -66,6 +66,25 @@ class MultimodalSpec extends SparkSpec {
     assert(passed(0).getAs[Array[Byte]]("payload").length === 12)
   }
 
+  test("frame sampler extracts every nth frame without decoding the rest") {
+    val p = Multimodal.syntheticVideoPayload(docs, col("doc_id"), nFrames = 5)
+    val sampled = Multimodal.sampleFrames(p, every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // frames 0, 2, 4 of 5 per doc
+    assert(sampled.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (0L, 2L), (0L, 4L), (1L, 0L), (1L, 2L), (1L, 4L)))
+    // every sampled frame is a valid PNG that decodes to its formula
+    val d = Multimodal.decodeFrames(Multimodal.sampleFrames(p, 2))
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(d.forall(_.getInt(2) > 0))
+    val f2 = d.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(f2.getInt(2) === 10) // width = 8 + frame_idx
+    assert(math.abs(f2.getAs[Double]("mean_r") - ((1 + 31 * 2) % 256) / 255.0) < 1e-12)
+    // malformed payloads yield zero frames, not an exception
+    val junk = Multimodal.asPayload(docs, col("text"), col("doc_id"))
+    assert(Multimodal.sampleFrames(junk, 2).count() <= 2)
+  }
+
   test("undecodable payloads fall back to the deterministic stub, not a crash") {
     val junk = Multimodal.asPayload(docs, col("text"), col("doc_id"))
     val d = Multimodal.decodeImages(junk).orderBy("doc_id").collect()

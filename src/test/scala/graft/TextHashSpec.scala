@@ -36,7 +36,8 @@ class TextHashSpec extends SparkSpec {
 
   test("frame sampling emits n frames per payload") {
     val p = Multimodal.asPayload(docs, col("text"), col("doc_id"))
-    val frames = Multimodal.stubFrameSample(p, 3)
+    val video = Multimodal.syntheticVideoPayload(p, col("doc_id"), nFrames = 3)
+    val frames = Multimodal.sampleFrames(video, every = 1)
     assert(frames.count() === 9)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) == 3))
   }
