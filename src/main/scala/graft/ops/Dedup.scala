@@ -235,6 +235,10 @@ object Dedup {
     while (changed && iter < maxIter) {
       // neighbor labels ∪ own label → min per node; carry the old
       // label so convergence detection needs no extra join
+      // (pointer jumping was tried and reverted: the extra label
+      // self-join per round cost more than the rounds it saved —
+      // min(id, min-neighbour) initialization already keeps round
+      // counts near the cluster diameter, which is shallow here)
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nl"), "dst")
