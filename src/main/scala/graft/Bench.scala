@@ -36,9 +36,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def run(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
+    // a swallowed exception would masquerade as a FAST query — record
+    // it so a failure can never read as a speedup
+    def runMeasured(name: String, dir: String): Unit =
+      try run(name, dir) catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+      }
 
     // drop anything a query persisted or cached so the next
     // measurement starts from a cold session-state (parquet/OS page
@@ -80,7 +89,7 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try run(name, sfDir) catch { case _: Throwable => () }
+        runMeasured(name, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
         clearState()
         t
@@ -119,7 +128,10 @@ object Bench {
         .map(p => "\"" + k + "\":" + math.round(v / p * 100.0) / 100.0)
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regressions,"reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${math.round(sentRatio * 100.0) / 100.0},"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regressions,"reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${math.round(sentRatio * 100.0) / 100.0},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
