@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{RollingMinHash, SimHash64, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions as SQL functions so pure-SQL users get them too:
+  * expressions as SQL functions (so pure-SQL users get them too) and
+  * the custom per-group top-k planner strategy:
   *
   * {{{
   * SparkSession.builder()
@@ -14,11 +15,14 @@ import graft.functions.{RollingMinHash, SimHash64, VecDot}
   *   ...
   * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
   * spark.sql("SELECT rolling_min_hash(text) FROM docs")
+  * spark.sql("SELECT simhash64(split(lower(text), ' ')) FROM docs")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

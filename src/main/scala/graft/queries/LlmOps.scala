@@ -8,6 +8,30 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** SURVEY §2c — LLM-data-pipeline operators over documents/embeddings. */
 object LlmOps {
 
+  /** build-once media ingest (the write/open lifecycle applied to
+    * synthetic payloads): the encoded payload table is written to a
+    * per-sf parquet on first use and read thereafter, so the media
+    * queries measure the OPERATOR (sample/decode/resize), not
+    * re-synthesis of their input — the same input-is-parquet posture
+    * every other query has.
+    */
+  private def haveParquet(s: SparkSession, dir: String)
+                         (build: => DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) build.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  private def imagePayloads(s: SparkSession, d: String): DataFrame =
+    haveParquet(s, s"/tmp/graft_media_${new java.io.File(d).getName}/images")(
+      Multimodal.syntheticImagePayload(Tables.documents(s, d), col("doc_id")))
+
+  private def videoPayloads(s: SparkSession, d: String): DataFrame =
+    haveParquet(s, s"/tmp/graft_media_${new java.io.File(d).getName}/videos")(
+      Multimodal.syntheticVideoPayload(Tables.documents(s, d), col("doc_id"),
+        nFrames = 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2c.23 — exact dedup by content hash
@@ -159,8 +183,7 @@ object LlmOps {
     // doc_id, the decode is fully ORACLE-CHECKED (hash match), not a
     // rows-only stub. Batch-shaped typed mapPartitions both ways.
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodeImages(Multimodal.syntheticImagePayload(
-          Tables.documents(s, d), col("doc_id")))
+      Multimodal.decodeImages(imagePayloads(s, d))
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -175,9 +198,7 @@ object LlmOps {
     // scaling, and the output dimensions are the requested 8×8 — so
     // the whole chain is hash-oracle-checked.
     "multimodal_resize" -> ((s, d) =>
-      Multimodal.decodeImages(Multimodal.resizeImages(
-          Multimodal.syntheticImagePayload(Tables.documents(s, d), col("doc_id")),
-          8, 8))
+      Multimodal.decodeImages(Multimodal.resizeImages(imagePayloads(s, d), 8, 8))
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -191,9 +212,7 @@ object LlmOps {
     // at the byte level, never decoded) → real decode. Frame colour/
     // size are pure functions of (doc_id, frame_idx) → hash-oracled.
     "multimodal_frames" -> ((s, d) =>
-      Multimodal.decodeFrames(Multimodal.sampleFrames(
-          Multimodal.syntheticVideoPayload(Tables.documents(s, d),
-            col("doc_id"), nFrames = 4),
+      Multimodal.decodeFrames(Multimodal.sampleFrames(videoPayloads(s, d),
           every = 2))
         .select(col("doc_id"), col("frame_idx"),
           col("width").cast("long").as("width"),
