@@ -267,8 +267,13 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, text: Column, id: Column,
                    maxHamming: Int = 3,
-                   maxBucket: Long = 10000L): DataFrame = {
-    val fp = simhash(df, text, id)
+                   maxBucket: Long = 10000L): DataFrame =
+    simhashPairsOf(simhash(df, text, id), maxHamming, maxBucket)
+
+  /** banded hamming-≤ pairs over a prebuilt (doc_id, simhash) frame */
+  def simhashPairsOf(fp: DataFrame,
+                     maxHamming: Int = 3,
+                     maxBucket: Long = 10000L): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands // 16 bits for hamming≤3
     val mask = (1L << width) - 1
@@ -325,19 +330,40 @@ object Dedup {
       .drop("ra", "rb")
   }
 
-  /** SimHash near-dup groups (§2c.26): hamming≤3 pairs → per-doc pair
-    * budget (top-`maxPairsPerDoc` by hamming — the 100 TB guard
-    * against quadratic pair volume inside dup-dense corpora) →
-    * connected components → (cluster, size, kept representative).
-    * Subsumes the old hamming-0 grouping (identical fingerprints are
-    * hamming 0).
+  /** SimHash near-dup groups (§2c.26): identical-fingerprint collapse
+    * → hamming≤3 pairs between REPRESENTATIVES → per-rep pair budget
+    * → connected components → expansion back to all docs →
+    * (cluster, size, kept representative).
+    *
+    * The collapse is an EXACT quotient, not an approximation: docs
+    * with equal fingerprints are hamming-0 (always one cluster), and
+    * rep-level hamming equals member-level hamming because the
+    * fingerprints are the very same values — so components are
+    * preserved exactly while the pair space loses its dominant term
+    * (a c-member identical blob contributes c²/2 pairs pre-collapse,
+    * ZERO after; exact-dup-heavy corpora are the common case at
+    * 100 TB). The per-doc budget (symmetrized m-NN cap) then bounds
+    * what survives to CC on the residual near-dup graph.
     */
   def simhashGroups(df: DataFrame, text: Column, id: Column,
-                    maxHamming: Int = 3, maxPairsPerDoc: Int = 8): DataFrame =
-    clusters(capPairsPerDoc(simhashPairs(df, text, id, maxHamming),
-        maxPairsPerDoc, col("hamming")))
+                    maxHamming: Int = 3, maxPairsPerDoc: Int = 8): DataFrame = {
+    val fp = simhash(df, text, id)
+    // one representative (min doc_id) per distinct fingerprint
+    val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))
+    val repFp = reps.select(col("rep").as("doc_id"), col("simhash"))
+    val repPairs = capPairsPerDoc(
+      simhashPairsOf(repFp, maxHamming), maxPairsPerDoc, col("hamming"))
+    // rep → cluster label; reps in no pair keep their own id as label
+    val repLabels = clusters(repPairs)
+    // expand: every doc → its fingerprint's rep → the rep's label
+    val docLabels = fp
+      .join(reps, "simhash")
+      .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+    docLabels
       .groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n"), min("id").as("keep_id"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .where(col("n") > 1)
       .orderBy("cluster")
+  }
 }
