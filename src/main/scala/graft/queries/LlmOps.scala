@@ -134,11 +134,15 @@ object LlmOps {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    // §2c.25b — near-dup clusters: minhash pairs → min-label
+    // §2c.25b — near-dup clusters: minhash pairs → symmetrized m-NN
+    // pair budget (best pairs = highest estimated Jaccard; the same
+    // 100 TB quadratic-pair guard as simhashGroups, spec-checked to
+    // preserve cluster membership on the corpus) → min-label
     // connected components (rows-only; iterative)
     "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(
-        Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id")))),
+      Dedup.clusters(Dedup.capPairsPerDoc(
+        Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id")),
+        8, -col("est_jaccard")))),
 
     // §2c.35 — composed curation pipeline: quality-filter → exact
     // dedup (keep representative) → per-language corpus stats. The

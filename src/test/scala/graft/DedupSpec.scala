@@ -82,6 +82,15 @@ class DedupSpec extends SparkSpec {
     assert(groups(8) === groups(Int.MaxValue))
   }
 
+  test("minhash pair budget preserves clusters on the corpus") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashLsh(corpus, col("text"), col("doc_id"))
+    def labels(p: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(p).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(Dedup.capPairsPerDoc(pairs, 8, -col("est_jaccard")))
+      === labels(pairs))
+  }
+
   test("minhash bucket cap keeps degenerate corpora from going quadratic") {
     val degenerate = spark.range(300).select(col("id").as("doc_id"),
       lit("the same boilerplate text repeated in every single document here").as("text"))
