@@ -100,7 +100,12 @@ object RefSurface {
         o.where(col("o_orderkey") % 2 === 0),
         o.where(col("o_orderkey") % 2 === 1)))
       m.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .agg(count(lit(1)).as("n"),
+          // money through DECIMAL then DOUBLE (SURVEY §6): a raw
+          // double sum drifts in the 4th decimal once totals reach
+          // 1e10 (caught by the 3× scale selfcheck)
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("total"))
         .orderBy("o_orderstatus")
     }),
 
