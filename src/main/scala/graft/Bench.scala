@@ -103,12 +103,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // per-query best-known baseline: MIN across every prior BENCH_r*.json
+    // per-query best-known baseline: MIN across prior BENCH_r*.json —
+    // but ONLY artifacts that carry the `errors` field (r3+): older
+    // artifacts swallowed query failures, so a partially-failed run
+    // could be recorded as anomalously fast and permanently ratchet
+    // the baseline down into unfixable false-positive regressions
     val prev: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      // bench_history/ holds this main's OWN prior output lines —
+      // complete by construction, unlike the driver artifacts whose
+      // tail capture can truncate the head of a long JSON line
+      val files = (Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")) ++
+        Option(new java.io.File("bench_history").listFiles()).getOrElse(Array())
+          .filter(_.getName.endsWith(".json")))
       val all = files.toSeq.flatMap { f =>
         val txt = scala.io.Source.fromFile(f).mkString.replace("\\\"", "\"")
+        if (!txt.contains("\"errors\":")) Nil else
         """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq.flatMap {
           _.group(1).split(",").flatMap { kv =>
             kv.split(":") match {
@@ -131,7 +141,18 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regressions,"reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${math.round(sentRatio * 100.0) / 100.0},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regressions,"reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${math.round(sentRatio * 100.0) / 100.0},"sf":"$sfDir"}"""
+    println(json)
+    // keep a complete local copy for the regression baseline (only
+    // full-suite runs: a SPARK_GRAFT_BENCH_ONLY subset would record
+    // misleadingly small totals, though per-query mins stay valid)
+    if (only.isEmpty) {
+      val hist = new java.io.File("bench_history")
+      hist.mkdirs()
+      val out = new java.io.PrintWriter(
+        new java.io.File(hist, s"bench_${System.currentTimeMillis}.json"))
+      try out.println(json) finally out.close()
+    }
     spark.stop()
   }
 }

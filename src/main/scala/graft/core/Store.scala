@@ -16,11 +16,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
-  /** write rows + index as segment 0 (reference writeIndexedDf) */
+  /** write rows + index as segment 0 (reference writeIndexedDf).
+    * Only the store-owned `data/` and `index/` subdirs are cleared —
+    * never the whole target dir, which may be a path the caller also
+    * keeps unrelated files under (a recursive root delete here would
+    * silently destroy them).
+    */
   def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // fresh store: clear any prior segments
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    Seq(s"$dir/data", s"$dir/index").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(sub)
+      p.getFileSystem(conf).delete(p, true) // fresh store: clear prior segments
+    }
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     IndexedFrame(df, spec).entries
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
@@ -79,7 +86,15 @@ object Store {
     */
   private[core] def mergedIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/index/seg_*")
+    // layout compat: the pre-segment layout wrote the index parquet
+    // directly under <dir>/index — serve it as-is when no seg_* dirs
+    // exist rather than failing the path glob
+    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSegments = fs.exists(indexRoot) &&
+      fs.listStatus(indexRoot).exists(_.getPath.getName.startsWith("seg_"))
+    val src = if (hasSegments) s"$dir/index/seg_*" else s"$dir/index"
+    spark.read.parquet(src)
       .groupBy("field", "value").agg(sum("f").as("f"))
       .orderBy("field", "value")
   }

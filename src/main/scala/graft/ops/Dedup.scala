@@ -344,9 +344,18 @@ object Dedup {
     * ZERO after; exact-dup-heavy corpora are the common case at
     * 100 TB). The per-doc budget (symmetrized m-NN cap) then bounds
     * what survives to CC on the residual near-dup graph.
+    *
+    * `maxPairsPerDoc` defaults to UNCAPPED — exact connected
+    * components over every hamming≤maxHamming pair. Passing a finite
+    * cap is an explicit opt-in to the approximate symmetrized-m-NN
+    * graph: a cap can disconnect clusters linked only through dropped
+    * mid-rank edges, so callers who cap own that tradeoff (the graft
+    * query entries cap at 8 and carry a corpus-level spec that the
+    * capped clustering matches the exact one).
     */
   def simhashGroups(df: DataFrame, text: Column, id: Column,
-                    maxHamming: Int = 3, maxPairsPerDoc: Int = 8): DataFrame = {
+                    maxHamming: Int = 3,
+                    maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     val fp = simhash(df, text, id)
     // one representative (min doc_id) per distinct fingerprint
     val reps = fp.groupBy("simhash").agg(min("doc_id").as("rep"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.LongType
 
 /** Per-group top-k as a first-class operator — the case where Spark's
@@ -15,27 +16,36 @@ import org.apache.spark.sql.types.LongType
   *
   *  - `TakeOrderedAndProject` is GLOBAL top-k only;
   *  - the `row_number().over(partitionBy(g).orderBy(o)) <= k` spelling
-  *    fully SORTS every group. Spark 3.5+'s WindowGroupLimit pushdown
-  *    (SPARK-37099) prunes rows early, but both its partial and final
-  *    phases still require SORTED input — SortExec on the full
-  *    candidate stream on both sides of the shuffle — and the Window
-  *    operator still runs after it. Bounded heaps need no sort at
-  *    all: O(n·log k) inserts vs O(n·log n) sorting, and only the k
-  *    winners per group are ever ordered.
+  *    fully SORTS every input partition. Spark 3.5+'s WindowGroupLimit
+  *    pushdown (SPARK-37099) prunes rows early, but both its partial
+  *    and final phases still require SORTED input — SortExec on the
+  *    full candidate stream on both sides of the shuffle — and the
+  *    Window operator still runs after it.
   *
-  * This operator keeps a bounded k-heap per group in two phases, the
-  * aggregation shape applied to top-k:
+  * Plan shape here:
   *
-  *  - [[TopKPerGroupPartialExec]] (map side, no distribution
-  *    requirement): one pass per input partition, ≤ k rows retained
-  *    per (group, partition) — the shuffle then carries at most
-  *    k·groups·partitions rows instead of every candidate;
+  *  - [[TopKPerGroupPartialExec]] (map side, no distribution or
+  *    ordering requirement): one bounded-heap pass per input
+  *    partition, O(n·log k) inserts and NO sort of the input. Memory
+  *    is bounded by construction: when the retained-row count (sum of
+  *    heap sizes) reaches `budgetRows`, the heaps are FLUSHED
+  *    downstream and rebuilt — flushing is always safe in a partial
+  *    phase (it only forwards more candidates; the final phase
+  *    re-selects), so high group cardinality degrades to extra
+  *    shuffle rows, never to an executor OOM. Budget is configurable
+  *    via `graft.topk.partialBudgetRows` (default 1M retained rows —
+  *    roughly 100 MB at 100 B/row, far below per-task execution
+  *    memory at any sane executor sizing).
   *  - [[TopKPerGroupFinalExec]] (requires clustering on the group
-  *    keys): merges the partials with the same bounded heap and emits
-  *    each group's k best with a 1-based rank column appended.
+  *    keys AND (group, sortOrder) ordering): a streaming scan that
+  *    emits the first k rows of each group with a 1-based rank.
+  *    Memory is O(1) per task; the ordering requirement plans a
+  *    SortExec over the PRUNED partial output (≤ k rows per group per
+  *    map partition) — and SortExec spills under memory pressure, so
+  *    the 100 TB posture holds for arbitrarily many groups per task.
   *
-  * Never a full sort: memory is O(groups·k) per task, and only final
-  * winners are ever ordered (k·log k per group). Registered via
+  * The full input is never sorted: the only sort in the plan is the
+  * spillable one over partial winners. Registered via
   * `spark.experimental.extraStrategies` (done lazily by
   * [[graft.ops.TopK.perGroup]]) or `GraftExtensions`.
   *
@@ -62,30 +72,63 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
-/** shared bounded-heap pass: per partition, ≤ k best rows per group */
+/** bounded-heap partial pass with a hard memory budget */
 private[plans] object BoundedHeaps {
-  def topKPerPartition(
+  val BudgetConfKey = "graft.topk.partialBudgetRows"
+  val DefaultBudgetRows = 1 << 20
+
+  /** One pass over a partition keeping ≤ k best rows per group seen so
+    * far; whenever total retained rows reach `budgetRows` the current
+    * heaps are emitted and cleared (correct for a PARTIAL phase — the
+    * final phase re-selects winners), so task memory is O(budgetRows)
+    * regardless of group cardinality.
+    */
+  def partialTopK(
       it: Iterator[InternalRow],
       groupExprs: Seq[Expression],
       sortOrder: Seq[SortOrder],
       inputAttrs: Seq[Attribute],
-      k: Int): java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
-    val keyProj = UnsafeProjection.create(groupExprs, inputAttrs)
-    val ord = GenerateOrdering.generate(sortOrder, inputAttrs)
-    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (it.hasNext) {
-      val row = it.next()
-      val key = keyProj(row)
-      var q = heaps.get(key)
-      if (q == null) {
-        // reversed ordering: the heap head is the WORST retained row
-        q = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
-        heaps.put(key.copy(), q)
-      }
-      if (q.size < k) q.add(row.copy())
-      else if (ord.compare(row, q.peek) < 0) { q.poll(); q.add(row.copy()) }
+      k: Int,
+      budgetRows: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private val keyProj = UnsafeProjection.create(groupExprs, inputAttrs)
+    private val ord = GenerateOrdering.generate(sortOrder, inputAttrs)
+    private var heaps =
+      new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    private var retained = 0
+    private var drain: Iterator[InternalRow] = Iterator.empty
+
+    private def snapshot(): Iterator[InternalRow] = {
+      import scala.jdk.CollectionConverters._
+      val old = heaps
+      heaps = new java.util.HashMap()
+      retained = 0
+      old.values.iterator.asScala.flatMap(_.iterator.asScala)
     }
-    heaps
+
+    private def fill(): Unit = {
+      while (!drain.hasNext && it.hasNext) {
+        var flushed = false
+        while (it.hasNext && !flushed) {
+          val row = it.next()
+          val key = keyProj(row)
+          var q = heaps.get(key)
+          if (q == null) {
+            // reversed ordering: the heap head is the WORST retained row
+            q = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
+            heaps.put(key.copy(), q)
+          }
+          if (q.size < k) { q.add(row.copy()); retained += 1 }
+          else if (ord.compare(row, q.peek) < 0) { q.poll(); q.add(row.copy()) }
+          if (retained >= budgetRows) { drain = snapshot(); flushed = true }
+        }
+      }
+      if (!drain.hasNext && !it.hasNext && !heaps.isEmpty) drain = snapshot()
+    }
+
+    override def hasNext: Boolean = { fill(); drain.hasNext }
+    override def next(): InternalRow = {
+      fill(); drain.next()
+    }
   }
 }
 
@@ -93,6 +136,7 @@ case class TopKPerGroupPartialExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    budgetRows: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -101,11 +145,9 @@ case class TopKPerGroupPartialExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (g, s, attrs, kk) = (groupExprs, sortOrder, child.output, k)
+    val (g, s, attrs, kk, budget) = (groupExprs, sortOrder, child.output, k, budgetRows)
     child.execute().mapPartitions { it =>
-      import scala.jdk.CollectionConverters._
-      BoundedHeaps.topKPerPartition(it, g, s, attrs, kk)
-        .values.iterator.asScala.flatMap(_.iterator.asScala)
+      BoundedHeaps.partialTopK(it, g, s, attrs, kk, budget)
     }
   }
 
@@ -125,25 +167,35 @@ case class TopKPerGroupFinalExec(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+  // sorted (group, order) input → the final pass is a streaming scan
+  // with O(1) task memory; the sort this requirement plans runs over
+  // the PRUNED partial output and spills under pressure (the r3
+  // hash-of-heaps final held every group's heap in an unaccounted
+  // HashMap — an OOM risk at high group cardinality per task)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (groupExprs.map(e => SortOrder(e, Ascending)) ++ sortOrder) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (g, s, attrs, kk, out) = (groupExprs, sortOrder, child.output, k, output)
+    val (g, attrs, kk, out) = (groupExprs, child.output, k, output)
     child.execute().mapPartitions { it =>
-      import scala.jdk.CollectionConverters._
-      val ord = GenerateOrdering.generate(s, attrs)
+      val keyProj = UnsafeProjection.create(g, attrs)
       // identity projection materializes UnsafeRows (consumers such as
       // collect/exchange require the unsafe format)
       val proj = UnsafeProjection.create(out, out)
-      BoundedHeaps.topKPerPartition(it, g, s, attrs, kk)
-        .values.iterator.asScala.flatMap { q =>
-          val rows = q.toArray(new Array[InternalRow](q.size))
-          java.util.Arrays.sort(rows, ord)
-          rows.iterator.zipWithIndex.map { case (row, i) =>
-            proj(new JoinedRow(row,
-              new GenericInternalRow(Array[Any]((i + 1).toLong)))): InternalRow
-          }
-        }
+      val joined = new JoinedRow
+      val rank = new GenericInternalRow(1)
+      var cur: UnsafeRow = null
+      var emitted = 0L
+      it.flatMap { row =>
+        val key = keyProj(row)
+        if (cur == null || key != cur) { cur = key.copy(); emitted = 0L }
+        if (emitted < kk) {
+          emitted += 1
+          rank.update(0, emitted)
+          Iterator.single(proj(joined(row, rank)): InternalRow)
+        } else Iterator.empty
+      }
     }
   }
 
@@ -151,14 +203,17 @@ case class TopKPerGroupFinalExec(
     copy(child = newChild)
 }
 
-/** plans the logical node as partial → (exchange inserted by
-  * EnsureRequirements) → final
+/** plans the logical node as partial → (exchange + spillable sort
+  * inserted by EnsureRequirements) → streaming final
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, k, rank, child) =>
+      val budget = SQLConf.get
+        .getConfString(BoundedHeaps.BudgetConfKey,
+          BoundedHeaps.DefaultBudgetRows.toString).toInt
       TopKPerGroupFinalExec(g, s, k, rank,
-        TopKPerGroupPartialExec(g, s, k, planLater(child))) :: Nil
+        TopKPerGroupPartialExec(g, s, k, budget, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -32,12 +32,38 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("plan is partial heap -> exchange -> final heap, with no sort") {
+  test("plan is partial heap -> exchange -> sorted streaming final; input never sorted") {
     val plan = native(3).queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerGroupPartial"), plan)
-    assert(plan.contains("TopKPerGroupFinal"), plan)
-    // the whole point: no per-group SortExec anywhere in the operator
-    assert(!plan.toLowerCase.contains("sort "), plan)
+    val iFinal = plan.indexOf("TopKPerGroupFinal")
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    assert(iFinal >= 0 && iPartial > iFinal, plan)
+    // the whole point: the INPUT is never sorted — the only Sort in
+    // the plan is the spillable one over the pruned partial winners,
+    // i.e. between the final exec and the partial exec (tree order:
+    // final > sort > exchange > partial). Nothing below the partial.
+    val lower = plan.toLowerCase
+    assert(lower.indexOf("sort ", iPartial) === -1, plan)
+  }
+
+  test("partial flush budget: tiny budget only adds shuffle rows, never wrong answers") {
+    // budget of 8 retained rows with 100 groups forces many mid-stream
+    // flushes in the partial phase; the final phase must still select
+    // the exact per-group top-k
+    spark.conf.set("graft.topk.partialBudgetRows", "8")
+    try {
+      val many = spark.range(2000)
+        .select((col("id") % 100).cast("string").as("g"), col("id"),
+          (col("id") * 37 % 1000).as("score"))
+      val n = TopK.perGroup(many, Seq(col("g")), Seq(desc("score"), asc("id")), 3)
+        .select("g", "rnk", "id").collect().map(_.toString).sorted.toSeq
+      val w = {
+        val win = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+        many.withColumn("rnk", row_number().over(win).cast("long"))
+          .where(col("rnk") <= 3).select("g", "rnk", "id")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(n === w)
+    } finally spark.conf.unset("graft.topk.partialBudgetRows")
   }
 
   test("partial phase bounds rows shuffled per (group, partition) to k") {
