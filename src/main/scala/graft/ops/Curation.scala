@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY §2c.36-39): benchmark
+  * decontamination, deterministic stratified / mixture sampling, and
+  * PII scrubbing — the corpus-hygiene passes a large-scale training
+  * pipeline runs between dedup and shard packing.
+  *
+  * Every operator here is deterministic by construction (hash order,
+  * not RNG), so each one carries a full DuckDB hash oracle — no
+  * rows-only rows in this family.
+  */
+object Curation {
+
+  /** Benchmark decontamination (§2c.36): flag training docs that share
+    * any `k`-token shingle with an eval/benchmark doc — the standard
+    * n-gram-overlap contamination check run before training on scraped
+    * corpora (k=8..13 in published recipes).
+    *
+    * Returns (doc_id, n_hits): contaminated training docs with their
+    * count of distinct shared shingles.
+    *
+    * Scale shape: the eval set is tiny relative to the corpus (here a
+    * deterministic doc_id slice; in production the benchmark suite),
+    * so its distinct-shingle set is BROADCAST — the corpus-side scan
+    * streams map-only through tokenize → shingle → hash-join against
+    * the broadcast, and only matching (doc, shingle) rows reach the
+    * per-doc count. No shuffle touches the full shingle stream.
+    */
+  def contaminated(df: DataFrame, text: Column, id: Column,
+                   isEval: Column, k: Int = 8): DataFrame = {
+    val toks = split(text, " ")
+    // docs shorter than k tokens have no shingles: filter BEFORE
+    // sequence() so its bounds stay ascending
+    val shingled = df
+      .select(id.as("doc_id"), isEval.as("is_eval"), toks.as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), col("is_eval"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - lit(k - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("sh"))
+    val evalShingles = shingled.where(col("is_eval"))
+      .select("sh").distinct()
+    shingled.where(!col("is_eval"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** md5-as-sort-key: lowercase hex of the row id. Lexicographic order
+    * on fixed-width lowercase hex == numeric order on the hash, and
+    * both Spark and DuckDB produce identical md5 hex — so "first n by
+    * hash order" is a deterministic, engine-portable uniform sample.
+    */
+  private def hashKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Deterministic stratified sampling (§2c.37): keep at most `cap`
+    * docs per stratum, chosen by md5-hash order — a seeded uniform
+    * sample that is reproducible across engines and runs (unlike
+    * `TABLESAMPLE`/`rand()`, which can't be oracle-checked and
+    * resample on retry — poison for training-data lineage).
+    *
+    * Scale shape: one shuffle clustering by stratum, then a per-group
+    * rank. Spark plans WindowGroupLimit (SPARK-37099) for the
+    * row_number≤cap pattern, so each map partition prunes to `cap`
+    * rows per stratum before the exchange; a pathologically hot
+    * stratum degrades to that stratum's sort, not a global one.
+    */
+  def sampleStratified(df: DataFrame, stratum: Column, id: Column,
+                       cap: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Temperature-flattened mixture sampling (§2c.38): per-stratum
+    * quota ∝ sqrt(stratum size) — the α=0.5 power-law flattening used
+    * to rebalance source/language mixtures for LM training (small
+    * sources over-sampled relative to their share, giant sources
+    * capped). Within each stratum the kept docs are the md5-hash-order
+    * prefix, as in [[sampleStratified]].
+    *
+    * quota = max(1, floor(coeff·sqrt(n))). The coefficient is a fixed
+    * scale knob rather than a normalized global budget on purpose:
+    * normalizing by Σ sqrt(n_s) would make every quota depend on a
+    * float SUM whose accumulation order differs between engines (and
+    * between Spark runs) — a determinism hazard at exactly the
+    * floor() boundary. coeff·sqrt(n) with a power-of-two coeff is a
+    * single correctly-rounded IEEE op, bit-identical everywhere.
+    *
+    * Scale shape: quotas come from a groupBy-count over strata (tiny
+    * result, broadcast back); the per-stratum rank is the same
+    * WindowGroupLimit-prunable pattern as stratified sampling.
+    */
+  def sampleMixture(df: DataFrame, stratum: Column, id: Column,
+                    coeff: Double = 4.0): DataFrame = {
+    val quotas = df.groupBy(stratum.as("s"))
+      .agg(greatest(lit(1L),
+        floor(lit(coeff) * sqrt(count(lit(1))))).as("q"))
+    val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), stratum === col("s"))
+      .where(col("rn") <= col("q"))
+      .drop("rn", "s", "q")
+  }
+
+  /** Conservative cross-engine regexes: no \b, no backrefs, no lazy
+    * quantifiers — the subset where Java regex (Spark) and RE2
+    * (DuckDB) agree byte-for-byte on greedy matching.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing (§2c.39): redact email addresses and phone-shaped
+    * digit runs from a text column. Pure map-side regexp_replace —
+    * codegen'd, no shuffle, embarrassingly parallel; the 100 TB cost
+    * is exactly one streaming pass over the text bytes.
+    */
+  def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+}

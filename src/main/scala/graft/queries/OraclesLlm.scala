@@ -227,6 +227,64 @@ object OraclesLlm {
         |  round((doc_id % 256) / 255.0, 6) AS mean_r,
         |  round((doc_id * 7 % 256) / 255.0, 6) AS mean_g,
         |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 8-token shingles; eval slice = doc_id % 20 == 0. DuckDB
+    // range(1, n) is end-exclusive and t[i:j] is inclusive — both
+    // tuned to mirror Spark's sequence(1, size-7) + slice(t, i, 8).
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 8
+        |), ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+        |FROM sh s JOIN ev USING (sh) WHERE NOT s.is_eval
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // lexicographic order on fixed-width lowercase md5 hex == numeric
+    // hash order, identical in both engines
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // quota = max(1, floor(4·sqrt(n))) per source: a single
+    // correctly-rounded IEEE sqrt times a power-of-two coefficient —
+    // bit-identical across engines (no cross-stratum float sum)
+    "sample_mixture" ->
+      """WITH quota AS (
+        |  SELECT source AS s,
+        |    greatest(1, CAST(floor(4.0 * sqrt(count(*))) AS BIGINT)) AS q
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) d JOIN quota ON d.source = quota.s
+        |WHERE d.rn <= quota.q ORDER BY doc_id""".stripMargin,
+
+    // same augmented text on both sides; regex subset where Java
+    // regex and RE2 agree (no \b, no backrefs); DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all default
+    "pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@mail.example.org or call 555-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination flags docs sharing an 8-token shingle with eval") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"benchmark question $run and its answer"),        // eval
+      (1L, s"scraped page containing $run verbatim"),         // contaminated
+      (2L, "completely unrelated words nothing shared here at all"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminated(docs, col("text"), col("doc_id"),
+        col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) === 1L) // exactly the one planted 8-token shingle
+  }
+
+  test("stratified sample: per-stratum cap, deterministic, subset of input") {
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"), (col("id") % 7).cast("string").as("source"))
+    def ids = Curation.sampleStratified(docs, col("source"), col("doc_id"), 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = ids
+    assert(first === ids) // deterministic: same rows on re-run
+    val bySource = Curation.sampleStratified(docs, col("source"), col("doc_id"), 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.values.forall(_ <= 5) && bySource.size === 7)
+    assert(first.toSet.subsetOf((0L until 200L).toSet))
+  }
+
+  test("mixture sample: per-stratum quota is max(1, floor(4*sqrt(n)))") {
+    // skewed strata: 1, 10, 100 docs
+    val docs = spark.range(111).select(col("id").as("doc_id"),
+      when(col("id") < 1, "tiny").when(col("id") < 11, "mid")
+        .otherwise("huge").as("source"))
+    val got = Curation.sampleMixture(docs, col("source"), col("doc_id"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    def quota(n: Int) = math.max(1L, math.floor(4.0 * math.sqrt(n)).toLong)
+    assert(got === Map(
+      "tiny" -> math.min(1L, quota(1)),
+      "mid" -> math.min(10L, quota(10)),
+      "huge" -> quota(100)))
+    // the flattening: huge is 100x tiny in size but only ~10x in quota
+    assert(got("huge") <= 40L)
+  }
+
+  test("pii scrub redacts emails and phone runs, leaves prose intact") {
+    val docs = Seq(
+      (1L, "mail jane.doe+x@sub.example.co.uk or 555-1234 today"),
+      (2L, "no pii in this one 12-34 not a phone a@b not an email")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(docs, col("text"), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail <EMAIL> or <PHONE> today")
+    assert(out(2L) === "no pii in this one 12-34 not a phone a@b not an email")
+  }
+}
