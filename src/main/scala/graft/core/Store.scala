@@ -111,6 +111,25 @@ object Store {
     merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
   }
 
+  /** Hive-layout partitioned write: `<dir>/data/<col>=<value>/…`. A
+    * read with an equality/range predicate on the partition column
+    * lists and scans ONLY the matching directories (partition
+    * pruning: `PartitionFilters` in the scan, zero bytes read from
+    * other partitions). This is the coarse-grained sibling of the
+    * (field,value) index — at 100 TB the directory layout is the
+    * first index any query hits, and it composes with the row-group
+    * pushdown the plain layout already gets.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$dir/data")
+
+  /** reopen a partitioned write (partition column comes back as a
+    * directory-derived column)
+    */
+  def openPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+
   /** bucketed write for co-located joins: tables bucketed+sorted on
     * the same key join with NO shuffle on either side (the 100 TB
     * answer to "this join is run every day on the same key" — the

@@ -38,6 +38,18 @@ object TextAnalysis {
     * (§2c.30). Score: alpha-ratio and stopword-ratio reward natural
     * text; bare heuristic, but the point is the distributed shape.
     */
+  /** the quality score alone as a single stateless column expression
+    * — reusable anywhere a projection fits (e.g. the streaming
+    * curation face, where statelessness is the whole point)
+    */
+  def qualityCol(text: Column): Column = {
+    val alphaRatio = length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      nullif(length(text), lit(0))
+    val stopRatio = hitCount(text, stopwords("en")).cast("double") /
+      nullif(size(split(text, " ")), lit(0))
+    round(alphaRatio * 0.5 + least(stopRatio * lit(5.0), lit(1.0)) * 0.5, 6)
+  }
+
   def quality(df: DataFrame, text: Column, id: Column): DataFrame = {
     val nChars = length(text)
     val nAlpha = length(regexp_replace(text, "[^a-z]", ""))

@@ -153,6 +153,10 @@ object Oracles {
         |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "store_partitioned" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
+
     "store_roundtrip" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem

@@ -152,6 +152,19 @@ object RefSurface {
         .orderBy("field", "value")
     }),
 
+    // §2a.12d — partition-pruned reopen: documents written Hive-
+    // partitioned by source, reopened with a partition predicate —
+    // the scan lists only the matching directory (PartitionFilters;
+    // pruning is plan-asserted in StoreSpec)
+    "store_partitioned" -> ((s, d) => {
+      val dir = s"/tmp/graft_storep_${new java.io.File(d).getName}"
+      Store.writePartitioned(Tables.documents(s, d), dir, "source")
+      Store.openPartitioned(s, dir)
+        .where(col("source") === "src3")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // §2a.13 — Knn.keyValueWeights: CoStats log-odds weight per
     // (field,value) vs the target predicate p_type='ECONOMY'
     "knn_weights" -> ((s, d) =>

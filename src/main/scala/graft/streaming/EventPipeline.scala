@@ -89,4 +89,28 @@ object EventPipeline {
         array_distinct(split(lower(col(textCol)), " "))))
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("fp")
+
+  /** streaming curation — the streaming face of the §2c.30/39 batch
+    * pass (quality gate + PII scrub). Both stages are STATELESS
+    * map-side column expressions, so they compose with any upstream
+    * watermark/state operator and add zero state of their own: the
+    * exact property the batch operators were designed around (pure
+    * codegen'd projections) is what makes them streaming-safe for
+    * free. Spec-checked to agree with the batch operators row-by-row.
+    */
+  def curateStream(docs: DataFrame, textCol: String, idCol: String,
+                   minQuality: Double = 0.6): DataFrame = {
+    import graft.ops.Curation
+    // one projection: the quality score from the ORIGINAL text (the
+    // gate must judge the document, not the redaction tags) plus the
+    // scrubbed text that survives downstream
+    docs
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col(textCol), Curation.EmailRe, "<EMAIL>"),
+          Curation.PhoneRe, "<PHONE>"))
+      .select(col(idCol).as("doc_id"), col("scrubbed"),
+        graft.ops.TextAnalysis.qualityCol(col(textCol)).as("quality"))
+      .where(col("quality") >= minQuality)
+  }
 }

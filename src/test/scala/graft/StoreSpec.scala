@@ -101,6 +101,26 @@ class StoreSpec extends SparkSpec {
     assert(afterIx === beforeIx)
   }
 
+  test("partitioned write prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("storep").toString
+    Store.writePartitioned(data, dir, "cat")
+    val q = Store.openPartitioned(spark, dir).where($"cat" === "a")
+    // correctness: only cat=a rows come back
+    assert(q.select("cat").distinct().collect().map(_.getString(0)).toSeq === Seq("a"))
+    // plan: the predicate lands in PartitionFilters (directory-level
+    // pruning), not in the row-level data filters
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cat"), scan)
+    // and the non-matching partition directories are never read:
+    // selected partitions carry only the cat=a directory
+    val files = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.get
+    assert(files.nonEmpty && files.forall(_.contains("cat=a")), files)
+  }
+
   test("persisted index f() matches live recount") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     Store.write(data, dir, spec)

@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation gates on original-text quality and scrubs PII") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = EventPipeline.curateStream(docs, "text", "doc_id", minQuality = 0.5)
+      .writeStream.format("memory").queryName("scurate")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (0L, "the cat and the dog mail jane@example.com or 555-1234 in the house"),
+        (1L, "@@@@ #### $$$$ %%%% ^^^^"))
+      q.processAllAvailable()
+      val out = spark.table("scurate").as[(Long, String, Double)]
+        .collect().toSeq
+      assert(out.map(_._1) === Seq(0L)) // symbol soup gated out
+      assert(out.head._2 ===
+        "the cat and the dog mail <EMAIL> or <PHONE> in the house")
+      // score judged the ORIGINAL text: identical to the batch operator's
+      val batch = graft.ops.TextAnalysis.quality(
+          Seq((0L, "the cat and the dog mail jane@example.com or 555-1234 in the house"))
+            .toDF("doc_id", "text"), col("text"), col("doc_id"))
+        .head().getDouble(5)
+      assert(out.head._3 === batch)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
