@@ -104,7 +104,10 @@ object Curation {
         floor(lit(coeff) * sqrt(count(lit(1))))).as("q"))
     val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
     df.withColumn("rn", row_number().over(w))
-      .join(broadcast(quotas), stratum === col("s"))
+      // null-SAFE equality: a null stratum is a legitimate group (the
+      // window above treats it as one) and must match its own quota
+      // row, not silently drop out of the sample
+      .join(broadcast(quotas), stratum <=> col("s"))
       .where(col("rn") <= col("q"))
       .drop("rn", "s", "q")
   }

@@ -59,6 +59,25 @@ class NullRobustnessSpec extends SparkSpec {
     assert(s.count() >= 1) // no throw; null-token docs pass through
   }
 
+  test("curation ops tolerate null/empty text and null strata") {
+    import graft.ops.Curation
+    // null text → no shingles → simply absent from contamination
+    val c = Curation.contaminated(docs, col("text"), col("doc_id"),
+      col("doc_id") === 0L, k = 2)
+    assert(c.count() >= 0) // no throw; planted eval text too short anyway
+    // null scrub input → null scrubbed output, not a crash
+    val p = Curation.piiScrub(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(p.length === 5 && p(1).isNullAt(1))
+    // null stratum forms its own group in both samplers
+    val strat = Seq((0L, Some("s1")), (1L, None), (2L, None))
+      .toDF("doc_id", "source")
+    assert(Curation.sampleStratified(strat, col("source"), col("doc_id"), 1)
+      .count() === 2) // one per stratum incl. the null stratum
+    assert(Curation.sampleMixture(strat, col("source"), col("doc_id"))
+      .count() === 3) // quota >= 1 per stratum keeps all here
+  }
+
   test("decodeImages tolerates null payload bytes") {
     val p = Seq((0L, Some(Array[Byte](1, 2, 3))), (1L, None))
       .toDF("doc_id", "payload")
