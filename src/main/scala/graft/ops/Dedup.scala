@@ -85,19 +85,8 @@ object Dedup {
     * reproducible across runs/engines. p = 2³¹−1 keeps a·x within a
     * 64-bit long (a,x < 2³¹ → product < 2⁶²) — no 128-bit mult needed.
     */
-  private val MersenneP = (1L << 31) - 1
-  private def permParams(k: Int): Seq[(Long, Long)] = {
-    // splitmix64-ish deterministic param stream
-    var s = 0x9e3779b97f4a7c15L
-    def next(): Long = {
-      s += 0x9e3779b97f4a7c15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      (z ^ (z >>> 31)) & Long.MaxValue
-    }
-    (0 until k).map(_ => (next() % (MersenneP - 1) + 1, next() % MersenneP))
-  }
+  private val MersenneP = graft.functions.MinHash.MersenneP
+  private def permParams(k: Int) = graft.functions.MinHash.permParams(k)
 
   /** per-doc MinHash signature as array<long> of length k.
     * Shape: one scan → k codegen'd hash expressions → ONE groupBy
@@ -128,11 +117,11 @@ object Dedup {
     val sh = array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - w, lit(0))),
       i => array_join(slice(toks, i + 1, lit(w)), " ")))
-    val xs = transform(sh, s => pmod(xxhash64(s), lit(MersenneP)))
-    array(permParams(k).map { case (a, b) =>
-      array_min(transform(xs,
-        x => pmod(pmod(x * a, lit(MersenneP)) + b, lit(MersenneP))))
-    }: _*)
+    // the k-permutation min loop is the native codegen'd MinHashSig —
+    // the former k×(transform+array_min) spelling was CodegenFallback
+    // (interpreted, k boxed intermediate arrays per row; measured 12×
+    // slower than even the grouped shuffle build at sf0.1)
+    graft.functions.MinHash.minhashSig(sh, k)
   }
 
   /** MinHash + LSH banding near-dup pairs (§2c.25): band the
@@ -151,8 +140,23 @@ object Dedup {
                  minEstJaccard: Double = 0.5,
                  maxBucket: Long = 10000L): DataFrame = {
     val r = k / bands
-    val sh = shingles(df, text, id)
-    val sig = minhashSignatures(sh, k)
+    // MAP-ONLY signature build (minhashSigCol): one projection, no
+    // explode and no groupBy — the grouped build shuffled the whole
+    // shingle stream (~10× the text bytes at scale) just to take k
+    // mins. Spec-checked signature-equal to minhashSignatures, so
+    // pairs are identical. Null-text docs yield a null signature and
+    // are dropped here (the exploded build dropped them implicitly;
+    // without the filter they'd all collide in one xxhash64(null)
+    // bucket per band). The repartition is a MATERIALIZATION BARRIER,
+    // not a distribution need: without it CollapseProject inlines the
+    // signature expression into the null filter, each band hash and
+    // the carried column (~9× recompute — benign now that MinHashSig
+    // is a cheap codegen'd kernel, but still measurably slower); the
+    // exchange computes it once and ships (doc_id, k longs) rows,
+    // still ≪ the shingle-stream shuffle this build replaced.
+    val sig = df.select(id.as("doc_id"), minhashSigCol(text, k = k).as("sig"))
+      .where(col("sig").isNotNull)
+      .repartition(col("doc_id"))
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(array_join(
         transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
