@@ -118,7 +118,12 @@ object Bench {
           .filter(_.getName.endsWith(".json")))
       val all = files.toSeq.flatMap { f =>
         val txt = scala.io.Source.fromFile(f).mkString.replace("\\\"", "\"")
-        if (!txt.contains("\"errors\":")) Nil else
+        // same-SF artifacts only: a full-suite run against another
+        // dataset (e.g. the 3× scaling study) records times that are
+        // meaningless as baselines for this one. Artifacts that
+        // predate the sf field pass (they were all sf0.1 driver runs).
+        val sfOk = !txt.contains("\"sf\":") || txt.contains("\"sf\":\"" + sfDir + "\"")
+        if (!txt.contains("\"errors\":") || !sfOk) Nil else
         """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq.flatMap {
           _.group(1).split(",").flatMap { kv =>
             kv.split(":") match {
