@@ -70,4 +70,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("decontaminate broadcasts the eval-shingle side") {
+    // the corpus-side shingle stream must stream map-only into a
+    // broadcast hash join — an SMJ here would shuffle every shingle
+    // of the training corpus at 100 TB
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sample_stratified prunes per-stratum before the exchange (WindowGroupLimit)") {
+    val p = plan("sample_stratified")
+    // partial + final: one limit below the stratum exchange (map-side
+    // prune to cap rows per stratum per partition), one above
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("sample_mixture broadcasts the quota side") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pii_scrub is one map-side pass: no exchange except the output sort") {
+    val p = plan("pii_scrub")
+    // exactly one exchange — the rangepartitioning for the ORDER BY;
+    // the scrub itself must add none
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("minhash signature build has no shingle-stream explode or shuffle") {
+    // the MinHashSig projection replaced the explode+groupBy build:
+    // the only Generates left are the banding posexplodes over
+    // (doc_id, sig) rows — one per self-join side in the STATIC plan
+    // (AQE's stage cache reuses the common subplan at runtime). No
+    // Generate may run over the token/shingle stream.
+    val p = plan("dedup_minhash")
+    assert(p.contains("minhash_sig"), p)
+    val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.nonEmpty, p)
+    assert(generates.forall(_.contains("posexplode(array(xxhash64")), p)
+  }
 }
