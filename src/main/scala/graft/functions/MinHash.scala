@@ -68,6 +68,43 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** count of positions where two equal-length long arrays agree — the
+  * MinHash estimated-Jaccard numerator, evaluated once per CANDIDATE
+  * PAIR (the hottest row stream in the LSH join). The declarative
+  * `aggregate(zip_with(...))` spelling is CodegenFallback
+  * (HigherOrderFunction): interpreted, two boxed intermediate arrays
+  * per pair. This is one codegen'd loop, zero allocation. A position
+  * where either side is null does not match (mirrors
+  * `when(x === y, 1).otherwise(0)` under null semantics).
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sig_match_count requires (array<long>, array<long>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.matchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.MinHash.matchCount($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHash {
   /** p = 2³¹−1: a·x stays within a signed 64-bit long (a, x < 2³¹) */
   val MersenneP: Long = (1L << 31) - 1
@@ -120,7 +157,24 @@ object MinHash {
     out
   }
 
+  /** shared interpreted/codegen kernel for [[SigMatchCount]] */
+  def matchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** codegen'd k-permutation MinHash signature of an array<string> */
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(shingles), k))
+
+  /** codegen'd per-pair signature agreement count */
+  def sigMatchCount(a: Column, b: Column): Column =
+    GraftShims.column(SigMatchCount(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -178,11 +178,11 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .dropDuplicates("a", "b")
+    // per-pair verification via the codegen'd SigMatchCount — the
+    // aggregate(zip_with(...)) spelling is CodegenFallback
+    // (interpreted per candidate pair, the hottest row stream here)
     cand.select(col("a"), col("b"),
-        round(aggregate(
-            zip_with(col("siga"), col("sigb"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v)
+        round(graft.functions.MinHash.sigMatchCount(col("siga"), col("sigb"))
           .cast("double") / k, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
       .orderBy("a", "b")

@@ -101,6 +101,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("codegen'd sig_match_count equals the zip_with spelling on the corpus") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.minhashSigCol(col("text"), k = 32).as("sig"))
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.functions.MinHash.sigMatchCount(col("x.sig"), col("y.sig"))
+          .as("native"),
+        aggregate(
+          zip_with(col("x.sig"), col("y.sig"),
+            (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("declarative"))
+    assert(pairs.where(col("native") =!= col("declarative")).count() === 0)
+    assert(pairs.where(col("native") > 0).count() > 0) // non-degenerate
+  }
+
   test("simhash is deterministic and groups exact dups") {
     val a = Dedup.simhash(docs, col("text"), col("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
