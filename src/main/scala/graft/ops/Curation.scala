@@ -33,15 +33,15 @@ object Curation {
   def contaminated(df: DataFrame, text: Column, id: Column,
                    isEval: Column, k: Int = 8): DataFrame = {
     val toks = split(text, " ")
-    // docs shorter than k tokens have no shingles: filter BEFORE
-    // sequence() so its bounds stay ascending
+    // docs shorter than k tokens have no shingles: filter first, so
+    // the native shingle kernel (full windows for size >= k) matches
+    // the declarative sequence/slice spelling exactly
     val shingled = df
       .select(id.as("doc_id"), isEval.as("is_eval"), toks.as("t"))
       .where(size(col("t")) >= k)
       .select(col("doc_id"), col("is_eval"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - lit(k - 1)),
-          i => concat_ws(" ", slice(col("t"), i, lit(k))))).as("sh"))
+        explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+          distinct = false)).as("sh"))
     val evalShingles = shingled.where(col("is_eval"))
       .select("sh").distinct()
     shingled.where(!col("is_eval"))

@@ -25,13 +25,16 @@ object Dedup {
 
   // ------------------------------------------------------- shingle family
 
-  /** distinct w-word shingles per doc: (doc_id, shingle) */
+  /** distinct w-word shingles per doc: (doc_id, shingle). The shingle
+    * array is the native codegen'd [[graft.functions.WordShingles]]
+    * (the transform+array_join+array_distinct spelling is
+    * CodegenFallback — interpreted per row).
+    */
   def shingles(df: DataFrame, text: Column, id: Column, w: Int = 3): DataFrame = {
     val toks = split(lower(text), " ")
-    val sh = transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(w)), " "))
-    df.select(id.as("doc_id"), explode(array_distinct(sh)).as("shingle"))
+    df.select(id.as("doc_id"),
+      explode(graft.functions.TokenOps.wordShingles(toks, w, distinct = true))
+        .as("shingle"))
   }
 
   /** exact n-gram Jaccard pairs ≥ minJaccard (§2c.24): equi-join on
@@ -48,9 +51,7 @@ object Dedup {
     // (size of the distinct shingle array) — no explode, no shuffle,
     // no shared subtree to cache
     val toks = split(lower(text), " ")
-    val shArr = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(w)), " ")))
+    val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
     val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
     // skew cap as a COUNT WINDOW over the shingle partitioning: the
     // window requires hashpartitioning(shingle) — exactly what the
@@ -114,14 +115,12 @@ object Dedup {
     */
   def minhashSigCol(text: Column, w: Int = 3, k: Int = 16): Column = {
     val toks = split(lower(text), " ")
-    val sh = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(w)), " ")))
-    // the k-permutation min loop is the native codegen'd MinHashSig —
-    // the former k×(transform+array_min) spelling was CodegenFallback
-    // (interpreted, k boxed intermediate arrays per row; measured 12×
-    // slower than even the grouped shuffle build at sf0.1)
-    graft.functions.MinHash.minhashSig(sh, k)
+    // both stages are native codegen'd kernels — the former
+    // transform/array_min spellings were CodegenFallback (interpreted,
+    // boxed intermediate arrays per row; the k-permutation loop alone
+    // measured 12× slower than even the grouped shuffle build)
+    graft.functions.MinHash.minhashSig(
+      graft.functions.TokenOps.wordShingles(toks, w, distinct = true), k)
   }
 
   /** MinHash + LSH banding near-dup pairs (§2c.25): band the

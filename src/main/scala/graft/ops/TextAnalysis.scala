@@ -22,9 +22,12 @@ object TextAnalysis {
 
   private def tokensOf(text: Column): Column = split(lower(text), " ")
 
-  /** count of tokens that are in `words` */
+  /** count of tokens that are in `words` — native codegen'd
+    * [[graft.functions.CountInSet]] (the filter+isInCollection
+    * spelling is CodegenFallback: interpreted per row)
+    */
   private def hitCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokensOf(text), t => t.isInCollection(words)))
+    graft.functions.TokenOps.countInSet(tokensOf(text), words)
 
   /** whitespace + BPE-ish regex token counts (§2c.32) */
   def tokenCounts(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -80,7 +83,7 @@ object TextAnalysis {
     // <1 s at sf0.1)
     val toks = df.select(id.as("doc_id"), tokensOf(text).as("toks"))
     val counts = toks.select(col("doc_id") +: langs.map(l =>
-      size(filter(col("toks"), t => t.isInCollection(stopwords(l))))
+      graft.functions.TokenOps.countInSet(col("toks"), stopwords(l))
         .as(s"c_$l")): _*)
     val best = langs.foldLeft[(Column, Column)]((lit("und"), lit(0))) {
       case ((bl, bs), l) =>
@@ -115,9 +118,8 @@ object TextAnalysis {
         .as("dup_word_frac"))
     val bigrams = base.select(col("doc_id"), col("dup_word_frac"),
       explode_outer(when(size(col("toks")) >= 2,
-        transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat(element_at(col("toks"), i + 1), lit(" "),
-            element_at(col("toks"), i + 2))))).as("bg"))
+        graft.functions.TokenOps.wordShingles(col("toks"), 2,
+          distinct = false))).as("bg"))
     bigrams
       .groupBy("doc_id", "dup_word_frac", "bg")
       .agg(count(lit(1)).as("c"))
