@@ -205,14 +205,23 @@ object Dedup {
 
   /** Connected components over near-dup pairs → cluster assignment
     * (minimum reachable id wins), so a near-dup pair list becomes an
-    * actionable keep/drop set. Iterative label propagation: each
-    * round every node takes the min label in its neighborhood;
-    * converges in O(cluster diameter) rounds — near-dup clusters are
-    * shallow, so `maxIter` rounds of one shuffle each suffice. Each
-    * iteration persists its labels and unpersists the previous ones
-    * (bounded lineage — no exponential recompute at scale).
+    * actionable keep/drop set.
+    *
+    * SIZE-ROUTED like a join: a graph at or under `localEdgeLimit`
+    * edges is solved by union-find in ONE executor task (the
+    * broadcast-join move — tiny input, local algorithm), because the
+    * iterative path costs O(rounds) Spark jobs of pure fixed overhead
+    * on a graph that fits in a few MB. Anything larger takes the
+    * distributed path: iterative min-label propagation, one shuffle
+    * per round, converging in O(cluster diameter) rounds (near-dup
+    * clusters are shallow). Both paths produce the IDENTICAL exact
+    * labeling (min reachable id — spec-checked equal), so the routing
+    * is invisible to callers. The edge count that decides the route
+    * is read off the already-materialized checkpoint, not an extra
+    * scan.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 10,
+               localEdgeLimit: Long = 2_000_000L): DataFrame = {
     // Materialization policy: every intermediate is an EAGER
     // localCheckpoint, never a persist(). persist() pins blocks in the
     // session CacheManager until someone calls unpersist — in a
@@ -227,6 +236,7 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    if (edges.count() <= localEdgeLimit) return clustersLocal(edges)
     // round 0 folds the first propagation into initialization:
     // label = min(own id, min direct neighbour) — one round saved
     var labels = edges.groupBy(col("src").as("id"))
@@ -257,6 +267,41 @@ object Dedup {
     // the returned frame reads the final checkpoint's blocks — freed
     // by the ContextCleaner when the result is no longer referenced
     labels.orderBy("id")
+  }
+
+  /** small-graph CC: every edge into ONE executor task, classic
+    * union-find with path compression. Union always attaches the
+    * larger root under the smaller, so each component's root IS its
+    * minimum member id — the exact labeling the iterative path
+    * produces. Runs as a normal narrow plan (repartition(1) +
+    * mapPartitions), never a driver collect.
+    */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        while (it.hasNext) {
+          val (a, b) = it.next()
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach(id => out += ((id.toLong, find(id))))
+        out.iterator
+      }
+      .toDF("id", "label")
+      .orderBy("id")
   }
 
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (§2c.26).

@@ -101,6 +101,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("local union-find CC equals the iterative distributed path") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashLsh(corpus, col("text"), col("doc_id"))
+    def labels(limit: Long) =
+      Dedup.clusters(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // limit=0 forces the iterative path; default routes this small
+    // graph to single-task union-find — labelings must be identical
+    val it = labels(0L)
+    assert(it.nonEmpty)
+    assert(labels(Long.MaxValue) === it)
+  }
+
   test("codegen'd sig_match_count equals the zip_with spelling on the corpus") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val sigs = corpus.select(col("doc_id"),
