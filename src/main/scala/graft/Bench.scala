@@ -123,7 +123,13 @@ object Bench {
         // meaningless as baselines for this one. Artifacts that
         // predate the sf field pass (they were all sf0.1 driver runs).
         val sfOk = !txt.contains("\"sf\":") || txt.contains("\"sf\":\"" + sfDir + "\"")
-        if (!txt.contains("\"errors\":") || !sfOk) Nil else
+        // CLEAN artifacts only: runMeasured records a failed rep's
+        // (fast) elapsed time into `times`, so any artifact with a
+        // non-empty errors map may carry anomalously small per-query
+        // entries that would ratchet the min-baseline down into
+        // unfixable false regressions — skip the whole artifact
+        val errOk = txt.contains("\"errors\":{}")
+        if (!errOk || !sfOk) Nil else
         """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq.flatMap {
           _.group(1).split(",").flatMap { kv =>
             kv.split(":") match {

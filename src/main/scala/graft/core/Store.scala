@@ -16,17 +16,58 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
+  // ------------------------------------------------------- generations
+  //
+  // Index GENERATIONS make compaction reader-safe. The live index is
+  // the HIGHEST COMMITTED generation: `<dir>/index` is generation 0,
+  // each compact writes a complete replacement under
+  // `<dir>/index_g<k+1>` and marks it live by creating `_COMMITTED`
+  // (created only after the parquet write finishes — the atomic
+  // publish point). Readers resolve the highest committed generation
+  // when their frame is built; compact retains the immediately
+  // previous generation, so a reader planned before a compact keeps
+  // reading files that still exist. Only generations at least two
+  // compacts old are reclaimed. This is the standard log-structured
+  // publish protocol (what table formats do with a manifest), done
+  // with directories + a marker file so it works on any Hadoop FS.
+
+  private def fsFor(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** (root path, generation number) of the highest committed index
+    * generation; generation 0 is the base `<dir>/index` layout.
+    */
+  private[core] def currentIndexRoot(spark: SparkSession,
+                                     dir: String): (String, Int) = {
+    val (fs, base) = fsFor(spark, dir)
+    val gens =
+      if (!fs.exists(base)) Seq.empty[Int]
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("index_g"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("index_g").toInt).toOption)
+        .filter(g => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/index_g$g/_COMMITTED")))
+    if (gens.isEmpty) (s"$dir/index", 0)
+    else (s"$dir/index_g${gens.max}", gens.max)
+  }
+
   /** write rows + index as segment 0 (reference writeIndexedDf).
-    * Only the store-owned `data/` and `index/` subdirs are cleared —
+    * Only the store-owned `data/` and index subdirs are cleared —
     * never the whole target dir, which may be a path the caller also
     * keeps unrelated files under (a recursive root delete here would
     * silently destroy them).
     */
   def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    Seq(s"$dir/data", s"$dir/index").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(sub)
-      p.getFileSystem(conf).delete(p, true) // fresh store: clear prior segments
+    val spark = df.sparkSession
+    val (fs, base) = fsFor(spark, dir)
+    val stale = Seq(s"$dir/data", s"$dir/index") ++
+      (if (fs.exists(base)) fs.listStatus(base).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("index_g")).map(n => s"$dir/$n")
+       else Nil)
+    stale.foreach { sub => // fresh store: clear prior segments + generations
+      fs.delete(new org.apache.hadoop.fs.Path(sub), true)
     }
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
     IndexedFrame(df, spec).entries
@@ -65,17 +106,36 @@ object Store {
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = batch.sparkSession
-    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
-    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var (root, gen) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    // LEGACY MIGRATION: a pre-segment store wrote its index parquet
+    // directly under <dir>/index. Appending seg_* files next to those
+    // loose part-files would flip readers into segment mode and
+    // silently DROP the whole original index from every merge — so
+    // the legacy index is first moved, as-is, to become seg_0 of a
+    // fresh generation (a directory rename: no data is read or
+    // rewritten, preserving append's O(batch) cost).
+    if (gen == 0 && fs.exists(rootPath) &&
+        !fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_")) &&
+        fs.listStatus(rootPath).nonEmpty) {
+      val g1 = new org.apache.hadoop.fs.Path(s"$dir/index_g1")
+      fs.mkdirs(g1)
+      fs.rename(rootPath, new org.apache.hadoop.fs.Path(s"$dir/index_g1/seg_0"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/index_g1/_COMMITTED"))
+        .close()
+      root = s"$dir/index_g1"; gen = 1
+    }
+    val liveRoot = new org.apache.hadoop.fs.Path(root)
     val segId =
-      if (!fs.exists(indexRoot)) 0
-      else fs.listStatus(indexRoot)
+      if (!fs.exists(liveRoot)) 0
+      else fs.listStatus(liveRoot)
         .map(_.getPath.getName)
         .collect { case s if s.startsWith("seg_") => s.drop(4).toInt }
         .foldLeft(-1)(math.max) + 1
     batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
     IndexedFrame(batch, spec).entries
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_$segId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
   }
 
   /** merge-on-read over all index segments: union of the per-segment
@@ -86,29 +146,51 @@ object Store {
     */
   private[core] def mergedIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val (root, _) = currentIndexRoot(spark, dir)
     // layout compat: the pre-segment layout wrote the index parquet
     // directly under <dir>/index — serve it as-is when no seg_* dirs
     // exist rather than failing the path glob
-    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
-    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasSegments = fs.exists(indexRoot) &&
-      fs.listStatus(indexRoot).exists(_.getPath.getName.startsWith("seg_"))
-    val src = if (hasSegments) s"$dir/index/seg_*" else s"$dir/index"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSegments = fs.exists(rootPath) &&
+      fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_"))
+    val src = if (hasSegments) s"$root/seg_*" else root
     spark.read.parquet(src)
       .groupBy("field", "value").agg(sum("f").as("f"))
       .orderBy("field", "value")
   }
 
-  /** fold all index segments into seg_0 — run when a stream has
+  /** fold all index segments into one — run when a stream has
     * accumulated enough segments that merge-on-read amplification
     * matters (the reference's explicit writeMergedIndexedDf step).
+    *
+    * READER-SAFE: the merged index is written as a brand-new
+    * generation and published by its `_COMMITTED` marker; nothing the
+    * previous generation's readers hold is touched. Only generations
+    * OLDER than the one being replaced are reclaimed, so a frame
+    * opened before this compact stays readable until the NEXT compact
+    * — `append` is advertised as a foreachBatch sink, and a sink must
+    * never invalidate a concurrent reader mid-query.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // eager checkpoint: every read of the old generation completes
+    // here, before any directory is created or deleted
     val merged = mergedIndex(spark, dir).localCheckpoint(true)
-    val indexRoot = new org.apache.hadoop.fs.Path(s"$dir/index")
-    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(indexRoot, true)
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
+    val (fs, base) = fsFor(spark, dir)
+    val (_, gen) = currentIndexRoot(spark, dir)
+    val newRoot = s"$dir/index_g${gen + 1}"
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_0")
+    fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
+    // reclaim generations at least two compacts old (never `gen`
+    // itself — in-flight readers may still be planned against it)
+    val stale =
+      (if (gen > 0) Seq(s"$dir/index") else Nil) ++
+      fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("index_g"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("index_g").toInt).toOption)
+        .filter(_ < gen)
+        .map(g => s"$dir/index_g$g")
+    stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
   /** Hive-layout partitioned write: `<dir>/data/<col>=<value>/…`. A

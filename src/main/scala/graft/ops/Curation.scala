@@ -23,16 +23,29 @@ object Curation {
     * Returns (doc_id, n_hits): contaminated training docs with their
     * count of distinct shared shingles.
     *
-    * Scale shape: the eval set is tiny relative to the corpus (here a
+    * Both sides are NORMALIZED before shingling — lowercase +
+    * punctuation-strip + whitespace-collapse — as every published
+    * n-gram decontamination recipe does: "The Cat sat." and "the cat
+    * sat" must collide, or trivial case/punct variants of benchmark
+    * items leak through the check.
+    *
+    * Scale shape: the eval set is small relative to the corpus (here a
     * deterministic doc_id slice; in production the benchmark suite),
-    * so its distinct-shingle set is BROADCAST — the corpus-side scan
+    * so its distinct-shingle set is BROADCAST and the corpus-side scan
     * streams map-only through tokenize → shingle → hash-join against
-    * the broadcast, and only matching (doc, shingle) rows reach the
-    * per-doc count. No shuffle touches the full shingle stream.
+    * the broadcast — no shuffle touches the full shingle stream. The
+    * broadcast is SIZE-ROUTED like every other join in the library:
+    * the eval shingle set is materialized once (localCheckpoint), its
+    * count decides broadcast vs shuffle join, so an eval predicate
+    * that unexpectedly selects half the corpus degrades to a shuffle
+    * join instead of blowing the driver/broadcast limit.
     */
   def contaminated(df: DataFrame, text: Column, id: Column,
-                   isEval: Column, k: Int = 8): DataFrame = {
-    val toks = split(text, " ")
+                   isEval: Column, k: Int = 8,
+                   broadcastShingleLimit: Long = 5_000_000L): DataFrame = {
+    // normalization: lowercase, strip non-alphanumerics, collapse runs
+    // of spaces (stripped punctuation leaves double spaces behind)
+    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +")
     // docs shorter than k tokens have no shingles: filter first, so
     // the native shingle kernel (full windows for size >= k) matches
     // the declarative sequence/slice spelling exactly
@@ -44,9 +57,13 @@ object Curation {
           distinct = false)).as("sh"))
     val evalShingles = shingled.where(col("is_eval"))
       .select("sh").distinct()
-    shingled.where(!col("is_eval"))
-      .join(broadcast(evalShingles), "sh")
-      .groupBy("doc_id")
+      .localCheckpoint() // materialize once: sizing count + join probe
+    val corpus = shingled.where(!col("is_eval"))
+    val hits =
+      if (evalShingles.count() <= broadcastShingleLimit)
+        corpus.join(broadcast(evalShingles), "sh")
+      else corpus.join(evalShingles, "sh")
+    hits.groupBy("doc_id")
       .agg(count_distinct(col("sh")).as("n_hits"))
       .orderBy("doc_id")
   }

@@ -220,8 +220,8 @@ object Dedup {
     * is read off the already-materialized checkpoint, not an extra
     * scan.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10,
-               localEdgeLimit: Long = 2_000_000L): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 50,
+               localEdgeLimit: Long = 4_000_000L): DataFrame = {
     // Materialization policy: every intermediate is an EAGER
     // localCheckpoint, never a persist(). persist() pins blocks in the
     // session CacheManager until someone calls unpersist — in a
@@ -236,7 +236,19 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    if (edges.count() <= localEdgeLimit) return clustersLocal(edges)
+    // the local route requires ids that fit a long (its parent table is
+    // primitive long arrays); any other orderable id type (strings,
+    // decimals…) falls through to the iterative path — ROUTING must
+    // never change whether a call succeeds, only how it executes
+    val integralIds = edges.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && edges.count() <= localEdgeLimit)
+      return clustersLocal(edges)
     // round 0 folds the first propagation into initialization:
     // label = min(own id, min direct neighbour) — one round saved
     var labels = edges.groupBy(col("src").as("id"))
@@ -264,6 +276,17 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    // maxIter is a SAFETY VALVE, not an approximation knob: labels
+    // that are still moving are simply wrong (a cluster would be
+    // split), and near-dup decisions made on them would be silent
+    // corruption. Refuse rather than return them — graphs that
+    // legitimately need more rounds (long chains) should raise
+    // maxIter; min(id, min-neighbour) init keeps typical near-dup
+    // graphs (shallow, dense) at a handful of rounds.
+    if (changed)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds; " +
+        "raise maxIter (graph has a longer chain than expected)")
     // the returned frame reads the final checkpoint's blocks — freed
     // by the ContextCleaner when the result is no longer referenced
     labels.orderBy("id")
@@ -278,27 +301,16 @@ object Dedup {
     */
   private def clustersLocal(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
-    edges.select(col("src"), col("dst")).as[(Long, Long)]
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x
-          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-          r
-        }
+        val uf = new LongUnionFind()
         while (it.hasNext) {
           val (a, b) = it.next()
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+          uf.union(a, b)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        parent.keySet().forEach(id => out += ((id.toLong, find(id))))
-        out.iterator
+        uf.iterator
       }
       .toDF("id", "label")
       .orderBy("id")
@@ -422,5 +434,100 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .where(col("n") > 1)
       .orderBy("cluster")
+  }
+}
+
+/** Open-addressed primitive union-find over arbitrary long ids — the
+  * single-task engine behind [[Dedup.clusters]]'s small-graph route.
+  *
+  * Layout: `keys` holds the ids, `parent` holds SLOT INDICES (ints)
+  * into the same table, so the structure is three flat arrays with
+  * zero boxing — 13 bytes/slot vs the ~70 bytes/entry a boxed
+  * `HashMap[Long,Long]` costs (Long keys + values + node objects).
+  * At the 4M-edge routing limit (≤8M distinct ids, 16M slots at the
+  * 0.55 load ceiling) the table is ~200 MB in one task — the margin
+  * that lets the routing threshold sit at 4M rather than the old 2M.
+  *
+  * Union attaches the root with the LARGER id under the smaller, so
+  * each component's root id IS its minimum member id — the exact
+  * labeling the iterative min-label path produces (spec-checked).
+  * Find uses full path compression (two-pass). Table doubles at 55%
+  * load, so inserts stay O(1) amortized with short probe runs.
+  */
+private[graft] final class LongUnionFind(initialCapacity: Int = 1 << 16) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) - 1) << 1
+  private var keys = new Array[Long](cap)
+  private var parent = new Array[Int](cap)
+  private var used = new Array[Boolean](cap)
+  private var size = 0
+
+  private def slotOf(id: Long): Int = {
+    // splitmix64 finalizer — uniform over the pow2 table mask
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    var i = ((z ^ (z >>> 31)) & (cap - 1)).toInt
+    while (used(i) && keys(i) != id) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  private def insertOrGet(id: Long): Int = {
+    val i = slotOf(id)
+    if (!used(i)) {
+      used(i) = true; keys(i) = id; parent(i) = i; size += 1
+      if (size.toLong * 100 > cap.toLong * 55) { grow(); return slotOf(id) }
+    }
+    i
+  }
+
+  private def grow(): Unit = {
+    val (ok, op, ou, oc) = (keys, parent, used, cap)
+    cap = oc << 1
+    keys = new Array[Long](cap); parent = new Array[Int](cap)
+    used = new Array[Boolean](cap)
+    // remap: old parent slot indices translate via the old keys array
+    var i = 0
+    while (i < oc) {
+      if (ou(i)) {
+        val ni = slotOf(ok(i))
+        used(ni) = true; keys(ni) = ok(i)
+      }
+      i += 1
+    }
+    i = 0
+    while (i < oc) {
+      if (ou(i)) parent(slotOf(ok(i))) = slotOf(ok(op(i)))
+      i += 1
+    }
+  }
+
+  private def findSlot(s: Int): Int = {
+    var r = s
+    while (parent(r) != r) r = parent(r)
+    var c = s
+    while (c != r) { val n = parent(c); parent(c) = r; c = n }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    insertOrGet(a)
+    // insert b FIRST: it may grow the table, which invalidates any
+    // slot index taken for a before the growth
+    val rb = findSlot(insertOrGet(b))
+    val ra = findSlot(slotOf(a))
+    if (ra != rb) {
+      if (keys(ra) < keys(rb)) parent(rb) = ra else parent(ra) = rb
+    }
+  }
+
+  /** (id, component-min-id) for every id ever seen */
+  def iterator: Iterator[(Long, Long)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](size)
+    var i = 0
+    while (i < cap) {
+      if (used(i)) out += ((keys(i), keys(findSlot(i))))
+      i += 1
+    }
+    out.iterator
   }
 }

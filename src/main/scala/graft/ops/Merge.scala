@@ -18,9 +18,15 @@ import graft.core.{IndexSpec, IndexedFrame}
   */
 object Merge {
 
-  /** logical concatenation of N segments (MultiDf.autoClosing analog) */
+  /** logical concatenation of N segments (MultiDf.autoClosing analog).
+    * Segments may have DIFFERENT column sets — the reference
+    * merge-sorts the UNION of per-segment colIds and reads absent
+    * columns as empty (MultiDf.scala:43-57,109); the Spark analog is
+    * `allowMissingColumns`, which null-fills a column in segments
+    * that lack it.
+    */
   def multiFrame(segments: Seq[DataFrame]): DataFrame =
-    segments.reduce(_ unionByName _)
+    segments.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** zero-or-more-segment concatenation (reference
     * DfTest."merging-zero-indexed-dfs" / "empty-indexed-multidf":

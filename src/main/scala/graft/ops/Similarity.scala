@@ -56,6 +56,105 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** LSH-bucketed embedding near-dup PAIRS (§2c.27, scale path) — the
+    * pair-enumeration sibling of [[lshTopK]], built from the same
+    * pieces the shingle family proved out: [[hyperplaneSig]] banding,
+    * a (band,bucket) equi-self-join, the count-window skew cap that
+    * shares the join's hashpartitioning (one exchange, ReusedExchange),
+    * and exact-cosine verification ONLY within shared buckets. Never
+    * forms the all-pairs space: candidate volume is
+    * Σ_band Σ_bucket c²/2 ≈ bands · n²/2 · p_collide, and with r =
+    * nbits/bands sign bits per band a random pair collides with
+    * probability ~2^-r while a cos≥θ pair collides with
+    * (1−arccos θ/π)^r per band.
+    *
+    * The honest operating envelope, stated rather than hidden: banding
+    * prunes only when θ is a genuine NEAR-DUP threshold. A pair at
+    * cos 0.97 survives r=8 bands with p≈0.54 each (recall ≥0.99 over
+    * 8 bands) while background near-orthogonal pairs collide at 2^-8 —
+    * a ~30× candidate cut that widens with r. At a wide-angle
+    * threshold like cos 0.4 the per-bit agreement ratio between true
+    * and background pairs is only 0.63/0.5, so NO hyperplane banding
+    * prunes — and the output itself is a constant fraction of all n²/2
+    * pairs, so no algorithm enumerates it subquadratically. That
+    * regime belongs to [[cosinePairs]] (the declared exact baseline
+    * and this operator's spec-side verifier, like ngramJaccard is for
+    * minhashLsh); THIS operator is the 100 TB shape for dedup-grade
+    * thresholds.
+    *
+    * Reference analog: the whole point of the reference's index is
+    * that no query scans all pairs (Dfs.scala:330-408).
+    */
+  def lshCosinePairs(emb: DataFrame, minCos: Double,
+                     dim: Int = 64, nbits: Int = 64, bands: Int = 8,
+                     maxBucket: Long = 10000L): DataFrame = {
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val v = emb.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nrm"),
+      hyperplaneSig(col("embedding"), dim, nbits).as("sig"))
+    val bandKeys = array((0 until bands).map { b =>
+      shiftrightunsigned(col("sig"), b * r).bitwiseAND(mask)
+    }: _*)
+    // bucket skew cap as a count window over (band,bucket): forces the
+    // exact hashpartitioning the self-join needs, so the signature
+    // build + banding computes once and the second join side is a
+    // ReusedExchange (no session-lifetime persist) — the minhashLsh /
+    // simhashPairsOf pattern verbatim
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(bandKeys).as(Seq("band", "bucket")))
+      .withColumn("bn", count(lit(1)).over(wB))
+      .where(col("bn") <= maxBucket)
+      .drop("bn")
+    // exact-cosine verify INSIDE the join condition, before the
+    // pair-dedup shuffle: same cheap-raw-prefilter + round(…,6)
+    // discipline as cosinePairs (see the BigDecimal note there), so
+    // the survivors are bit-identical to the exact baseline's — this
+    // operator can only MISS pairs (bucket recall), never invent or
+    // re-score them: precision is exactly 1.0 by construction.
+    val rawCos = vecDot(col("x.embedding"), col("y.embedding")) /
+      (col("x.nrm") * col("y.nrm"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id") &&
+        rawCos >= minCos - 1e-6 &&
+        round(rawCos, 6) >= minCos)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(rawCos, 6).as("cos"))
+      .dropDuplicates("a", "b")
+      .orderBy("a", "b")
+  }
+
+  /** Deterministically plant near-duplicate vectors: for every source
+    * vector with `vec_id % every == 0`, append a copy at
+    * `vec_id + offset` jittered by ±`eps` per dimension (sign from
+    * splitmix64 of (vec_id, dim) — reproducible, no RNG state). On the
+    * unit-norm synthetic embeddings ±0.03 across 64 dims lands the
+    * copy at cos ≈ 0.97 to its source — a realistic near-dup. The
+    * synthetic corpus has NO high-cosine pairs (max pairwise cos is
+    * 0.51), so near-dup queries plant their own phenomenon, the same
+    * move pii_scrub makes for PII; both the approximate operator and
+    * its exact verifier see the SAME augmented frame.
+    */
+  def plantNearDups(emb: DataFrame, every: Int = 10,
+                    offset: Long = 1000000L, eps: Double = 0.03): DataFrame = {
+    // jitter sign via the Spark-native xxhash64 (codegen'd): ±eps by
+    // hash parity of (vec_id, dim). transform's lambda index is the
+    // only per-element hook; this runs over n/every rows only.
+    val jittered = transform(col("embedding"), (x, i) =>
+      (x.cast("double") +
+        when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 0, lit(eps))
+          .otherwise(lit(-eps))).cast("float"))
+    // withColumn (not select) so any side columns the table carries
+    // (e.g. the synthetic table's `label`) ride along unchanged
+    emb.unionByName(
+      emb.where(col("vec_id") % every === 0)
+        .withColumn("vec_id", col("vec_id") + offset)
+        .withColumn("embedding", jittered))
+  }
+
   /** brute-force cosine top-k per query vector (§2c.28): broadcast
     * the query side, rank per query. k·|Q| output rows. Ranking runs
     * through the custom bounded-heap operator ([[TopK.perGroup]]) —

@@ -209,9 +209,19 @@ case class TopKPerGroupFinalExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, s, k, rank, child) =>
-      val budget = SQLConf.get
+      val raw = SQLConf.get
         .getConfString(BoundedHeaps.BudgetConfKey,
-          BoundedHeaps.DefaultBudgetRows.toString).toInt
+          BoundedHeaps.DefaultBudgetRows.toString)
+      val parsed =
+        try raw.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${BoundedHeaps.BudgetConfKey} must be a positive integer row " +
+            s"count, got '$raw'")
+        }
+      // clamp to at least k: a budget below the heap size would flush
+      // per row and silently destroy the partial operator's pruning
+      val budget = math.max(k, parsed)
       TopKPerGroupFinalExec(g, s, k, rank,
         TopKPerGroupPartialExec(g, s, k, budget, planLater(child))) :: Nil
     case _ => Nil

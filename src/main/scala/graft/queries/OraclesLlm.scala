@@ -47,7 +47,44 @@ object OraclesLlm {
         |WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) >= 0.5
         |ORDER BY a, b""".stripMargin,
 
-    "dedup_embedding" ->
+    // the CC operator over the exact ngram-Jaccard pair graph: the
+    // recursive CTE computes each node's full reachable set (the
+    // graph is symmetrized, so min over reachables == component min ==
+    // exactly the label both Spark routes produce)
+    "dedup_clusters_exact" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+        |  FROM base
+        |), capped AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM capped x JOIN capped y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY a, b
+        |), jac AS (
+        |  SELECT a, b FROM pairs p
+        |  JOIN sz za ON p.a = za.doc_id JOIN sz zb ON p.b = zb.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6) >= 0.5
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM jac
+        |  UNION ALL SELECT b, a FROM jac
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        |)
+        |SELECT id, least(id, min(r)) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_embedding_exact" ->
       s"""WITH c AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
         |    round(${cos("x.embedding", "y.embedding")}, 6) AS cos
@@ -229,12 +266,16 @@ object OraclesLlm {
         |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // 8-token shingles; eval slice = doc_id % 20 == 0. DuckDB
-    // range(1, n) is end-exclusive and t[i:j] is inclusive — both
-    // tuned to mirror Spark's sequence(1, size-7) + slice(t, i, 8).
+    // 8-token shingles over NORMALIZED text (lowercase, strip
+    // non-alphanumerics, collapse spaces — mirrors the operator);
+    // eval slice = doc_id % 20 == 0. DuckDB range(1, n) is
+    // end-exclusive and t[i:j] is inclusive — both tuned to mirror
+    // Spark's sequence(1, size-7) + slice(t, i, 8).
     "decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  SELECT doc_id, string_split_regex(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t
+        |  FROM documents
         |), sh AS (
         |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
         |    unnest(list_transform(range(1, len(t) - 6),

@@ -21,6 +21,43 @@ class CurationSpec extends SparkSpec {
     assert(hits(1L) === 1L) // exactly the one planted 8-token shingle
   }
 
+  test("contamination survives case and punctuation variants") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val shouted = "Alpha, Beta!  GAMMA delta; Epsilon (zeta) eta THETA"
+    val docs = Seq(
+      (0L, s"benchmark question $run and its answer"),   // eval
+      (1L, s"scraped page quoting '$shouted' verbatim"), // case/punct variant
+      (2L, "completely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminated(docs, col("text"), col("doc_id"),
+        col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the un-normalized check let "The Cat sat" escape "the cat sat";
+    // normalized shingling must catch the variant
+    assert(hits.keySet === Set(1L), hits)
+  }
+
+  test("oversized eval sets route to a shuffle join, same result") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"benchmark question $run and its answer"),
+      (1L, s"scraped page containing $run verbatim"),
+      (2L, "completely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    def run1(limit: Long) = Curation.contaminated(docs, col("text"),
+        col("doc_id"), col("doc_id") === 0L, broadcastShingleLimit = limit)
+    assert(run1(0L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      run1(Long.MaxValue).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // and the oversized route carries NO broadcast hint (AQE may still
+    // pick broadcast at runtime for a genuinely tiny side — the route's
+    // job is only to never FORCE a huge side onto the driver), while
+    // the in-limit route does hint
+    assert(!run1(0L).queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    assert(run1(Long.MaxValue).queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+  }
+
   test("stratified sample: per-stratum cap, deterministic, subset of input") {
     val docs = spark.range(200)
       .select(col("id").as("doc_id"), (col("id") % 7).cast("string").as("source"))

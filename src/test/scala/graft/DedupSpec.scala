@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, LongUnionFind}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -112,6 +112,50 @@ class DedupSpec extends SparkSpec {
     val it = labels(0L)
     assert(it.nonEmpty)
     assert(labels(Long.MaxValue) === it)
+  }
+
+  test("primitive union-find equals iterative CC on a pseudo-random graph") {
+    // 30k hash-random edges over 12k nodes (avg degree ~5 ⇒ a giant
+    // component with logarithmic diameter) — big enough for real probe
+    // runs, cluster merges and path compression, far past anything the
+    // corpus specs exercise. xxhash64, NOT a congruential formula: a
+    // linear map makes long structured cycles whose diameter defeats
+    // round-bounded propagation.
+    val edges = spark.range(30000).select(
+      pmod(xxhash64(col("id")), lit(12000)).as("a"),
+      pmod(xxhash64(col("id"), lit(1)), lit(12000)).as("b"))
+      .where(col("a") =!= col("b"))
+    def labels(limit: Long) =
+      Dedup.clusters(edges, localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(Long.MaxValue)
+    assert(local.nonEmpty)
+    assert(labels(0L) === local)
+  }
+
+  test("union-find table growth preserves labels") {
+    // start at the minimum capacity so a 10k-node chain forces ~10
+    // doublings mid-stream; the chain's component min must survive
+    // every remap
+    val uf = new LongUnionFind(16)
+    (0 until 10000).foreach(i => uf.union(i.toLong, i.toLong + 1))
+    uf.union(20000L, 20001L)
+    val m = uf.iterator.toMap
+    assert(m.size === 10003)
+    (0 to 10000).foreach(i => assert(m(i.toLong) === 0L, s"id $i"))
+    assert(m(20000L) === 20000L && m(20001L) === 20000L)
+  }
+
+  test("non-integral ids fall through to the iterative path and succeed") {
+    // the local route is long-only; routing must never change whether
+    // a call succeeds — string ids take the iterative path even under
+    // the default (local-eligible) edge limit
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("a", "b")
+    val got = Dedup.clusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("codegen'd sig_match_count equals the zip_with spelling on the corpus") {

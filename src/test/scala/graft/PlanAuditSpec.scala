@@ -65,6 +65,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(p_size,25)"), p)
   }
 
+  test("dedup_embedding is LSH-bucketed: equi-join on buckets, no BNLJ/cartesian") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate generation is an equi-join on (band, bucket) — any
+    // hash/merge strategy qualifies; only nested-loop shapes don't
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("ann_ivf_topk broadcasts the probed query side, no cartesian") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)

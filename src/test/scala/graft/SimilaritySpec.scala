@@ -95,6 +95,49 @@ class SimilaritySpec extends SparkSpec {
     assert(viaLoaded.sameElements(viaFitted))
   }
 
+  test("lsh pair enumeration: recall >= 0.9 and precision 1.0 vs exact pairs") {
+    // the corpus has no high-cosine pairs (max pairwise cos 0.51), so
+    // the near-dup phenomenon is planted: jittered copies at cos≈0.97.
+    // BOTH sides see the same augmented frame — the exact quadratic
+    // verifier defines truth, the banded operator is graded against it.
+    val aug = Similarity.plantNearDups(emb)
+    val exact = Similarity.cosinePairs(aug, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCosinePairs(aug, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "planting produced no exact pairs")
+    assert((lsh -- exact).isEmpty, // in-bucket exact verify ⇒ no false positives
+      s"lsh invented pairs: ${(lsh -- exact).take(5)}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"lsh pair recall = $recall")
+  }
+
+  test("lsh pair scores are bit-identical to the exact baseline's") {
+    val aug = Similarity.plantNearDups(emb)
+    val exact = Similarity.cosinePairs(aug, 0.8)
+      .as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.lshCosinePairs(aug, 0.8)
+      .as[(Long, Long, Double)].collect().toMap2
+    lsh.foreach { case (k, c) => assert(exact(k) === c) }
+  }
+
+  private implicit class TripleOps(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+
+  test("planted near-dups land in the near-dup cosine regime") {
+    val aug = Similarity.plantNearDups(emb)
+    val planted = aug.where(col("vec_id") >= 1000000L)
+    val joined = planted.select((col("vec_id") - 1000000L).as("vec_id"),
+        col("embedding").as("e2"))
+      .join(emb, "vec_id")
+    val cosines = joined
+      .select(Similarity.cosine(col("embedding"), col("e2"))).as[Double].collect()
+    assert(cosines.nonEmpty)
+    cosines.foreach(c => assert(c > 0.9 && c < 1.0, s"planted cos $c"))
+  }
+
   test("hyperplane signature is deterministic") {
     val s1 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()
     val s2 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()

@@ -86,19 +86,65 @@ class StoreSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/index/seg_1").isDirectory)
   }
 
-  test("compact folds segments to one and preserves the merged index") {
+  test("compact folds segments to one generation and preserves the merged index") {
     val dir = java.nio.file.Files.createTempDirectory("cmp").toString
     Store.append(data.where($"id" <= 2), dir, spec)
     Store.append(data.where($"id" > 2), dir, spec)
     val beforeIx = Store.open(spark, dir, spec).persistedIndex
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     Store.compact(spark, dir)
-    val segs = new java.io.File(s"$dir/index").listFiles()
+    // the compacted index is a NEW committed generation with one segment
+    val segs = new java.io.File(s"$dir/index_g1").listFiles()
       .filter(_.getName.startsWith("seg_"))
     assert(segs.map(_.getName).toSeq === Seq("seg_0"))
+    assert(new java.io.File(s"$dir/index_g1/_COMMITTED").exists())
     val afterIx = Store.open(spark, dir, spec).persistedIndex
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(afterIx === beforeIx)
+  }
+
+  test("a reader opened before compact survives the compact (reader-safe)") {
+    val dir = java.nio.file.Files.createTempDirectory("cmpr").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2), dir, spec)
+    val reader = Store.open(spark, dir, spec) // planned against gen 0 segs
+    Store.compact(spark, dir)
+    // the pre-compact frame re-executes AFTER the compact: its input
+    // files (previous generation) must still exist — counts exact, no
+    // FileNotFound. A sink that invalidates concurrent readers would
+    // fail right here.
+    val ix = reader.persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix === Map(("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
+    // appends continue into the compacted generation, and a second
+    // compact folds them again; counts stay exact throughout
+    Store.append(data.select($"id" + 10, $"cat", $"v")
+      .toDF("id", "cat", "v"), dir, spec)
+    Store.compact(spark, dir)
+    val ix2 = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix2 === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
+  }
+
+  test("append to a legacy (pre-segment) store keeps the original index") {
+    val dir = java.nio.file.Files.createTempDirectory("leg").toString
+    // fabricate the legacy layout: index parquet directly under
+    // <dir>/index, no seg_* dirs
+    data.write.parquet(s"$dir/data")
+    graft.core.IndexedFrame(data, spec).entries
+      .write.parquet(s"$dir/index")
+    // sanity: legacy store reads fine as-is
+    val legacyIx = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(legacyIx === Map(("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
+    // append must MIGRATE the legacy index (to seg_0 of a fresh
+    // generation), not write seg_* beside it — the un-migrated layout
+    // silently dropped the entire original index from merges
+    Store.append(data.select($"id" + 10, $"cat", $"v").toDF("id", "cat", "v"),
+      dir, spec)
+    val ix = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
   }
 
   test("partitioned write prunes non-matching partitions at the scan") {
