@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingMinHash, SimHash64, VecDot}
+import graft.functions.{RollingMinHash, SimHash64, VecDot, WinnowedHashes}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so pure-SQL users get them too) and
@@ -44,7 +44,18 @@ object GraftExtensions {
         else RollingMinHash(children.head)),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (new FunctionIdentifier("winnowed_hashes"),
+      new ExpressionInfo(classOf[WinnowedHashes].getName, "winnowed_hashes"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int, dflt: Int) =
+          if (children.length > i) children(i).eval() match {
+            case x: Int => x
+            case l: Long => l.toInt
+            case other => other.toString.toInt
+          } else dflt
+        WinnowedHashes(children.head, intArg(1, 16), intArg(2, 8))
+      }))
 
   /** register on an already-running session (same builders the
     * extension injects; for sessions not launched with the config)

@@ -79,6 +79,78 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ------------------------------------------- duplicated spans (winnowing)
+
+  /** Cross-document duplicated-SPAN pairs (winnowing fingerprints —
+    * Schleimer et al., SIGMOD 2003): docs sharing at least `minShared`
+    * winnowed k-gram hashes, i.e. documents that contain copied byte
+    * runs even when the documents as a whole are dissimilar. This is
+    * the capability the whole-doc family (Jaccard / minhash / simhash)
+    * structurally lacks: a 300-byte boilerplate paragraph pasted into
+    * an otherwise-unique 50 KB doc moves whole-doc similarity by ~1%
+    * but is exactly what span-level contamination/dedup must catch
+    * (the published motivation for substring-level dedup of training
+    * corpora).
+    *
+    * GUARANTEE (from [[graft.functions.WinnowedHashes]]): any shared
+    * substring of ≥ winnowWindow + k − 1 bytes shares ≥ 1 selected
+    * fingerprint, so recall for spans above the detection length is
+    * structural, not probabilistic. `minShared` > 1 trades that
+    * floor-span recall for precision against single-hash coincidence.
+    *
+    * Scale shape — the shingle-family plan verbatim: the fingerprint
+    * build is a map-only native kernel (~2/(w+1) density, so the
+    * exploded stream is a small fraction of the k-gram stream); the
+    * ONLY exchange is hashpartitioning(h), forced by the hot-hash
+    * count window and reused by the self-join (ReusedExchange); hot
+    * fingerprints (mass boilerplate) are capped by `maxHashFreq`
+    * exactly like stop-shingles. Never O(n²).
+    */
+  def substringPairs(df: DataFrame, text: Column, id: Column,
+                     k: Int = 16, winnowWindow: Int = 8,
+                     minShared: Int = 2,
+                     maxHashFreq: Long = 1000L): DataFrame = {
+    val fps = df.select(id.as("doc_id"),
+      explode(graft.functions.TextHash.winnowedHashes(text, k, winnowWindow))
+        .as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = fps
+      .withColumn("hfreq", count(lit(1)).over(wH))
+      .where(col("hfreq") <= maxHashFreq)
+      .drop("hfreq")
+    capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
+  /** Deterministically plant span-duplicates: for every doc with
+    * `id % every == 0`, append a doc at `id + offset` whose text is a
+    * `spanLen`-byte prefix SLICE of the source wrapped in md5-derived
+    * filler unique to the new doc — a partial copy inside otherwise
+    * novel text, the phenomenon [[substringPairs]] exists to catch
+    * (whole-doc Jaccard on these pairs is near zero by construction).
+    * Same move as [[Similarity.plantNearDups]]/pii_scrub: the corpus
+    * gets the phenomenon deterministically, and every variant of the
+    * operator sees the SAME augmented frame.
+    */
+  def plantSpanDups(df: DataFrame,
+                    every: Int = 20, offset: Long = 2000000L,
+                    spanLen: Int = 240): DataFrame = {
+    // like plantNearDups, documents-shaped by contract: `doc_id` +
+    // `text` columns (side columns ride along via withColumn)
+    val filler = repeat(
+      concat(md5((col("doc_id") + offset).cast("string")), lit(" ")), 8)
+    df.unionByName(
+      df.where(col("doc_id") % every === 0)
+        .withColumn("text",
+          concat(filler, substring(col("text"), 1, spanLen), lit(" "), filler))
+        .withColumn("doc_id", col("doc_id") + offset))
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** deterministic permutation family h_i(x) = (a_i·x + b_i) mod p
