@@ -36,8 +36,8 @@ object BaselineProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // same 5-identity-column index shape as the snapshot's ExampleItem
-    val fields = Seq("l_returnflag", "l_linestatus", "l_shipmode",
-      "l_shipinstruct", "l_quantity")
+    val fields = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+      "l_tax", "l_quantity")
     val spec = IndexSpec(fields)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
@@ -107,6 +107,37 @@ object BaselineProbe {
         sum(when(a && !b, 1L).otherwise(0L))).head()
     }
     results += "bool_counts" -> (bq, 4L)
+
+    // 6-8. the reference snapshot's ACTUAL index shape is entry-heavy
+    //    (101,304 index entries for 262,144 items — ExampleItem's
+    //    tokenized text makes most entries near-unique). The synthetic
+    //    documents corpus has a ~50-word vocabulary, so its token
+    //    index can't reproduce that shape; the lineitem KEY columns
+    //    can: l_orderkey/l_partkey/l_suppkey give ~168k distinct
+    //    (field,value) entries over 600k rows (0.28 entries/item vs
+    //    the snapshot's 0.39) — same write/open/1024-lookup workload
+    //    at the same index-cardinality order of magnitude
+    val hiSpec = IndexSpec(Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val hwr = bestOf(3) { Store.write(li, s"$outDir/histore", hiSpec) }
+    results += "write_hicard_indexed" -> (hwr, nRows)
+
+    var nHiEntries = 0L
+    val hop = bestOf(3) {
+      nHiEntries =
+        Store.open(spark, s"$outDir/histore", hiSpec).persistedIndex.count()
+    }
+    results += "open_count_hicard_index" -> (hop, nHiEntries)
+
+    val hst = Store.open(spark, s"$outDir/histore", hiSpec)
+    val hkeys = hst.persistedIndex
+      .orderBy(xxhash64(col("field"), col("value"))).limit(1024)
+      .select("field", "value")
+    hkeys.count() // materialize the sample OUTSIDE the measured lookup
+    val hfr = bestOf(3) {
+      hst.persistedIndex.join(broadcast(hkeys), Seq("field", "value"))
+        .select(sum("f")).head()
+    }
+    results += "hicard_freq_1024" -> (hfr, 1024L)
 
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0
