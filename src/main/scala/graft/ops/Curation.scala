@@ -40,12 +40,31 @@ object Curation {
     * that unexpectedly selects half the corpus degrades to a shuffle
     * join instead of blowing the driver/broadcast limit.
     */
+  /** normalized tokens: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces (stripped punctuation leaves double spaces
+    * behind) — the ONE tokenizer every contamination face shares, so
+    * batch and streaming can never drift on normalization
+    */
+  def normTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +")
+
+  /** normalized distinct k-shingles of a STATIC eval/benchmark corpus
+    * — the static side of the streaming face
+    * ([[graft.streaming.EventPipeline.decontaminateStream]]); batch
+    * [[contaminated]] derives the same set from its own is_eval slice
+    */
+  def evalShingleSet(evalDocs: DataFrame, text: Column,
+                     k: Int = 8): DataFrame =
+    evalDocs.select(normTokens(text).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+        distinct = false)).as("sh"))
+      .distinct()
+
   def contaminated(df: DataFrame, text: Column, id: Column,
                    isEval: Column, k: Int = 8,
                    broadcastShingleLimit: Long = 5_000_000L): DataFrame = {
-    // normalization: lowercase, strip non-alphanumerics, collapse runs
-    // of spaces (stripped punctuation leaves double spaces behind)
-    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +")
+    val toks = normTokens(text)
     // docs shorter than k tokens have no shingles: filter first, so
     // the native shingle kernel (full windows for size >= k) matches
     // the declarative sequence/slice spelling exactly

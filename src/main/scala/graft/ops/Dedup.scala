@@ -127,6 +127,37 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Per-doc duplicated-span FRACTION (curation signal): the share of
+    * a doc's winnowed fingerprints that also appear in at least one
+    * OTHER doc — the document-level "how much of me is copied" number
+    * that published dedup studies gate on (duplicated-content
+    * fraction), where [[substringPairs]] names who it is shared with.
+    * Exact duplicates score 1.0, fully-novel docs 0.0, a doc with one
+    * pasted boilerplate paragraph scores ≈ span/|doc|.
+    *
+    * Plan: map-only fingerprint kernel → ONE exchange on the hash
+    * (count window marks hashes seen in >1 doc) → groupBy(doc_id).
+    * No join at all — strictly cheaper than pair enumeration, so it
+    * can run on corpora where even capped pairing is too hot.
+    */
+  def spanDupStats(df: DataFrame, text: Column, id: Column,
+                   k: Int = 16, winnowWindow: Int = 8): DataFrame = {
+    val fps = df.select(id.as("doc_id"),
+      explode(graft.functions.TextHash.winnowedHashes(text, k, winnowWindow))
+        .as("h"))
+    // winnowed hashes are distinct per doc, so a count>1 over the hash
+    // partitioning means ">1 distinct doc carries this fingerprint"
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    fps
+      .withColumn("shared",
+        when(count(lit(1)).over(wH) > 1, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        round(sum(col("shared")).cast("double") / count(lit(1)), 6)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministically plant span-duplicates: for every doc with
     * `id % every == 0`, append a doc at `id + offset` whose text is a
     * `spanLen`-byte prefix SLICE of the source wrapped in md5-derived

@@ -98,6 +98,36 @@ object EventPipeline {
     * codegen'd projections) is what makes them streaming-safe for
     * free. Spec-checked to agree with the batch operators row-by-row.
     */
+  /** streaming decontamination — the streaming face of §2c.36: flag
+    * arriving training docs that share any k-token shingle with a
+    * STATIC eval/benchmark set ([[graft.ops.Curation.evalShingleSet]]
+    * — benchmark suites are fixed at pipeline-launch time, which is
+    * precisely why the stream side can stay cheap). Shape: stateless
+    * normalize/shingle projection (the SAME
+    * [[graft.ops.Curation.normTokens]] the batch operator uses, so
+    * the faces cannot drift) → stream-static broadcast equi-join
+    * (STATELESS per Spark's stream-static join semantics) →
+    * watermark-bounded dropDuplicates on doc_id, the only state in
+    * the plan. Spec-checked: flags the same doc set as batch
+    * [[graft.ops.Curation.contaminated]] on the same corpus.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String, idCol: String,
+                          tsCol: String, evalShingles: DataFrame,
+                          k: Int = 8): DataFrame = {
+    import graft.ops.Curation
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        Curation.normTokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+          distinct = false)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .select("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -199,6 +199,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontaminate flags the same docs as the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "What is the Capital of France? Paris, obviously."))
+      .toDF("doc_id", "text")
+    val evalSh = graft.ops.Curation.evalShingleSet(evalDocs, col("text"), k = 5)
+
+    val corpus = Seq(
+      // contaminated: shares the normalized 5-gram despite case/punct
+      (0L, "trivia time: WHAT IS THE CAPITAL OF FRANCE!!! answer below"),
+      (1L, "a clean training document about distributed query engines here"),
+      (2L, "what is the capital of france is a question people ask a lot")
+    )
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.decontaminateStream(docs, "text", "doc_id", "ts",
+        evalSh, k = 5)
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(corpus.map { case (i, s) => (i, s, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sdecon").select("doc_id").as[Long]
+        .collect().toSet
+      // batch face on the same rows: union corpus + eval, is_eval flag
+      val batchDf = corpus.toDF("doc_id", "text")
+        .withColumn("is_eval", lit(false))
+        .unionByName(evalDocs.withColumn("is_eval", lit(true)))
+      val batch = graft.ops.Curation.contaminated(batchDf, col("text"),
+          col("doc_id"), col("is_eval"), k = 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)

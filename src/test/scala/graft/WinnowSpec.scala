@@ -148,6 +148,41 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("span-dup fraction: exact dups 1.0, novel docs 0.0, pasted span in between") {
+    val rnd = new scala.util.Random(5)
+    def words(n: Int) =
+      (0 until n).map(_ => (0 until 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val span = "the shared boilerplate passage that was pasted into both documents"
+    val same = words(200)
+    val docs = Seq(
+      (0L, same),                                   // exact dup of 1
+      (1L, same),
+      (2L, words(100) + " " + span + " " + words(100)), // partial copy of 3
+      (3L, words(100) + " " + span + " " + words(100)),
+      (4L, words(200))                              // fully novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(docs, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) === 1.0)
+    assert(r(1L) === 1.0)
+    assert(r(4L) === 0.0)
+    assert(r(2L) > 0.0 && r(2L) < 0.5, s"partial copy fraction ${r(2L)}")
+    assert(r(2L) === r(3L) || math.abs(r(2L) - r(3L)) < 0.2)
+  }
+
+  test("null and empty texts drop out of the span family without errors") {
+    val docs = Seq(
+      (0L, "a normal document with enough text to fingerprint reliably here"),
+      (1L, null.asInstanceOf[String]),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringPairs(docs, col("text"), col("doc_id")).count() === 0)
+    val ids = Dedup.spanDupStats(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(0L)) // null text → null fps; empty → empty set
+  }
+
   test("identical docs share their full fingerprint set") {
     val docs = Seq(
       (0L, "the same document text repeated here for the exact dup case entirely"),
