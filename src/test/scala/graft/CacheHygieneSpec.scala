@@ -66,6 +66,19 @@ class CacheHygieneSpec extends SparkSpec with Eventually {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("substringPairs materializes with zero persistent state") {
+    noop(Dedup.substringPairs(docs, col("text"), col("doc_id")))
+    assertNoPinnedState()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("contaminated's eval-shingle checkpoint drains after the result drops") {
+    noop(graft.ops.Curation.contaminated(docs, col("text"), col("doc_id"),
+      col("doc_id") % 20 === 0))
+    assertNoPinnedState() // sizing checkpoint is never CacheManager-pinned
+    drainCheckpoints()    // and its blocks drain on GC like clusters'
+  }
+
   test("clusters' checkpoint blocks are GC-reclaimed, never CacheManager-pinned") {
     // scope the result so the reference is droppable before the drain
     def runOnce(): Unit =

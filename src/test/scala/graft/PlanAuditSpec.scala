@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup_substring is equi-join shaped on the fingerprint: no BNLJ/cartesian") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_spandup computes its fraction with no join at all") {
+    val p = plan("text_spandup")
+    assert(!p.contains("Join"), p)
+  }
+
   test("ann_ivf_topk broadcasts the probed query side, no cartesian") {
     val p = plan("ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)
