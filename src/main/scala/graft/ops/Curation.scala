@@ -94,6 +94,39 @@ object Curation {
     */
   private def hashKey(id: Column): Column = md5(id.cast("string"))
 
+  /** Deterministic global training order (§2c.38b): every doc's
+    * position in md5-hash order — the reproducible global shuffle a
+    * training run needs for lineage (re-running the pipeline
+    * reproduces the exact epoch order; `rand()` and `TABLESAMPLE`
+    * cannot be replayed or oracle-checked).
+    *
+    * Scale shape — a global rank WITHOUT the single-partition global
+    * window (the classic two-phase rank): range-repartition on the
+    * hash key (contiguous, non-overlapping ranges, ascending by
+    * partition id) → per-PARTITION row_number (parallel window) →
+    * exclusive per-partition offsets (a partition-COUNT-sized
+    * aggregate, broadcast back). The only SinglePartition stage in
+    * the plan touches the ~numShufflePartitions offset rows, never
+    * the data. AQE may coalesce the range partitions; coalesced
+    * partitions are unions of ADJACENT ranges, so pid order remains
+    * global hash order and positions stay exact.
+    */
+  def shufflePositions(df: DataFrame, id: Column): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), hashKey(id).as("hk"))
+      .repartitionByRange(col("hk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid").orderBy(col("hk"), col("doc_id"))
+    val local = keyed.withColumn("ln", row_number().over(wP).cast("long"))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("ln") + col("off") - 1).as("pos"))
+      .orderBy("pos")
+  }
+
   /** Deterministic stratified sampling (§2c.37): keep at most `cap`
     * docs per stratum, chosen by md5-hash order — a seeded uniform
     * sample that is reproducible across engines and runs (unlike

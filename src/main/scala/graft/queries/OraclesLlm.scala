@@ -295,6 +295,13 @@ object OraclesLlm {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
+    // the naive global-window spelling IS the oracle; the measured
+    // query computes the same permutation with the two-phase rank
+    "shuffle_global" ->
+      """SELECT doc_id, row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
+
     // quota = max(1, floor(4·sqrt(n))) per source: a single
     // correctly-rounded IEEE sqrt times a power-of-two coefficient —
     // bit-identical across engines (no cross-stratum float sum)

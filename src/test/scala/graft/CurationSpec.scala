@@ -6,6 +6,25 @@ import graft.ops.Curation
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shufflePositions: exact md5-order permutation via the two-phase rank") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pos = Curation.shufflePositions(docs, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a permutation: positions are exactly 0..n-1
+    assert(pos.map(_._2).sorted.toSeq === (0L until pos.length.toLong))
+    // identical to the naive single-partition global window spelling
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs.select(col("doc_id"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos.toMap === naive)
+    // deterministic across runs
+    val again = Curation.shufflePositions(docs, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === pos.toMap)
+  }
+
   test("contamination flags docs sharing an 8-token shingle with eval") {
     val run = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
