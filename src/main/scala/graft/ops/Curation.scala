@@ -87,6 +87,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination (§2c.36b) — the 100 TB shape
+    * of [[contaminated]] when the eval shingle set outgrows an exact
+    * broadcast. The result is IDENTICAL (same oracle): the sketch only
+    * decides which corpus shingles reach the exact verify join.
+    *
+    * Why this is the scale path: [[contaminated]]'s fallback for a
+    * too-big eval set is a shuffle join, which shuffles the ENTIRE
+    * corpus shingle stream (~10× the text bytes) on the shingle key.
+    * Here the eval set is compressed to a Bloom filter — built
+    * DISTRIBUTED (treeAggregate of partial filters, driver holds only
+    * the merged ~MB sketch, the same sketch-sized-driver-state pattern
+    * as IVF centroids) — and broadcast into a map-side codegen'd
+    * probe ([[graft.functions.BloomMightContainLong]]) over xxhash64
+    * of each corpus shingle. Only survivors — true hits plus an `fpp`
+    * fraction of the stream — enter the exact verify join, so the
+    * shuffle shrinks from the whole corpus shingle stream to
+    * ~(hits + fpp·stream), and false positives die in the join. Exact
+    * answer, sketch-sized memory, map-only corpus scan.
+    */
+  def contaminatedBloom(df: DataFrame, text: Column, id: Column,
+                        isEval: Column, k: Int = 8,
+                        fpp: Double = 0.01): DataFrame = {
+    val toks = normTokens(text)
+    val shingled = df
+      .select(id.as("doc_id"), isEval.as("is_eval"), toks.as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), col("is_eval"),
+        explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+          distinct = false)).as("sh"))
+    // distinct eval shingles, materialized once: sizes the sketch,
+    // feeds the sketch build AND the exact verify join
+    val evalShingles = shingled.where(col("is_eval"))
+      .select("sh").distinct()
+      .localCheckpoint()
+    val nEval = evalShingles.count()
+    val bloom = evalShingles.select(xxhash64(col("sh")).as("hs"))
+      .stat.bloomFilter("hs", math.max(nEval, 1000L), fpp)
+    val corpus = shingled.where(!col("is_eval"))
+      .where(graft.functions.BloomF.mightContainLong(
+        xxhash64(col("sh")), bloom))
+    // exact verify: deliberately NO broadcast hint — the premise is an
+    // eval set too big to broadcast; the join's left side is already
+    // bloom-thinned, and AQE may still pick broadcast when it fits
+    corpus.join(evalShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** md5-as-sort-key: lowercase hex of the row id. Lexicographic order
     * on fixed-width lowercase hex == numeric order on the hash, and
     * both Spark and DuckDB produce identical md5 hex — so "first n by

@@ -290,6 +290,63 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Incremental cross-corpus near-dup detection (§2c.25d): pairs
+    * between a NEW batch and an EXISTING corpus — the daily-ingest
+    * shape, where re-pairing the corpus against itself (what
+    * [[minhashLsh]] on the union would do) is O(corpus²-candidates)
+    * of wasted work per batch. Returns (new_id, corpus_id,
+    * est_jaccard ≥ threshold).
+    *
+    * Same hash family, banding and verification as [[minhashLsh]]
+    * (signatures are interchangeable — one map-only projection per
+    * side), but the bucket join is new-vs-corpus only: candidate
+    * volume scales with |batch|, not |corpus|. At 100 TB the corpus
+    * side's banded signature table is exactly the thing a pipeline
+    * PERSISTS (a (doc_id, band, bucket) parquet via [[graft.core.Store]]
+    * — signature build amortized to ingest time); this operator's plan
+    * is then one scan of the batch + one bucket equi-join. The skew
+    * cap rides on the corpus side (count window over the same
+    * (band,bucket) partitioning the join needs — one exchange,
+    * ReusedExchange), since mass-boilerplate buckets live there.
+    */
+  def minhashLshCross(newDocs: DataFrame, corpus: DataFrame,
+                      text: Column, id: Column,
+                      k: Int = 32, bands: Int = 8,
+                      minEstJaccard: Double = 0.5,
+                      maxBucket: Long = 10000L): DataFrame = {
+    val r = k / bands
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
+    }: _*)
+    // same materialization barrier as minhashLsh: without the
+    // repartition, CollapseProject inlines the signature build into
+    // every band hash
+    def banded(d: DataFrame) =
+      d.select(id.as("doc_id"), minhashSigCol(text, k = k).as("sig"))
+        .where(col("sig").isNotNull)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(bandHashes).as(Seq("band", "bucket")))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val corpusBanded = banded(corpus)
+      .withColumn("bn", count(lit(1)).over(wB))
+      .where(col("bn") <= maxBucket)
+      .drop("bn")
+    val cand = banded(newDocs).as("x").join(corpusBanded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("new_id", "corpus_id")
+    cand.select(col("new_id"), col("corpus_id"),
+        round(graft.functions.MinHash.sigMatchCount(col("siga"), col("sigb"))
+          .cast("double") / k, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .orderBy("new_id", "corpus_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash fingerprint per doc (Charikar 2002): per-token

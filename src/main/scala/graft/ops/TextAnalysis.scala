@@ -133,6 +133,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-conditioned bigram-LM novelty signals (§2c.30c) — the
+    * deterministic form of the LM-fluency/novelty gate (the CCNet
+    * move: score each doc against a language model fitted on a
+    * reference corpus; here the "model" is the corpus's own bigram
+    * table):
+    *  - `avg_bigram_freq`: mean corpus frequency of the doc's bigram
+    *    occurrences — high ⇒ the doc is made of corpus-common word
+    *    transitions (boilerplate-like), low ⇒ unusual text;
+    *  - `novel_frac`: fraction of the doc's bigram occurrences whose
+    *    corpus frequency ≤ `rareAtMost` — the share of transitions
+    *    (essentially) unique to this doc.
+    *
+    * Deliberately INTEGER-EXACT rather than log-probability: every
+    * per-doc aggregate is a sum of longs (order-independent, exact),
+    * with ONE correctly-rounded IEEE division at the end — so the
+    * signal is bit-identical across engines and hash-oracled. A
+    * log-prob spelling would sum doubles whose accumulation order
+    * differs between engines AND whose `ln` is not correctly rounded
+    * (Java Math.log vs libm disagree by ulps) — the multidf_union
+    * lesson: float protocols that pass at toy scale drift at data
+    * scale.
+    *
+    * Plan shape: map-only bigram kernel → ONE exchange on the bigram
+    * (the count window marks each occurrence with its corpus
+    * frequency — same hashpartitioning a counts-join would need, but
+    * with no join and no second shuffle of the stream) → per-doc
+    * aggregate on the uniform doc_id key. Hot bigrams ("of the") make
+    * hot window partitions, the same skew class as hot shingles —
+    * bounded by AQE skew handling, and the window computes only a
+    * count (no buffering of the frame).
+    */
+  def bigramNovelty(df: DataFrame, text: Column, id: Column,
+                    rareAtMost: Long = 2L): DataFrame = {
+    val toks = tokensOf(text)
+    val base = df.select(id.as("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(graft.functions.TokenOps.wordShingles(col("toks"), 2,
+        distinct = false)).as("bg"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bg")
+    bigrams.withColumn("c", count(lit(1)).over(wB))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("c").cast("double") / count(lit(1)), 6)
+          .as("avg_bigram_freq"),
+        round(sum(when(col("c") <= rareAtMost, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(
       id.as("doc_id"),

@@ -286,6 +286,45 @@ object OraclesLlm {
         |FROM sh s JOIN ev USING (sh) WHERE NOT s.is_eval
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // IDENTICAL oracle to decontaminate: the bloom path is a map-side
+    // prefilter + exact verify, so any sketch-induced loss (a missed
+    // hit, a surviving false positive) is a hash mismatch here
+    "decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 8
+        |), ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+        |FROM sh s JOIN ev USING (sh) WHERE NOT s.is_eval
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // bigram stream mirrors text_repetition's full-window list
+    // comprehension (range is end-exclusive, slices inclusive); the
+    // per-doc aggregates are exact long sums with one final division,
+    // so doubles are bit-identical across engines
+    "text_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+1], ' ')
+        |            FOR i IN range(1, len(toks))]) AS bg
+        |  FROM base WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY bg) AS c FROM bg
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_bigram_freq,
+        |  round(CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS novel_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // lexicographic order on fixed-width lowercase md5 hex == numeric
     // hash order, identical in both engines
     "sample_stratified" ->

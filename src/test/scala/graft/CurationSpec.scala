@@ -77,6 +77,33 @@ class CurationSpec extends SparkSpec {
       .contains("strategy=broadcast"))
   }
 
+  test("bloom decontamination is exact: identical to the set-based path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = hits(Curation.contaminated(docs, col("text"),
+      col("doc_id"), col("doc_id") % 20 === 0))
+    val bloomed = hits(Curation.contaminatedBloom(docs, col("text"),
+      col("doc_id"), col("doc_id") % 20 === 0))
+    assert(exact.nonEmpty) // non-degenerate: the corpus has real hits
+    assert(bloomed === exact)
+  }
+
+  test("bloom false positives die in the verify join even at fpp 0.5") {
+    // an absurdly leaky sketch floods the prefilter with false
+    // positives; the exact verify join must still yield the exact
+    // answer — the sketch only ever decides how much work the join
+    // sees, never what the operator returns
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      hits(Curation.contaminatedBloom(docs, col("text"), col("doc_id"),
+        col("doc_id") % 20 === 0, fpp = 0.5)) ===
+      hits(Curation.contaminated(docs, col("text"), col("doc_id"),
+        col("doc_id") % 20 === 0)))
+  }
+
   test("stratified sample: per-stratum cap, deterministic, subset of input") {
     val docs = spark.range(200)
       .select(col("id").as("doc_id"), (col("id") % 7).cast("string").as("source"))

@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall; exact=${exact.size} approx=${approx.size}")
   }
 
+  test("incremental cross-corpus minhash recovers the exact cross-Jaccard pairs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    // exact cross pairs: ngramJaccard over everything, keep pairs that
+    // straddle the batch/corpus split, oriented (new, corpus)
+    val exactCross = Dedup.ngramJaccard(corpus, col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+      .filter(p => (p._1 % 5 == 3) != (p._2 % 5 == 3))
+      .map(p => if (p._1 % 5 == 3) p else p.swap)
+    val approx = Dedup.minhashLshCross(
+        corpus.where(col("doc_id") % 5 === 3),
+        corpus.where(col("doc_id") % 5 =!= 3),
+        col("text"), col("doc_id"))
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(exactCross.nonEmpty) // non-degenerate on this corpus
+    // orientation contract: new ids on the left, corpus ids on the right
+    assert(approx.forall(p => p._1 % 5 == 3 && p._2 % 5 != 3))
+    val recall = (exactCross & approx).size.toDouble / exactCross.size
+    assert(recall >= 0.9,
+      s"recall $recall; exact=${exactCross.size} approx=${approx.size}")
+  }
+
   test("simhash banded pairs EXACTLY match brute-force hamming <= 3") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val fp = Dedup.simhash(corpus, col("text"), col("doc_id"))

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TextSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram novelty: hand-checked corpus frequencies and fractions") {
+    val docs = Seq(
+      (0L, "a b c"), // bigrams: "a b" (corpus c=2), "b c" (c=1)
+      (1L, "a b d"), // bigrams: "a b" (c=2), "b d" (c=1)
+      (2L, "x y"),   // bigram:  "x y" (c=1)
+      (3L, "solo")   // < 2 tokens: no bigrams, no output row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNovelty(docs, col("text"), col("doc_id"),
+        rareAtMost = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L) === ((2L, 1.5, 0.5))) // avg (2+1)/2; only "b c" rare
+    assert(got(1L) === ((2L, 1.5, 0.5)))
+    assert(got(2L) === ((1L, 1.0, 1.0))) // its one bigram is unique
+  }
+
+  test("bigram novelty: corpus invariants (counts, ranges, duplicates)") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sig = TextAnalysis.bigramNovelty(corpus, col("text"), col("doc_id"))
+    val rows = sig.collect()
+    assert(rows.nonEmpty)
+    // n_bigrams = tokens - 1 for every doc with >= 2 tokens
+    val expected = corpus
+      .select(col("doc_id"), (size(split(lower(col("text")), " ")) - 1)
+        .cast("long").as("n"))
+      .where(col("n") >= 1)
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 1.0) // every bigram occurs at least once
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // a planted exact duplicate shares every bigram with its source,
+    // so neither doc's bigrams can be rare at rareAtMost=1 (each
+    // occurs >= 2 times corpus-wide) and both carry identical signals
+    val src = corpus.orderBy("doc_id").limit(1)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val planted = corpus.select("doc_id", "text")
+      .unionByName(Seq((9999999L, src._2)).toDF("doc_id", "text"))
+    val strict = TextAnalysis.bigramNovelty(planted, col("text"), col("doc_id"),
+        rareAtMost = 1L)
+      .where(col("doc_id").isin(src._1, 9999999L))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(strict.length === 2)
+    assert(strict(0) === strict(1))
+    assert(strict.head._3 === 0.0)
+  }
+}
