@@ -309,25 +309,41 @@ object Dedup {
     * (band,bucket) partitioning the join needs — one exchange,
     * ReusedExchange), since mass-boilerplate buckets live there.
     */
+  /** per-band bucket hashes of a `sig` column — shared by every LSH
+    * banding consumer so batch and streaming faces cannot drift
+    */
+  private[graft] def bandBucketHashes(k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
+    }: _*)
+  }
+
+  /** (doc_id, sig, band, bucket) banded MinHash signature table — the
+    * artifact an incremental pipeline PERSISTS for its corpus (e.g.
+    * via [[graft.core.Store]] / plain parquet) so each ingest batch
+    * joins against it without recomputing corpus signatures. Consumed
+    * by [[minhashLshCross]] (both sides) and the streaming face
+    * ([[graft.streaming.EventPipeline.crossDedupStream]], static side).
+    */
+  def bandedSignatures(df: DataFrame, text: Column, id: Column,
+                       k: Int = 32, bands: Int = 8): DataFrame =
+    // same materialization barrier as minhashLsh: without the
+    // repartition, CollapseProject inlines the signature build into
+    // every band hash
+    df.select(id.as("doc_id"), minhashSigCol(text, k = k).as("sig"))
+      .where(col("sig").isNotNull)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandBucketHashes(k, bands)).as(Seq("band", "bucket")))
+
   def minhashLshCross(newDocs: DataFrame, corpus: DataFrame,
                       text: Column, id: Column,
                       k: Int = 32, bands: Int = 8,
                       minEstJaccard: Double = 0.5,
                       maxBucket: Long = 10000L): DataFrame = {
-    val r = k / bands
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(array_join(
-        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
-    }: _*)
-    // same materialization barrier as minhashLsh: without the
-    // repartition, CollapseProject inlines the signature build into
-    // every band hash
-    def banded(d: DataFrame) =
-      d.select(id.as("doc_id"), minhashSigCol(text, k = k).as("sig"))
-        .where(col("sig").isNotNull)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("sig"),
-          posexplode(bandHashes).as(Seq("band", "bucket")))
+    def banded(d: DataFrame) = bandedSignatures(d, text, id, k, bands)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     val corpusBanded = banded(corpus)
       .withColumn("bn", count(lit(1)).over(wB))

@@ -128,6 +128,44 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** streaming incremental cross-corpus dedup — the streaming face of
+    * [[graft.ops.Dedup.minhashLshCross]] (§2c.25d): arriving docs get
+    * the map-only MinHash signature plus per-band bucket keys (one
+    * STATELESS projection — the same
+    * [[graft.ops.Dedup.bandBucketHashes]] the batch face uses, so the
+    * two can never drift), then a stream-static equi-join against the
+    * corpus's persisted banded signature table
+    * ([[graft.ops.Dedup.bandedSignatures]], fitted/stored at ingest
+    * time) with the codegen'd est-Jaccard verify in the join filter.
+    * Emits each arriving doc that is a near-dup of the corpus ONCE
+    * (watermark-bounded dropDuplicates on doc_id — the only state in
+    * the plan; the stream-static join itself is stateless per Spark's
+    * semantics). The broadcast hint fits benchmark-to-moderate corpus
+    * tables; a corpus too big to broadcast drops the hint and lets the
+    * static side shuffle per microbatch.
+    */
+  def crossDedupStream(docs: DataFrame, textCol: String, idCol: String,
+                       tsCol: String, corpusBands: DataFrame,
+                       k: Int = 32, bands: Int = 8,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    import graft.ops.Dedup
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        Dedup.minhashSigCol(col(textCol), k = k).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(Dedup.bandBucketHashes(k, bands)).as(Seq("band", "bucket")))
+      .join(broadcast(corpusBands.select(col("band"), col("bucket"),
+        col("sig").as("csig"), col("doc_id").as("corpus_id"))),
+        Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("corpus_id") &&
+        graft.functions.MinHash.sigMatchCount(col("sig"), col("csig"))
+          .cast("double") / k >= minEstJaccard)
+      .select("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -237,6 +237,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus dedup flags the same docs as the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "an existing corpus document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val corpusBands = graft.ops.Dedup.bandedSignatures(corpus,
+      col("text"), col("doc_id"), k = 16, bands = 4)
+
+    val arriving = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 100
+      (1L, "a completely novel document with fresh content and words"),
+      (2L, "an existing corpus document about distributed query engines")) // dup of 101
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.crossDedupStream(docs, "text", "doc_id", "ts",
+        corpusBands, k = 16, bands = 4)
+      .writeStream.format("memory").queryName("xdedup")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(arriving.map { case (i, s) => (i, s, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("xdedup").select("doc_id")
+        .as[Long].collect().toSet
+      // batch face on the same rows flags the same arriving docs
+      val batch = graft.ops.Dedup.minhashLshCross(
+          arriving.toDF("doc_id", "text"), corpus,
+          col("text"), col("doc_id"), k = 16, bands = 4)
+        .select("new_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
