@@ -342,14 +342,28 @@ object Dedup {
                       text: Column, id: Column,
                       k: Int = 32, bands: Int = 8,
                       minEstJaccard: Double = 0.5,
-                      maxBucket: Long = 10000L): DataFrame = {
-    def banded(d: DataFrame) = bandedSignatures(d, text, id, k, bands)
+                      maxBucket: Long = 10000L): DataFrame =
+    minhashLshCrossBands(bandedSignatures(newDocs, text, id, k, bands),
+      bandedSignatures(corpus, text, id, k, bands),
+      k, minEstJaccard, maxBucket)
+
+  /** [[minhashLshCross]] over PREBUILT band tables — the per-batch
+    * entry point of an incremental pipeline: the corpus side is the
+    * persisted [[bandedSignatures]] parquet (signatures computed once
+    * at ingest, reopened per batch), so each batch pays only its own
+    * signature build plus the bucket join. Spec-checked identical to
+    * the from-text spelling through a parquet round-trip.
+    */
+  def minhashLshCrossBands(newBanded: DataFrame, corpusBanded: DataFrame,
+                           k: Int = 32,
+                           minEstJaccard: Double = 0.5,
+                           maxBucket: Long = 10000L): DataFrame = {
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val corpusBanded = banded(corpus)
+    val capped = corpusBanded
       .withColumn("bn", count(lit(1)).over(wB))
       .where(col("bn") <= maxBucket)
       .drop("bn")
-    val cand = banded(newDocs).as("x").join(corpusBanded.as("y"),
+    val cand = newBanded.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") =!= col("y.doc_id"))

@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
       s"recall $recall; exact=${exactCross.size} approx=${approx.size}")
   }
 
+  test("cross dedup over a persisted corpus band table matches from-text") {
+    // the incremental-pipeline lifecycle: corpus signatures persisted
+    // once at ingest, each batch joins against the REOPENED parquet
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = corpus.where(col("doc_id") % 5 === 3)
+    val rest = corpus.where(col("doc_id") % 5 =!= 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    Dedup.bandedSignatures(rest, col("text"), col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val viaStore = Dedup.minhashLshCrossBands(
+        Dedup.bandedSignatures(batch, col("text"), col("doc_id")),
+        spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromText = Dedup.minhashLshCross(batch, rest,
+        col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore === fromText)
+    assert(viaStore.nonEmpty)
+  }
+
   test("simhash banded pairs EXACTLY match brute-force hamming <= 3") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val fp = Dedup.simhash(corpus, col("text"), col("doc_id"))

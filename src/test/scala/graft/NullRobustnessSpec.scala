@@ -78,6 +78,25 @@ class NullRobustnessSpec extends SparkSpec {
       .count() === 3) // quota >= 1 per stratum keeps all here
   }
 
+  test("bloom decontamination, bigram signals and cross dedup survive nulls") {
+    import graft.ops.Curation
+    // null/empty texts have no shingles — absent from hits, no throw
+    // (eval side includes the null-text doc on purpose)
+    assert(Curation.contaminatedBloom(docs, col("text"), col("doc_id"),
+      col("doc_id").isin(0L, 1L), k = 2).count() >= 0)
+    // null text → null token array → filtered before bigram explode;
+    // "" → [""] (1 token) filtered; "   " → 4 empty tokens, which DO
+    // form (degenerate) bigrams — same tokenizer contract as quality
+    val b = TextAnalysis.bigramNovelty(docs, col("text"), col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(b === Set(0L, 3L, 4L))
+    // null-signature docs are dropped on BOTH sides of the cross join
+    val x = Dedup.minhashLshCross(docs.where(col("doc_id") >= 3),
+      docs.where(col("doc_id") < 3), col("text"), col("doc_id"))
+    assert(x.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((4L, 0L))) // the surviving exact pair across the split
+  }
+
   test("decodeImages tolerates null payload bytes") {
     val p = Seq((0L, Some(Array[Byte](1, 2, 3))), (1L, None))
       .toDF("doc_id", "payload")
