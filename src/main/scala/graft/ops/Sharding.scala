@@ -20,17 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  def tokenBudgeted(df: DataFrame, text: Column, id: Column, part: Column,
-                    budget: Long): DataFrame = {
+  /** per-doc shard assignment — (part, doc_id, ntok, shard); the
+    * grouped [[tokenBudgeted]] stats and the streaming face
+    * ([[graft.streaming.EventPipeline.shardStream]]) both derive from
+    * this rule, so the faces cannot drift
+    */
+  def assignShards(df: DataFrame, text: Column, id: Column, part: Column,
+                   budget: Long): DataFrame = {
     val w = Window.partitionBy("part").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(part.as("part"), id.as("doc_id"),
         size(split(text, " ")).cast("long").as("ntok"))
       .withColumn("cum", sum("ntok").over(w))
       .withColumn("shard",
-        floor((col("cum") - col("ntok")) / lit(budget.toDouble)))
+        floor((col("cum") - col("ntok")) / lit(budget.toDouble)).cast("long"))
+      .drop("cum")
+  }
+
+  def tokenBudgeted(df: DataFrame, text: Column, id: Column, part: Column,
+                    budget: Long): DataFrame =
+    assignShards(df, text, id, part, budget)
       .groupBy("part", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
       .orderBy("part", "shard")
-  }
 }

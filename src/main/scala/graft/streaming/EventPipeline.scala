@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-streaming form of the events analytics (SURVEY §2b.21):
   * readStream → event-time watermark → tumbling-window agg →
@@ -164,6 +165,52 @@ object EventPipeline {
       .select("doc_id", "ts")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")
+  }
+
+  /** streaming shard packing — the streaming face of
+    * [[graft.ops.Sharding.assignShards]] (§2c.35b): continuous
+    * token-budgeted training-shard assignment over an ingest stream,
+    * per source. This is the one pipeline face whose state is not
+    * expressible with watermarks/dropDuplicates — the running token
+    * count per source must SURVIVE across micro-batches — so it uses
+    * the typed custom-state operator (flatMapGroupsWithState) with a
+    * single long of state per source key.
+    *
+    * Semantics match the batch rule exactly when docs arrive in
+    * doc_id order (the spec drives both faces over the same feed):
+    * shard = ⌊cum-tokens-before-doc / budget⌋, cum per source.
+    * Within one micro-batch the group iterator is sorted by doc_id
+    * (micro-batch group contents are small; cross-batch order is the
+    * stream's responsibility, as for any append-time assignment).
+    * Docs with null text carry no tokens (counted 0 here; the batch
+    * face marks their shard null — a corpus with null texts should be
+    * curated before sharding either way). State: ONE long per source
+    * — O(#sources), no timeout (sources are few and long-lived; a
+    * bounded-source pipeline can add a processing-time timeout).
+    */
+  def shardStream(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(sourceCol).cast("string").as("part"),
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+          .as("ntok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (part: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._2).map { case (_, docId, ntok) =>
+            cum += ntok
+            (part, docId, ntok, (cum - ntok) / budget)
+          }
+          state.update(cum)
+          out.iterator
+        })
+      .toDF("part", "doc_id", "ntok", "shard")
   }
 
   def curateStream(docs: DataFrame, textCol: String, idCol: String,

@@ -274,6 +274,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming shard packing matches the batch assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // texts sized so shard boundaries land MID-batch and MID-stream:
+    // budget 6 tokens, docs of 4 tokens each → shard changes every
+    // second doc, and the running count must survive the batch break
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq(
+      (0L, "src_a", txt(4)), (1L, "src_a", txt(4)),
+      (2L, "src_b", txt(4)))
+    val batch2 = Seq(
+      (3L, "src_a", txt(4)), (4L, "src_b", txt(4)),
+      (5L, "src_b", txt(4)))
+
+    val stream = MemoryStream[(Long, String, String)]
+    val docs = stream.toDF().toDF("doc_id", "source", "text")
+    val q = EventPipeline.shardStream(docs, "text", "doc_id", "source", 6L)
+      .writeStream.format("memory").queryName("sshard")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sshard")
+        .select("part", "doc_id", "shard")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.ops.Sharding.assignShards(
+          (batch1 ++ batch2).toDF("doc_id", "source", "text"),
+          col("text"), col("doc_id"), col("source"), 6L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+        .toMap
+      assert(streamed === batch)
+      // the cross-batch boundary did its job: doc 3 (src_a's third doc,
+      // arriving in batch 2) continues src_a's count, not a fresh one
+      assert(streamed(("src_a", 3L)) === 1L)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
