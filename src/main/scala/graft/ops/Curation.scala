@@ -122,11 +122,19 @@ object Curation {
       .select("sh").distinct()
       .localCheckpoint()
     val nEval = evalShingles.count()
-    val bloom = evalShingles.select(xxhash64(col("sh")).as("hs"))
-      .stat.bloomFilter("hs", math.max(nEval, 1000L), fpp)
-    val corpus = shingled.where(!col("is_eval"))
-      .where(graft.functions.BloomF.mightContainLong(
-        xxhash64(col("sh")), bloom))
+    // stat.bloomFilter NPEs on a zero-row frame (the aggregate yields
+    // a null buffer); an empty eval set means nothing can be flagged,
+    // so short-circuit the prefilter to false rather than build a
+    // sketch from nothing
+    val corpusAll = shingled.where(!col("is_eval"))
+    val corpus =
+      if (nEval == 0) corpusAll.where(lit(false))
+      else {
+        val bloom = evalShingles.select(xxhash64(col("sh")).as("hs"))
+          .stat.bloomFilter("hs", math.max(nEval, 1000L), fpp)
+        corpusAll.where(graft.functions.BloomF.mightContainLong(
+          xxhash64(col("sh")), bloom))
+      }
     // exact verify: deliberately NO broadcast hint — the premise is an
     // eval set too big to broadcast; the join's left side is already
     // bloom-thinned, and AQE may still pick broadcast when it fits

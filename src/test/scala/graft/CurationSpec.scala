@@ -104,6 +104,21 @@ class CurationSpec extends SparkSpec {
         col("doc_id") % 20 === 0)))
   }
 
+  test("empty eval set: both decontamination paths return empty, no throw") {
+    // no doc matches the eval predicate — the exact path's broadcast
+    // set and the bloom path's sketch are both EMPTY; each must yield
+    // zero hits (an empty sketch that flagged anything would poison
+    // the corpus scan)
+    val docs = Seq(
+      (1L, "some ordinary training document with plenty of words in it to shingle"),
+      (2L, "another training document with enough words for an eight gram here"))
+      .toDF("doc_id", "text")
+    assert(Curation.contaminated(docs, col("text"), col("doc_id"),
+      lit(false)).count() === 0)
+    assert(Curation.contaminatedBloom(docs, col("text"), col("doc_id"),
+      lit(false)).count() === 0)
+  }
+
   test("stratified sample: per-stratum cap, deterministic, subset of input") {
     val docs = spark.range(200)
       .select(col("id").as("doc_id"), (col("id") % 7).cast("string").as("source"))
