@@ -19,6 +19,9 @@ case class DecodedImage(doc_id: Long, width: Int, height: Int,
 /** one sampled frame from a multi-frame payload */
 case class FramePayload(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 
+/** one non-empty histogram bucket of a decoded image channel */
+case class ImageFeature(doc_id: Long, channel: String, bin: Int, n_px: Long)
+
 /** decoded frame: (doc, frame) key + true dimensions and pixel means */
 case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Int, height: Int,
                         mean_r: Double, mean_g: Double, mean_b: Double)
@@ -209,6 +212,59 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** REAL feature extraction over decoded rasters (§2c.34e): per-
+    * channel intensity histogram — `bins` equal-width buckets over
+    * [0,256), emitted as (doc_id, channel, bin, n_px) rows for every
+    * NON-EMPTY bucket. The extract walks the actual decoded pixels
+    * (same batch-shaped typed mapPartitions as [[decodeImages]]), so
+    * it is the feature-extraction half of the media pipeline with a
+    * real codec in front — and because the synthetic payloads are
+    * solid-colour functions of doc_id, the full histogram is SQL-
+    * computable and the query is hash-oracled. Undecodable payloads
+    * emit no feature rows (tag-and-quarantine, consistent with a real
+    * pipeline routing bad media aside rather than aborting the batch).
+    */
+  def histogramFeatures(payloads: DataFrame, bins: Int = 8): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) Iterator.empty
+          else {
+            val hr = new Array[Long](bins)
+            val hg = new Array[Long](bins)
+            val hb = new Array[Long](bins)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                hr(((p >> 16) & 0xff) / width) += 1
+                hg(((p >> 8) & 0xff) / width) += 1
+                hb((p & 0xff) / width) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Seq("r" -> hr, "g" -> hg, "b" -> hb).iterator.flatMap {
+              case (ch, hist) =>
+                hist.iterator.zipWithIndex.collect {
+                  case (n, bin) if n > 0 => ImageFeature(id, ch, bin, n)
+                }
+            }
+          }
+        }
+      }.toDF()
   }
 
   /** Deterministic multi-frame ("video") payload: `nFrames`

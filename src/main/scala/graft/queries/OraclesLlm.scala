@@ -256,6 +256,20 @@ object OraclesLlm {
         |CROSS JOIN (SELECT CAST(unnest([0, 2]) AS BIGINT) AS frame_idx)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // solid-colour payloads: each channel's w·h pixels land in ONE
+    // 32-wide bin that is a pure function of doc_id
+    "multimodal_features" ->
+      """SELECT doc_id, channel,
+        |  CAST(CASE channel
+        |    WHEN 'r' THEN (doc_id % 256) // 32
+        |    WHEN 'g' THEN (doc_id * 7 % 256) // 32
+        |    ELSE (doc_id * 13 % 256) // 32 END AS BIGINT) AS bin,
+        |  CAST((16 + doc_id % 16) * (16 + (doc_id // 16) % 16) AS BIGINT)
+        |    AS n_px
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['r', 'g', 'b']) AS channel)
+        |ORDER BY doc_id, channel, bin""".stripMargin,
+
     // resize to 8×8 preserves a solid colour's channel means exactly
     "multimodal_resize" ->
       """SELECT doc_id,

@@ -93,6 +93,29 @@ class MultimodalSpec extends SparkSpec {
     assert(d(0).getAs[Double]("mean_r") === 0.0)
   }
 
+  test("histogram features count real pixels across multiple bins") {
+    // hand-built 4x2 PNG: left half black (bin 0 for every channel),
+    // right half near-white 250 (bin 7) — a genuinely multi-bin raster,
+    // so the test proves the extractor reads pixels, not metadata
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xfafafa)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payloads = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val got = Multimodal.histogramFeatures(payloads)
+      .collect().map(r =>
+        (r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      ("r", 0) -> 4L, ("r", 7) -> 4L,
+      ("g", 0) -> 4L, ("g", 7) -> 4L,
+      ("b", 0) -> 4L, ("b", 7) -> 4L))
+    // undecodable payloads are quarantined: zero feature rows, no throw
+    val junk = Seq((2L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.histogramFeatures(junk).count() === 0)
+  }
+
   test("decode summary emits only scalar (sortable) columns") {
     val p = Multimodal.asPayload(docs, col("text"), col("doc_id"))
     val s = Multimodal.decodeSummary(Multimodal.stubDecode(p))
