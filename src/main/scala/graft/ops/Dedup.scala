@@ -135,22 +135,28 @@ object Dedup {
     * Exact duplicates score 1.0, fully-novel docs 0.0, a doc with one
     * pasted boilerplate paragraph scores ≈ span/|doc|.
     *
-    * Plan: map-only fingerprint kernel → ONE exchange on the hash
-    * (count window marks hashes seen in >1 doc) → groupBy(doc_id).
-    * No join at all — strictly cheaper than pair enumeration, so it
-    * can run on corpora where even capped pairing is too hot.
+    * Plan: map-only fingerprint kernel → grouped per-hash counts +
+    * count join (both sides the same subtree partitioned on the hash
+    * → ONE exchange, ReusedExchange) → groupBy(doc_id). No pair
+    * enumeration — strictly cheaper than pairing, so it can run on
+    * corpora where even capped pairing is too hot. Grouped count
+    * rather than `count() OVER (PARTITION BY h)` for the same reason
+    * as [[TextAnalysis.bigramNovelty]]: mass-boilerplate fingerprints
+    * are KEPT (they are exactly the signal), and a window would sort
+    * the hot hash's whole stream in one task at 100 TB, while the
+    * grouped count collapses it map-side and AQE splits the skewed
+    * join partition.
     */
   def spanDupStats(df: DataFrame, text: Column, id: Column,
                    k: Int = 16, winnowWindow: Int = 8): DataFrame = {
     val fps = df.select(id.as("doc_id"),
       explode(graft.functions.TextHash.winnowedHashes(text, k, winnowWindow))
         .as("h"))
-    // winnowed hashes are distinct per doc, so a count>1 over the hash
-    // partitioning means ">1 distinct doc carries this fingerprint"
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    fps
-      .withColumn("shared",
-        when(count(lit(1)).over(wH) > 1, 1L).otherwise(0L))
+    // winnowed hashes are distinct per doc, so a per-hash count > 1
+    // means ">1 distinct doc carries this fingerprint"
+    val counts = fps.groupBy("h").agg(count(lit(1)).as("hc"))
+    fps.join(counts, "h")
+      .withColumn("shared", when(col("hc") > 1, 1L).otherwise(0L))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"),
         round(sum(col("shared")).cast("double") / count(lit(1)), 6)

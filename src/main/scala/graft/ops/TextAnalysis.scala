@@ -155,14 +155,18 @@ object TextAnalysis {
     * lesson: float protocols that pass at toy scale drift at data
     * scale.
     *
-    * Plan shape: map-only bigram kernel → ONE exchange on the bigram
-    * (the count window marks each occurrence with its corpus
-    * frequency — same hashpartitioning a counts-join would need, but
-    * with no join and no second shuffle of the stream) → per-doc
-    * aggregate on the uniform doc_id key. Hot bigrams ("of the") make
-    * hot window partitions, the same skew class as hot shingles —
-    * bounded by AQE skew handling, and the window computes only a
-    * count (no buffering of the frame).
+    * Plan shape: map-only bigram kernel → grouped corpus counts +
+    * count join, then a per-doc aggregate on the uniform doc_id key.
+    * The counts side and the join's probe side are the SAME exploded
+    * subtree partitioned the same way, so Catalyst plans ONE exchange
+    * (ReusedExchange). Deliberately a groupBy+join rather than
+    * `count() OVER (PARTITION BY bg)`: hot bigrams ("of the", ~1% of
+    * a real corpus) are KEPT here, not capped away, and a window
+    * would sort that key's entire occurrence stream in one task at
+    * 100 TB — whereas the grouped count collapses it map-side
+    * (partial aggregation) and AQE's skew-join splits the join-side
+    * hot partition. The window spelling is reserved for the cap
+    * sites, where everything past the threshold is dropped.
     */
   def bigramNovelty(df: DataFrame, text: Column, id: Column,
                     rareAtMost: Long = 2L): DataFrame = {
@@ -172,8 +176,8 @@ object TextAnalysis {
     val bigrams = base.select(col("doc_id"),
       explode(graft.functions.TokenOps.wordShingles(col("toks"), 2,
         distinct = false)).as("bg"))
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bg")
-    bigrams.withColumn("c", count(lit(1)).over(wB))
+    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("c"))
+    bigrams.join(counts, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("c").cast("double") / count(lit(1)), 6)

@@ -81,9 +81,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("text_spandup computes its fraction with no join at all") {
+  test("text_spandup: count-join on the hash, never pair rows or a hot-key window") {
     val p = plan("text_spandup")
-    assert(!p.contains("Join"), p)
+    // no pair enumeration: the only join is the equi count-join of the
+    // fingerprint stream against its own AGGREGATED counts
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // and no Window over the fingerprint: a hot (mass-boilerplate)
+    // hash would sort its whole occurrence stream in ONE task at
+    // 100 TB; the grouped count collapses it map-side instead
+    assert(!p.contains("Window"), p)
+  }
+
+  test("text_bigram_lm: grouped counts + equi join, no hot-bigram window") {
+    val p = plan("text_bigram_lm")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("ann_ivf_topk broadcasts the probed query side, no cartesian") {
