@@ -4,17 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join — for each left row, the most recent
-  * right row with the same key and right.time <= left.time.
+/** As-of (point-in-time) join — for each left row, the right row with
+  * the same key that is nearest in time on the requested side:
+  * `backward` (default): most recent right with right.time <=
+  * left.time; `forward`: earliest right with right.time >= left.time;
+  * `nearest`: whichever of the two is closer (ties → backward).
   *
   * Spark has no native ASOF JOIN; the naive range-join spelling
   * (`l.key = r.key AND r.t <= l.t` + a per-row max) explodes to a
   * range join with O(|l|·|r|/keys) intermediate rows. This operator
   * uses the union + ordered-window formulation instead: tag both
   * sides, union, and per key take `last(right payload, ignoreNulls)`
-  * over rows ordered by (time, right-before-left). ONE shuffle on the
-  * key, no row explosion — the shape that survives a fact-fact
-  * point-in-time join at 100 TB.
+  * over rows ordered by (time, right-before-left) — `first` over the
+  * mirrored frame for forward. ONE shuffle on the key, no row
+  * explosion — the shape that survives a fact-fact point-in-time join
+  * at 100 TB. (`nearest` evaluates both frames over the same
+  * partitioning: one exchange, two window sorts.)
   *
   * Right rows must be unique per (key, time) — pre-aggregate the
   * right side (the caller picks the tie-break, e.g. max id per
@@ -25,23 +30,51 @@ object AsOf {
 
   /** @param rightPayload right-side columns to carry (name → column),
     *                     evaluated against `right`
+    * @param direction "backward" | "forward" | "nearest"
     */
   def join(left: DataFrame, leftKey: Column, leftTime: Column,
            right: DataFrame, rightKey: Column, rightTime: Column,
-           rightPayload: Seq[(String, Column)]): DataFrame = {
+           rightPayload: Seq[(String, Column)],
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
+    // carry the matched right TIME alongside the payload: `nearest`
+    // needs it to compare distances; the plain directions drop it
+    val names = rightPayload.map(_._1) :+ "__rt"
     val l = left.select(
       (Seq(leftKey.as("__k"), leftTime.as("__t"), lit(0).as("__r")) ++
         leftCols.map(left(_))): _*)
     val r = right.select(
       (Seq(rightKey.as("__k"), rightTime.as("__t"), lit(1).as("__r")) ++
-        rightPayload.map { case (n, c) => c.as(n) }): _*)
+        rightPayload.map { case (n, c) => c.as(n) } :+
+        rightTime.as("__rt")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy("__k")
+    // backward: right rows sort BEFORE a left row at the same time
+    // (equality is a match), scan looks back; forward mirrors it
+    val wB = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.map { case (n, _) =>
-      last(col(n), ignoreNulls = true).over(w).as(n)
+    val wF = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__r").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def back(n: String) = last(col(n), ignoreNulls = true).over(wB)
+    def fwd(n: String) = first(col(n), ignoreNulls = true).over(wF)
+    val carried: Seq[Column] = direction match {
+      case "backward" => rightPayload.map { case (n, _) => back(n).as(n) }
+      case "forward"  => rightPayload.map { case (n, _) => fwd(n).as(n) }
+      case "nearest" =>
+        // pick per ROW (one winner for all payload columns): backward
+        // unless forward exists and is strictly closer
+        val bt = back("__rt")
+        val ft = fwd("__rt")
+        val takeBack = ft.isNull ||
+          (bt.isNotNull &&
+            (col("__t").cast("long") - bt.cast("long")) <=
+            (ft.cast("long") - col("__t").cast("long")))
+        rightPayload.map { case (n, _) =>
+          when(takeBack, back(n)).otherwise(fwd(n)).as(n)
+        }
     }
     u.select((Seq(col("__r")) ++ leftCols.map(col) ++ carried): _*)
       .where(col("__r") === 0)

@@ -127,6 +127,25 @@ object Analytics {
     // §2b.33 — as-of join: each event paired with the user's most
     // recent order at event time (union+window formulation — one
     // shuffle, no range-join explosion).
+    // §2b.22l2 — the forward direction of the as-of join: for each
+    // ORDER, the user's first event at or after the order date (the
+    // "next touch after purchase" shape); same union+window plan
+    "asof_join_forward" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val ev = Tables.events(s, d)
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("event_id"))
+      graft.ops.AsOf.join(
+          ord, col("o_custkey"), col("o_orderdate"),
+          ev, col("user_id"), col("ts"),
+          Seq("event_id" -> col("event_id"), "ts" -> col("ts")),
+          direction = "forward")
+        .where(col("event_id").isNotNull)
+        .select("o_orderkey", "o_custkey", "event_id", "ts")
+        .orderBy("o_orderkey")
+    }),
+
     "asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
       val ord = Tables.orders(s, d)

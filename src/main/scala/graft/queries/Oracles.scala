@@ -331,6 +331,18 @@ object Oracles {
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
         |) ORDER BY custkey""".stripMargin,
 
+    // DuckDB ASOF with a <= comparison selects the nearest FOLLOWING
+    // right row — the forward direction
+    "asof_join_forward" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id, ts
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, r.event_id, r.ts
+        |FROM orders o ASOF JOIN r
+        |  ON o.o_custkey = r.user_id AND o.o_orderdate <= r.ts
+        |ORDER BY o_orderkey""".stripMargin,
+
     "asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

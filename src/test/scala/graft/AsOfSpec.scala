@@ -35,6 +35,45 @@ class AsOfSpec extends SparkSpec {
     assert(res(4L) === None)        // no quote yet
   }
 
+  test("asof forward picks the earliest right row at or after left time") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:20")), // equal ts counts (>=)
+      (3L, "A", ts("2024-01-01 10:00:30"))  // after the last quote
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:10"), 101.0),
+      ("A", ts("2024-01-01 10:00:20"), 102.0)
+    ).toDF("sym", "qt", "price")
+    val res = AsOf.join(
+        trades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")), direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(res(1L) === Some(101.0)) // 10:00:05 → next quote at 10:00:10
+    assert(res(2L) === Some(102.0)) // equal timestamp included
+    assert(res(3L) === None)        // nothing follows
+  }
+
+  test("asof nearest picks the closer side, backward on ties") {
+    // long times make the distance arithmetic explicit
+    val evs = Seq(
+      (1L, "A", 10L), // back 8 (d=2) vs fwd 13 (d=3) → backward
+      (2L, "A", 12L), // back 8 (d=4) vs fwd 13 (d=1) → forward
+      (3L, "A", 18L), // back 13 (d=5) = fwd 23 (d=5) → tie → backward
+      (4L, "A", 2L)   // nothing before → forward
+    ).toDF("ev_id", "k", "t")
+    val ref = Seq(
+      ("A", 8L, "q8"), ("A", 13L, "q13"), ("A", 23L, "q23")
+    ).toDF("k", "rt", "v")
+    val res = AsOf.join(evs, col("k"), col("t"),
+        ref, col("k"), col("rt"),
+        Seq("v" -> col("v")), direction = "nearest")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(res === Map(1L -> "q8", 2L -> "q13", 3L -> "q13", 4L -> "q8"))
+  }
+
   test("asof plan shuffles once on the key — no range-join explosion") {
     val trades = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("trade_id", "sym", "t")
     val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "price")
