@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingMinHash, SimHash64, VecDot, WinnowedHashes}
+import graft.functions.{MinHashSig, RollingMinHash, SigMatchCount, SimHash64, VecDot, WinnowedHashes, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so pure-SQL users get them too) and
@@ -55,7 +55,27 @@ object GraftExtensions {
             case other => other.toString.toInt
           } else dflt
         WinnowedHashes(children.head, intArg(1, 16), intArg(2, 8))
-      }))
+      }),
+    (new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children.head, GraftExtensions.intLit(children, 1, 3),
+          distinct = GraftExtensions.intLit(children, 2, 1) != 0)),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children.head, GraftExtensions.intLit(children, 1, 16))),
+    (new FunctionIdentifier("sig_match_count"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
+      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
+
+  /** evaluate an optional literal int argument (defaults if absent) */
+  private def intLit(children: Seq[Expression], i: Int, dflt: Int): Int =
+    if (children.length > i) children(i).eval() match {
+      case x: Int => x
+      case l: Long => l.toInt
+      case other => other.toString.toInt
+    } else dflt
 
   /** register on an already-running session (same builders the
     * extension injects; for sessions not launched with the config)

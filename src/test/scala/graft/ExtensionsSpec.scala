@@ -33,6 +33,32 @@ class ExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(h3 !== 0L)
   }
+
+  test("registered SQL kernels: word_shingles, minhash_sig, sig_match_count") {
+    GraftExtensions.register(spark)
+    // word_shingles(tokens, w, distinct) mirrors the DataFrame kernel
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','a','b','c'), 3, 1) AS s")
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c a", "c a b"))
+    // identical token arrays → identical signatures, full match count
+    val m = spark.sql(
+      """SELECT sig_match_count(
+        |  minhash_sig(word_shingles(array('x','y','z','w'), 3, 1), 16),
+        |  minhash_sig(word_shingles(array('x','y','z','w'), 3, 1), 16)) AS m"""
+        .stripMargin).head().getInt(0)
+    assert(m === 16)
+    // and the SQL signature equals the DataFrame-side operator's
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dfSig = Seq(Tuple1("x y z w")).toDF("text")
+      .select(graft.ops.Dedup.minhashSigCol(col("text"), k = 16).as("sig"))
+      .head().getSeq[Long](0)
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(word_shingles(split(lower('x y z w'), ' '), 3, 1), 16)")
+      .head().getSeq[Long](0)
+    assert(sqlSig === dfSig)
+  }
 }
 
 class ClusterSpec extends SparkSpec {
