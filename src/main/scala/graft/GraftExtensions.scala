@@ -35,27 +35,15 @@ object GraftExtensions {
     (new FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
       (children: Seq[Expression]) =>
-        if (children.length > 1)
-          RollingMinHash(children.head, children(1).eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => other.toString.toInt
-          })
-        else RollingMinHash(children.head)),
+        RollingMinHash(children.head, GraftExtensions.intLit(children, 1, 16))),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)),
     (new FunctionIdentifier("winnowed_hashes"),
       new ExpressionInfo(classOf[WinnowedHashes].getName, "winnowed_hashes"),
-      (children: Seq[Expression]) => {
-        def intArg(i: Int, dflt: Int) =
-          if (children.length > i) children(i).eval() match {
-            case x: Int => x
-            case l: Long => l.toInt
-            case other => other.toString.toInt
-          } else dflt
-        WinnowedHashes(children.head, intArg(1, 16), intArg(2, 8))
-      }),
+      (children: Seq[Expression]) =>
+        WinnowedHashes(children.head, GraftExtensions.intLit(children, 1, 16),
+          GraftExtensions.intLit(children, 2, 8))),
     (new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>

@@ -39,9 +39,9 @@ object AsOf {
     require(Set("backward", "forward", "nearest")(direction),
       s"asof direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
-    // carry the matched right TIME alongside the payload: `nearest`
-    // needs it to compare distances; the plain directions drop it
-    val names = rightPayload.map(_._1) :+ "__rt"
+    // `nearest` carries the matched right TIME alongside the payload
+    // (the `__rt` column in the r select below) to compare distances;
+    // the plain directions drop it
     val l = left.select(
       (Seq(leftKey.as("__k"), leftTime.as("__t"), lit(0).as("__r")) ++
         leftCols.map(left(_))): _*)
@@ -65,13 +65,23 @@ object AsOf {
       case "forward"  => rightPayload.map { case (n, _) => fwd(n).as(n) }
       case "nearest" =>
         // pick per ROW (one winner for all payload columns): backward
-        // unless forward exists and is strictly closer
-        val bt = back("__rt")
-        val ft = fwd("__rt")
+        // unless forward exists and is strictly closer. Distances are
+        // compared in an EXACT integral unit chosen by the time
+        // column's type — micros for timestamps (a bare long cast
+        // truncates to whole seconds and mis-picks on sub-second
+        // gaps), days for dates (which cannot cast to long at all),
+        // the value itself for integral types.
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        val toTicks: Column => Column = u.schema("__t").dataType match {
+          case TimestampType | TimestampNTZType => c => unix_micros(c.cast("timestamp"))
+          case DateType => c => datediff(c, lit("1970-01-01")).cast("long")
+          case _ => c => c.cast("long")
+        }
+        val t = toTicks(col("__t"))
+        val bt = toTicks(back("__rt"))
+        val ft = toTicks(fwd("__rt"))
         val takeBack = ft.isNull ||
-          (bt.isNotNull &&
-            (col("__t").cast("long") - bt.cast("long")) <=
-            (ft.cast("long") - col("__t").cast("long")))
+          (bt.isNotNull && (t - bt) <= (ft - t))
         rightPayload.map { case (n, _) =>
           when(takeBack, back(n)).otherwise(fwd(n)).as(n)
         }

@@ -247,7 +247,6 @@ object Dedup {
                  k: Int = 32, bands: Int = 8,
                  minEstJaccard: Double = 0.5,
                  maxBucket: Long = 10000L): DataFrame = {
-    val r = k / bands
     // MAP-ONLY signature build (minhashSigCol): one projection, no
     // explode and no groupBy — the grouped build shuffled the whole
     // shingle stream (~10× the text bytes at scale) just to take k
@@ -265,10 +264,10 @@ object Dedup {
     val sig = df.select(id.as("doc_id"), minhashSigCol(text, k = k).as("sig"))
       .where(col("sig").isNotNull)
       .repartition(col("doc_id"))
-    val bandHashes = array((0 until bands).map { b =>
-      xxhash64(array_join(
-        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
-    }: _*)
+    // the SHARED banding expression (bandBucketHashes) — one
+    // definition for every LSH consumer, so self-pairing, cross-corpus
+    // and streaming signatures can never drift
+    val bandHashes = bandBucketHashes(k, bands)
     // bucket skew cap as a count window over (band,bucket): the window
     // forces the same hashpartitioning the candidate self-join needs,
     // so the signature build + banding is computed ONCE and the second

@@ -227,6 +227,9 @@ object Multimodal {
     * pipeline routing bad media aside rather than aborting the batch).
     */
   def histogramFeatures(payloads: DataFrame, bins: Int = 8): DataFrame = {
+    require(bins > 0 && 256 % bins == 0,
+      s"bins must divide 256 (1,2,4,...,256), got $bins — " +
+        "a non-divisor makes the top bucket overflow the histogram")
     val spark = payloads.sparkSession
     import spark.implicits._
     val width = 256 / bins

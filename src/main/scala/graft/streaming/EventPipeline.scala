@@ -148,17 +148,29 @@ object EventPipeline {
   def crossDedupStream(docs: DataFrame, textCol: String, idCol: String,
                        tsCol: String, corpusBands: DataFrame,
                        k: Int = 32, bands: Int = 8,
-                       minEstJaccard: Double = 0.5): DataFrame = {
+                       minEstJaccard: Double = 0.5,
+                       maxBucket: Long = 10000L): DataFrame = {
     import graft.ops.Dedup
+    // SAME skew cap as the batch face (minhashLshCrossBands): a
+    // mass-boilerplate bucket is dropped, both to bound the per-doc
+    // join fan-out and so the two faces flag the SAME docs
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = corpusBands
+      .withColumn("bn", count(lit(1)).over(wB))
+      .where(col("bn") <= maxBucket)
+      .select(col("band"), col("bucket"),
+        col("sig").as("csig"), col("doc_id").as("corpus_id"))
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
         Dedup.minhashSigCol(col(textCol), k = k).as("sig"))
       .where(col("sig").isNotNull)
+      // same materialization barrier as the batch build: without it
+      // CollapseProject inlines the signature expression into the
+      // null filter, every band hash and the carried column
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(Dedup.bandBucketHashes(k, bands)).as(Seq("band", "bucket")))
-      .join(broadcast(corpusBands.select(col("band"), col("bucket"),
-        col("sig").as("csig"), col("doc_id").as("corpus_id"))),
-        Seq("band", "bucket"))
+      .join(broadcast(capped), Seq("band", "bucket"))
       .where(col("doc_id") =!= col("corpus_id") &&
         graft.functions.MinHash.sigMatchCount(col("sig"), col("csig"))
           .cast("double") / k >= minEstJaccard)

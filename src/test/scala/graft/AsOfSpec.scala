@@ -74,6 +74,32 @@ class AsOfSpec extends SparkSpec {
     assert(res === Map(1L -> "q8", 2L -> "q13", 3L -> "q13", 4L -> "q8"))
   }
 
+  test("asof nearest resolves sub-second timestamp distances and date columns") {
+    // forward match is 100 ms away, backward 900 ms — a whole-second
+    // comparison would tie them and mis-pick backward
+    val evs = Seq((1L, "A", ts("2024-01-01 10:00:10.900")))
+      .toDF("ev_id", "k", "t")
+    val ref = Seq(
+      ("A", ts("2024-01-01 10:00:10.000"), "early"),
+      ("A", ts("2024-01-01 10:00:11.000"), "late")
+    ).toDF("k", "rt", "v")
+    val got = AsOf.join(evs, col("k"), col("t"), ref, col("k"), col("rt"),
+        Seq("v" -> col("v")), direction = "nearest")
+      .head().getString(3)
+    assert(got === "late")
+    // DATE time columns cannot cast to long — nearest must still work
+    val dEvs = Seq((1L, "A", java.sql.Date.valueOf("2024-01-10")))
+      .toDF("ev_id", "k", "t")
+    val dRef = Seq(
+      ("A", java.sql.Date.valueOf("2024-01-01"), "jan1"),
+      ("A", java.sql.Date.valueOf("2024-01-12"), "jan12")
+    ).toDF("k", "rt", "v")
+    val dGot = AsOf.join(dEvs, col("k"), col("t"), dRef, col("k"), col("rt"),
+        Seq("v" -> col("v")), direction = "nearest")
+      .head().getString(3)
+    assert(dGot === "jan12") // 2 days away beats 9 days away
+  }
+
   test("asof plan shuffles once on the key — no range-join explosion") {
     val trades = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("trade_id", "sym", "t")
     val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "price")

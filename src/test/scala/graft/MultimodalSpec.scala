@@ -114,6 +114,11 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payloads are quarantined: zero feature rows, no throw
     val junk = Seq((2L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
     assert(Multimodal.histogramFeatures(junk).count() === 0)
+    // non-divisor bin counts are rejected up front (the top bucket
+    // would overflow the histogram mid-task otherwise)
+    intercept[IllegalArgumentException] {
+      Multimodal.histogramFeatures(payloads, bins = 10)
+    }
   }
 
   test("decode summary emits only scalar (sortable) columns") {

@@ -274,6 +274,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cross dedup applies the batch face's bucket skew cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // degenerate corpus: every doc identical → every bucket hot →
+    // dropped by the cap on BOTH faces, so an arriving copy of the
+    // boilerplate is flagged by neither
+    val corpus = spark.range(300).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated in every single document here")
+        .as("text"))
+    val corpusBands = graft.ops.Dedup.bandedSignatures(corpus,
+      col("text"), col("doc_id"), k = 16, bands = 4)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.crossDedupStream(docs, "text", "doc_id", "ts",
+        corpusBands, k = 16, bands = 4, maxBucket = 50L)
+      .writeStream.format("memory").queryName("xdedupcap")
+      .outputMode("append").start()
+    try {
+      stream.addData((1000L,
+        "the same boilerplate text repeated in every single document here",
+        Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("xdedupcap").count() === 0)
+      // batch face agrees: the hot bucket is capped there too
+      assert(graft.ops.Dedup.minhashLshCross(
+        Seq((1000L, "the same boilerplate text repeated in every single document here"))
+          .toDF("doc_id", "text"),
+        corpus, col("text"), col("doc_id"), k = 16, bands = 4,
+        maxBucket = 50L).count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful streaming shard packing matches the batch assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
