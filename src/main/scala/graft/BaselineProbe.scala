@@ -72,15 +72,19 @@ object BaselineProbe {
     //    index as ONE batch semi-join on a hash-sampled key set
     //    (reference: searching 1024 ids 171 ms + 1024 popcounts 2 ms)
     val st = Store.open(spark, s"$outDir/store", spec)
+    // localCheckpoint(eager): count() alone does NOT pin a frame — the
+    // sort+limit would silently re-execute inside every measured rep,
+    // billing sample construction to the lookup being compared
     val keys = st.persistedIndex
       .orderBy(xxhash64(col("field"), col("value"))).limit(1024)
       .select("field", "value")
-    keys.count() // materialize the sample OUTSIDE the measured lookup
+      .localCheckpoint(true) // materialize OUTSIDE the measured lookup
+    val nKeys = keys.count()
     val fr = bestOf(3) {
       st.persistedIndex.join(broadcast(keys), Seq("field", "value"))
         .select(sum("f")).head()
     }
-    results += "freq_1024" -> (fr, 1024L)
+    results += "freq_1024" -> (fr, nKeys)
 
     // 4. CoStats for every (l_quantity × ship_month) value pair —
     //    50×~84 ≈ 4,200 pairs ≥ 4× the snapshot's 1024-cofreq loop —
@@ -132,12 +136,13 @@ object BaselineProbe {
     val hkeys = hst.persistedIndex
       .orderBy(xxhash64(col("field"), col("value"))).limit(1024)
       .select("field", "value")
-    hkeys.count() // materialize the sample OUTSIDE the measured lookup
+      .localCheckpoint(true) // materialize OUTSIDE the measured lookup
+    val nHKeys = hkeys.count()
     val hfr = bestOf(3) {
       hst.persistedIndex.join(broadcast(hkeys), Seq("field", "value"))
         .select(sum("f")).head()
     }
-    results += "hicard_freq_1024" -> (hfr, 1024L)
+    results += "hicard_freq_1024" -> (hfr, nHKeys)
 
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0

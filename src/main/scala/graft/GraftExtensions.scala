@@ -48,7 +48,8 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>
         WordShingles(children.head, GraftExtensions.intLit(children, 1, 3),
-          distinct = GraftExtensions.intLit(children, 2, 1) != 0)),
+          distinct =
+            GraftExtensions.intLit(children, 2, 1, min = 0) != 0)),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
@@ -57,13 +58,33 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
 
-  /** evaluate an optional literal int argument (defaults if absent) */
-  private def intLit(children: Seq[Expression], i: Int, dflt: Int): Int =
-    if (children.length > i) children(i).eval() match {
+  /** evaluate an optional LITERAL int argument (defaults if absent).
+    * Non-foldable expressions (a column, a nondeterministic call) and
+    * null literals are rejected at plan time with the argument
+    * position named — `eval()` on a non-foldable child would either
+    * throw an opaque UnsupportedOperationException or silently freeze
+    * one sampled value.
+    */
+  private def intLit(children: Seq[Expression], i: Int, dflt: Int,
+                     min: Int = 1): Int = {
+    if (children.length <= i) return dflt
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"argument ${i + 1} must be an integer literal, got: ${c.sql}")
+    val v = c.eval() match {
       case x: Int => x
       case l: Long => l.toInt
-      case other => other.toString.toInt
-    } else dflt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => throw new IllegalArgumentException(
+        s"argument ${i + 1} must not be null")
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got: $other")
+    }
+    if (v < min) throw new IllegalArgumentException(
+      s"argument ${i + 1} must be >= $min, got $v")
+    v
+  }
 
   /** register on an already-running session (same builders the
     * extension injects; for sessions not launched with the config)

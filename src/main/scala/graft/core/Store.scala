@@ -62,9 +62,14 @@ object Store {
   def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = df.sparkSession
     val (fs, base) = fsFor(spark, dir)
+    // store-owned generation dirs are EXACTLY index_g<int> — the same
+    // numeric parse currentIndexRoot applies, so a caller's unrelated
+    // "index_global/" or "index_gen_notes/" is never deleted
     val stale = Seq(s"$dir/data", s"$dir/index") ++
       (if (fs.exists(base)) fs.listStatus(base).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("index_g")).map(n => s"$dir/$n")
+          .filter(n => n.startsWith("index_g") &&
+            scala.util.Try(n.stripPrefix("index_g").toInt).isSuccess)
+          .map(n => s"$dir/$n")
        else Nil)
     stale.foreach { sub => // fresh store: clear prior segments + generations
       fs.delete(new org.apache.hadoop.fs.Path(sub), true)
@@ -103,27 +108,49 @@ object Store {
     * accumulated segments back to one when read amplification grows.
     * Usable directly as a foreachBatch sink:
     * `.foreachBatch((b, _) => Store.append(b, dir, spec))`.
+    *
+    * SINGLE WRITER: append and [[compact]] may not run concurrently
+    * against the same store (a compact that supersedes generation g
+    * while an append is still writing a segment into g would strand
+    * that segment — the generation protocol makes readers safe under
+    * one writer, not writers safe against each other). foreachBatch
+    * already serializes batches; schedule compact between batches
+    * (e.g. inside the same foreachBatch, every N batches).
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = batch.sparkSession
     var (root, gen) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/index")
+    // a committed generation plus a still-present legacy dir means a
+    // past migration died between commit and delete — the legacy dir
+    // is an already-published orphan; finish its deletion
+    if (gen >= 1 && fs.exists(legacy)) fs.delete(legacy, true)
     // LEGACY MIGRATION: a pre-segment store wrote its index parquet
     // directly under <dir>/index. Appending seg_* files next to those
     // loose part-files would flip readers into segment mode and
     // silently DROP the whole original index from every merge — so
-    // the legacy index is first moved, as-is, to become seg_0 of a
-    // fresh generation (a directory rename: no data is read or
-    // rewritten, preserving append's O(batch) cost).
+    // the legacy index becomes seg_0 of a fresh generation first.
+    // CRASH-ATOMIC via the same publish protocol as compact: COPY the
+    // legacy files into the (invisible, uncommitted) new generation,
+    // publish with _COMMITTED, only then delete the legacy dir. Dying
+    // before the commit leaves the legacy index untouched and live (a
+    // retry overwrites the partial copy); dying after it leaves an
+    // orphaned legacy dir that the cleanup above removes. A plain
+    // rename would be O(1) but destroys the old location BEFORE the
+    // new one is published — a crash in between loses the index.
     if (gen == 0 && fs.exists(rootPath) &&
         !fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_")) &&
         fs.listStatus(rootPath).nonEmpty) {
-      val g1 = new org.apache.hadoop.fs.Path(s"$dir/index_g1")
-      fs.mkdirs(g1)
-      fs.rename(rootPath, new org.apache.hadoop.fs.Path(s"$dir/index_g1/seg_0"))
+      val g1seg = new org.apache.hadoop.fs.Path(s"$dir/index_g1/seg_0")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index_g1"), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs, g1seg,
+        false /* keep source until committed */,
+        spark.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(s"$dir/index_g1/_COMMITTED"))
         .close()
+      fs.delete(rootPath, true)
       root = s"$dir/index_g1"; gen = 1
     }
     val liveRoot = new org.apache.hadoop.fs.Path(root)
@@ -171,6 +198,10 @@ object Store {
     * opened before this compact stays readable until the NEXT compact
     * — `append` is advertised as a foreachBatch sink, and a sink must
     * never invalidate a concurrent reader mid-query.
+    *
+    * SINGLE WRITER: reader-safe does not mean writer-safe — see the
+    * contract on [[append]]; do not run compact concurrently with an
+    * in-flight append on the same store.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     // eager checkpoint: every read of the old generation completes

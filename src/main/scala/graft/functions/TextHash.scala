@@ -106,12 +106,16 @@ case class WinnowedHashes(child: Expression, k: Int = 16, w: Int = 8)
 
 object TextHash {
   /** winnowed rolling-hash fingerprint of a string column */
-  def rollingMinHash(text: Column, window: Int = 16): Column =
+  def rollingMinHash(text: Column, window: Int = 16): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
     GraftShims.column(RollingMinHash(GraftShims.expression(text), window))
+  }
 
   /** winnowed k-gram fingerprint set (see [[WinnowedHashes]]) */
-  def winnowedHashes(text: Column, k: Int = 16, w: Int = 8): Column =
+  def winnowedHashes(text: Column, k: Int = 16, w: Int = 8): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     GraftShims.column(WinnowedHashes(GraftShims.expression(text), k, w))
+  }
 
   private val B = 1000003L
 

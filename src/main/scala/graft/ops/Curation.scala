@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** normalized tokens: lowercase, then every run of
+    * non-alphanumerics (punctuation, newlines, tabs, spaces) becomes
+    * ONE separator — the ONE tokenizer every contamination face
+    * shares, so batch and streaming can never drift on normalization.
+    * Replacement (not deletion) matters: deleting `[^a-z0-9 ]` would
+    * fuse words across a newline ("the\ncapital" → "thecapital") and
+    * let any multi-line variant of a benchmark item slip the check.
+    */
+  def normTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** normalized distinct k-shingles of a STATIC eval/benchmark corpus
+    * — the static side of the streaming face
+    * ([[graft.streaming.EventPipeline.decontaminateStream]]); batch
+    * [[contaminated]] derives the same set from its own is_eval slice
+    */
+  def evalShingleSet(evalDocs: DataFrame, text: Column,
+                     k: Int = 8): DataFrame =
+    evalDocs.select(normTokens(text).as("t"))
+      .where(size(col("t")) >= k)
+      .select(explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+        distinct = false)).as("sh"))
+      .distinct()
+
   /** Benchmark decontamination (§2c.36): flag training docs that share
     * any `k`-token shingle with an eval/benchmark doc — the standard
     * n-gram-overlap contamination check run before training on scraped
@@ -40,27 +64,6 @@ object Curation {
     * that unexpectedly selects half the corpus degrades to a shuffle
     * join instead of blowing the driver/broadcast limit.
     */
-  /** normalized tokens: lowercase, strip non-alphanumerics, collapse
-    * runs of spaces (stripped punctuation leaves double spaces
-    * behind) — the ONE tokenizer every contamination face shares, so
-    * batch and streaming can never drift on normalization
-    */
-  def normTokens(text: Column): Column =
-    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +")
-
-  /** normalized distinct k-shingles of a STATIC eval/benchmark corpus
-    * — the static side of the streaming face
-    * ([[graft.streaming.EventPipeline.decontaminateStream]]); batch
-    * [[contaminated]] derives the same set from its own is_eval slice
-    */
-  def evalShingleSet(evalDocs: DataFrame, text: Column,
-                     k: Int = 8): DataFrame =
-    evalDocs.select(normTokens(text).as("t"))
-      .where(size(col("t")) >= k)
-      .select(explode(graft.functions.TokenOps.wordShingles(col("t"), k,
-        distinct = false)).as("sh"))
-      .distinct()
-
   def contaminated(df: DataFrame, text: Column, id: Column,
                    isEval: Column, k: Int = 8,
                    broadcastShingleLimit: Long = 5_000_000L): DataFrame = {

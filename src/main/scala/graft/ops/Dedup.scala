@@ -428,20 +428,29 @@ object Dedup {
     // round plans a constant-size tree instead of a 3×/round-growing
     // one. (On a multi-node cluster prefer sc.setCheckpointDir +
     // .checkpoint for executor-loss safety.)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val raw = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
     // the local route requires ids that fit a long (its parent table is
     // primitive long arrays); any other orderable id type (strings,
     // decimals…) falls through to the iterative path — ROUTING must
     // never change whether a call succeeds, only how it executes
-    val integralIds = edges.schema.fields.forall(_.dataType match {
+    val integralIds = raw.schema.fields.forall(_.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     })
+    // integral ids are widened to long BEFORE routing, so both routes
+    // return the identical (long, long) schema — otherwise int-id
+    // callers would see their label column's type flip with data
+    // volume (local casts to long; iterative preserved the input type)
+    val edges =
+      (if (integralIds)
+         raw.select(col("src").cast("long").as("src"),
+           col("dst").cast("long").as("dst"))
+       else raw)
+      .localCheckpoint()
     if (integralIds && edges.count() <= localEdgeLimit)
       return clustersLocal(edges)
     // round 0 folds the first propagation into initialization:

@@ -287,8 +287,8 @@ object OraclesLlm {
     // Spark's sequence(1, size-7) + slice(t, i, 8).
     "decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(
-        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t
+        |  SELECT doc_id, string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
@@ -305,8 +305,8 @@ object OraclesLlm {
     // hit, a surviving false positive) is a hash mismatch here
     "decontaminate_bloom" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(
-        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t
+        |  SELECT doc_id, string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,

@@ -114,8 +114,17 @@ object EventPipeline {
     */
   def decontaminateStream(docs: DataFrame, textCol: String, idCol: String,
                           tsCol: String, evalShingles: DataFrame,
-                          k: Int = 8): DataFrame = {
+                          k: Int = 8,
+                          broadcastShingleLimit: Long = 5_000_000L): DataFrame = {
     import graft.ops.Curation
+    // SIZE-ROUTED like the batch face: the static side is counted ONCE
+    // at stream construction (it is fixed for the stream's lifetime),
+    // and an eval set past the limit drops the broadcast hint instead
+    // of forcing an over-limit driver broadcast on every micro-batch
+    val ev =
+      if (evalShingles.count() <= broadcastShingleLimit)
+        broadcast(evalShingles)
+      else evalShingles
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
         Curation.normTokens(col(textCol)).as("t"))
@@ -123,7 +132,7 @@ object EventPipeline {
       .select(col("doc_id"), col("ts"),
         explode(graft.functions.TokenOps.wordShingles(col("t"), k,
           distinct = false)).as("sh"))
-      .join(broadcast(evalShingles), "sh")
+      .join(ev, "sh")
       .select("doc_id", "ts")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")

@@ -56,6 +56,23 @@ class CurationSpec extends SparkSpec {
     assert(hits.keySet === Set(1L), hits)
   }
 
+  test("contamination survives newlines and tabs inside the copied run") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    // the same 8-token run, wrapped across lines and tabs: deleting
+    // (rather than collapsing) whitespace-class chars would fuse
+    // "gamma\ndelta" into one token and let the copy escape
+    val wrapped = "alpha beta gamma\ndelta epsilon\tzeta\r\neta theta"
+    val docs = Seq(
+      (0L, s"benchmark question $run and its answer"),
+      (1L, s"scraped page quoting:\n$wrapped\nverbatim"),
+      (2L, "completely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminated(docs, col("text"), col("doc_id"),
+        col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L), hits)
+  }
+
   test("oversized eval sets route to a shuffle join, same result") {
     val run = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
