@@ -147,6 +147,26 @@ class StoreSpec extends SparkSpec {
     assert(ix === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
   }
 
+  test("append finishes a crashed migration: orphan legacy dir is cleaned") {
+    // simulate dying AFTER the migration's _COMMITTED publish but
+    // BEFORE the legacy delete: committed g1 + still-present legacy
+    val dir = java.nio.file.Files.createTempDirectory("legorphan").toString
+    data.write.parquet(s"$dir/data")
+    graft.core.IndexedFrame(data, spec).entries
+      .write.parquet(s"$dir/index")                  // legacy (orphan)
+    graft.core.IndexedFrame(data, spec).entries
+      .write.parquet(s"$dir/index_g1/seg_0")         // migrated copy
+    new java.io.File(s"$dir/index_g1/_COMMITTED").createNewFile()
+    // next append must clean the orphan and land in g1 — NOT treat the
+    // legacy dir as live (which would double-serve or re-migrate it)
+    Store.append(data.select($"id" + 10, $"cat", $"v").toDF("id", "cat", "v"),
+      dir, spec)
+    assert(!new java.io.File(s"$dir/index").exists())
+    val ix = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("storep").toString
     Store.writePartitioned(data, dir, "cat")
