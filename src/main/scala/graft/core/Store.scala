@@ -75,7 +75,11 @@ object Store {
       fs.delete(new org.apache.hadoop.fs.Path(sub), true)
     }
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
-    IndexedFrame(df, spec).entries
+    // index the WRITTEN data, not the input plan: re-executing `df`
+    // for the index would recompute the whole upstream (2× cost) and,
+    // for a nondeterministic input (sample/rand/changing source),
+    // index a DIFFERENT row set than the one persisted
+    IndexedFrame(spark.read.parquet(s"$dir/data"), spec).entries
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
   }
 
@@ -87,12 +91,18 @@ object Store {
       IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
       mergedIndex(spark, dir))
 
-  /** write-if-absent then open (haveIndexedDf) */
+  /** write-if-absent then open (haveIndexedDf). "Present" means BOTH
+    * halves exist — a write() that died between the data and index
+    * writes must be repaired by re-providing, not served half-broken
+    * forever.
+    */
   def have(spark: SparkSession, dir: String, spec: IndexSpec)
           (provide: => DataFrame): StoredFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/data")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) write(provide, dir, spec)
+    val (fs, _) = fsFor(spark, dir)
+    val dataOk = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    val (root, _) = currentIndexRoot(spark, dir)
+    val indexOk = fs.exists(new org.apache.hadoop.fs.Path(root))
+    if (!dataOk || !indexOk) write(provide, dir, spec)
     open(spark, dir, spec)
   }
 
@@ -116,17 +126,29 @@ object Store {
     * one writer, not writers safe against each other). foreachBatch
     * already serializes batches; schedule compact between batches
     * (e.g. inside the same foreachBatch, every N batches).
+    *
+    * DELIVERY: at-least-once, like any foreachBatch sink without a
+    * transactional target — the data append and the index-segment
+    * write are two separate commits, so a crash between them leaves
+    * the batch's rows unindexed until the streaming engine redelivers
+    * the batch (which then re-appends the rows: duplicates the
+    * downstream exact-dedup pass absorbs, the reason dedup_exact
+    * keys on content hash). Exactly-once needs an idempotent target
+    * layout (e.g. batchId-keyed segments), which this minimal store
+    * does not implement.
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = batch.sparkSession
     var (root, gen) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val legacy = new org.apache.hadoop.fs.Path(s"$dir/index")
-    // a committed generation plus a still-present legacy dir means a
-    // past migration died between commit and delete — the legacy dir
-    // is an already-published orphan; finish its deletion
-    if (gen >= 1 && fs.exists(legacy)) fs.delete(legacy, true)
+    // NOTE: a committed g1 coexisting with a still-present <dir>/index
+    // is EITHER a migration that died between commit and delete OR the
+    // previous generation compact deliberately retains for in-flight
+    // readers — indistinguishable here, and eagerly deleting would
+    // break compact's one-generation retention window. Both cases are
+    // benign (readers resolve the highest COMMITTED generation, never
+    // the legacy dir) and the next compact reclaims the directory.
     // LEGACY MIGRATION: a pre-segment store wrote its index parquet
     // directly under <dir>/index. Appending seg_* files next to those
     // loose part-files would flip readers into segment mode and
@@ -137,9 +159,10 @@ object Store {
     // publish with _COMMITTED, only then delete the legacy dir. Dying
     // before the commit leaves the legacy index untouched and live (a
     // retry overwrites the partial copy); dying after it leaves an
-    // orphaned legacy dir that the cleanup above removes. A plain
-    // rename would be O(1) but destroys the old location BEFORE the
-    // new one is published — a crash in between loses the index.
+    // orphaned legacy dir that is invisible to readers and reclaimed
+    // by the next compact (see NOTE above). A plain rename would be
+    // O(1) but destroys the old location BEFORE the new one is
+    // published — a crash in between loses the index.
     if (gen == 0 && fs.exists(rootPath) &&
         !fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_")) &&
         fs.listStatus(rootPath).nonEmpty) {

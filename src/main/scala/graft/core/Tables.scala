@@ -31,10 +31,20 @@ object Tables {
     * TIMESTAMP_NTZ (matches DuckDB's own ns→us truncation).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    // scope the legacy-nanos conf to THIS relation's creation instead
+    // of mutating the session for every later parquet read: the
+    // resolved relation snapshots the hadoop conf at creation, so the
+    // flag can be restored immediately after
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try apply(s, d, "events")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -31,7 +31,12 @@ object Typed {
     * sort; at scale prefer key-range predicates (pushdown) over
     * offset slicing.
     */
-  def slice[T](ds: Dataset[T], from: Long, until: Long, keys: Seq[String]): Dataset[T] =
+  def slice[T](ds: Dataset[T], from: Long, until: Long, keys: Seq[String]): Dataset[T] = {
+    // offset/limit are Int-typed in Spark: reject ranges the engine
+    // cannot express instead of silently wrapping negative via toInt
+    require(from >= 0 && until >= from && until <= Int.MaxValue,
+      s"slice [$from, $until) must satisfy 0 <= from <= until <= ${Int.MaxValue}")
     ds.orderBy(keys.map(ds.col).toIndexedSeq: _*)
       .offset(from.toInt).limit((until - from).toInt)
+  }
 }

@@ -97,7 +97,10 @@ object Knn {
   }
 
   private def inQuery(queryKVs: Map[String, String]): Column =
-    queryKVs.map { case (f, v) =>
-      col("field") === f && col("value") === v
-    }.reduce(_ || _)
+    // foldLeft, not reduce: an EMPTY query map (every query feature
+    // filtered out against the weight table) must score all rows at
+    // the baseline, not throw on reduce-of-empty
+    queryKVs.foldLeft(lit(false)) { case (acc, (f, v)) =>
+      acc || (col("field") === f && col("value") === v)
+    }
 }

@@ -85,17 +85,33 @@ object Similarity {
     * Reference analog: the whole point of the reference's index is
     * that no query scans all pairs (Dfs.scala:330-408).
     */
+  /** the width-r band key of a signature's b-th band — ONE definition
+    * for both LSH consumers (pairs + top-k), so their bucketing can
+    * never drift
+    */
+  private def bandKey(sig: Column, b: Int, r: Int): Column =
+    shiftrightunsigned(sig, b * r).bitwiseAND((1L << r) - 1)
+
+  /** band width = nbits/bands, validated: bands > nbits makes r = 0
+    * (mask 0 → every vector in one bucket → the "prune" degenerates
+    * to the full pair space), and a non-divisor silently discards the
+    * high signature bits
+    */
+  private def bandWidth(nbits: Int, bands: Int): Int = {
+    require(bands > 0 && nbits >= bands && nbits % bands == 0,
+      s"bands ($bands) must divide nbits ($nbits)")
+    nbits / bands
+  }
+
   def lshCosinePairs(emb: DataFrame, minCos: Double,
                      dim: Int = 64, nbits: Int = 64, bands: Int = 8,
                      maxBucket: Long = 10000L): DataFrame = {
-    val r = nbits / bands
-    val mask = (1L << r) - 1
+    val r = bandWidth(nbits, bands)
     val v = emb.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm"),
       hyperplaneSig(col("embedding"), dim, nbits).as("sig"))
-    val bandKeys = array((0 until bands).map { b =>
-      shiftrightunsigned(col("sig"), b * r).bitwiseAND(mask)
-    }: _*)
+    val bandKeys = array((0 until bands).map(b =>
+      bandKey(col("sig"), b, r)): _*)
     // bucket skew cap as a count window over (band,bucket): forces the
     // exact hashpartitioning the self-join needs, so the signature
     // build + banding computes once and the second join side is a
@@ -322,12 +338,11 @@ object Similarity {
     // candidates. At 100 TB, raise nbits and bands together so bucket
     // cardinality (2^r per band) keeps candidate sets ≪ n, and use
     // multiProbe to claw back the recall narrower bands cost.
-    val r = nbits / bands
-    val mask = (1L << r) - 1
+    val r = bandWidth(nbits, bands)
     def banded(df: DataFrame, idCol: String, probes: Int): DataFrame = {
       val sig = hyperplaneSig(col("embedding"), dim, nbits)
       val bandBuckets = (0 until bands).flatMap { b =>
-        val base = shiftright(col("sig"), b * r).bitwiseAND(mask)
+        val base = bandKey(col("sig"), b, r)
         // probe buckets = the band key plus its `probes` 1-bit flips
         (struct(lit(b).as("band"), base.as("bucket")) +:
           (0 until math.min(probes, r)).map(j =>

@@ -50,9 +50,12 @@ object Oracles {
         |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
         |) GROUP BY field, value ORDER BY field, value""".stripMargin,
 
+    // list_distinct: f is the number of DOCS containing the token
+    // (bitmap-popcount semantics), not the occurrence count
     "index_tokens" ->
       """SELECT value, count(*) AS f FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS value FROM documents
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS value
+        |  FROM documents
         |) GROUP BY value ORDER BY value""".stripMargin,
 
     "index_f" ->

@@ -25,6 +25,19 @@ class IndexedFrameSpec extends SparkSpec {
     assert(e(("txt", "small")) === 1L)
   }
 
+  test("duplicate tokens in one row count once: f is rows, not occurrences") {
+    // reference bitmap semantics: "hello hello" sets ONE bit — the
+    // persisted index f must agree with the live predicate row count
+    val dup = Seq((1L, "hello hello world"), (2L, "hello there"))
+      .toDF("id", "txt")
+    val ix = IndexedFrame(dup, IndexSpec(Seq("txt"))
+      .withAnalyzer("txt", Analyzers.whitespace))
+    val e = ix.entries.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(e(("txt", "hello")) === 2L) // two DOCS, not three occurrences
+    assert(e(("txt", "hello")) === ix.fDF("txt", "hello").head().getLong(0))
+  }
+
   test("analyzed predicate matches token membership") {
     val ix = IndexedFrame(df, spec)
     assert(ix.fDF("txt", "red").head().getLong(0) === 3L)

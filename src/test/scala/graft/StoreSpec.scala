@@ -147,9 +147,13 @@ class StoreSpec extends SparkSpec {
     assert(ix === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
   }
 
-  test("append finishes a crashed migration: orphan legacy dir is cleaned") {
+  test("crashed-migration orphan is invisible to reads and reclaimed by compact") {
     // simulate dying AFTER the migration's _COMMITTED publish but
-    // BEFORE the legacy delete: committed g1 + still-present legacy
+    // BEFORE the legacy delete: committed g1 + still-present legacy.
+    // append must NOT eagerly delete the legacy dir (it cannot tell
+    // this orphan from the previous generation compact retains for
+    // in-flight readers) — but reads must resolve g1, append must land
+    // in g1 (no re-migration), and the next compact reclaims the dir.
     val dir = java.nio.file.Files.createTempDirectory("legorphan").toString
     data.write.parquet(s"$dir/data")
     graft.core.IndexedFrame(data, spec).entries
@@ -157,14 +161,19 @@ class StoreSpec extends SparkSpec {
     graft.core.IndexedFrame(data, spec).entries
       .write.parquet(s"$dir/index_g1/seg_0")         // migrated copy
     new java.io.File(s"$dir/index_g1/_COMMITTED").createNewFile()
-    // next append must clean the orphan and land in g1 — NOT treat the
-    // legacy dir as live (which would double-serve or re-migrate it)
     Store.append(data.select($"id" + 10, $"cat", $"v").toDF("id", "cat", "v"),
       dir, spec)
-    assert(!new java.io.File(s"$dir/index").exists())
+    // counts come from g1 (+ the new segment), never double-served
+    // from the orphan
     val ix = Store.open(spark, dir, spec).persistedIndex.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(ix === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
+    assert(new java.io.File(s"$dir/index_g1/seg_1").exists())
+    Store.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/index").exists()) // orphan reclaimed
+    val ix2 = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix2 === ix)
   }
 
   test("partitioned write prunes non-matching partitions at the scan") {
