@@ -92,15 +92,19 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
     * index colIds (Dfs.scala:310-328).
     */
   lazy val entries: DataFrame = {
-    // array_distinct: f counts MATCHING ROWS, not token occurrences —
-    // the reference's per-value bitmap sets one bit per row no matter
-    // how often a token repeats inside it (Dfs.scala:330-408), and
-    // [[predicate]]/fDF count rows too; without the distinct a doc
-    // containing "hello hello" would make the persisted index disagree
-    // with the live predicate count. Identity analyzers produce
-    // 1-element arrays, where distinct is a no-op.
-    val pairs = spec.fields.map(f =>
-      struct(lit(f).as("field"), array_distinct(tokens(f)).as("ts")))
+    // array_distinct on ANALYZED fields only: f counts MATCHING ROWS,
+    // not token occurrences — the reference's per-value bitmap sets
+    // one bit per row no matter how often a token repeats inside it
+    // (Dfs.scala:330-408), and [[predicate]]/fDF count rows too;
+    // without the distinct a doc containing "hello hello" would make
+    // the persisted index disagree with the live predicate count.
+    // Identity fields produce 1-element arrays where distinct is a
+    // semantic no-op but a real per-row cost — skip it there.
+    val pairs = spec.fields.map { f =>
+      val ts = if (spec.analyzers.contains(f)) array_distinct(tokens(f))
+               else tokens(f)
+      struct(lit(f).as("field"), ts.as("ts"))
+    }
     df.select(explode(array(pairs: _*)).as("fv"))
       .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
       .groupBy("field", "value").agg(count(lit(1)).as("f"))
