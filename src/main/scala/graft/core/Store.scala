@@ -183,9 +183,28 @@ object Store {
         .map(_.getPath.getName)
         .collect { case s if s.startsWith("seg_") => s.drop(4).toInt }
         .foldLeft(-1)(math.max) + 1
+    // capture which data files THIS append writes (listing diff —
+    // legal under the single-writer contract above), so the index
+    // segment is built from a READ-BACK of exactly those files: the
+    // same hazard write() guards against applies here, only sharper —
+    // re-executing `batch` for the index would recompute the upstream
+    // (2× cost) and, for a nondeterministic batch (sample/rand/
+    // changing source), index a DIFFERENT row set than the one the
+    // data append just persisted.
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    def dataFiles(): Set[String] =
+      if (!fs.exists(dataPath)) Set.empty
+      else fs.listStatus(dataPath).map(_.getPath.toString)
+        .filterNot(p => {
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          n.startsWith("_") || n.startsWith(".")
+        }).toSet
+    val before = dataFiles()
     batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
-    IndexedFrame(batch, spec).entries
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
+    val written = (dataFiles() -- before).toSeq.sorted
+    if (written.nonEmpty)
+      IndexedFrame(spark.read.parquet(written: _*), spec).entries
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
   }
 
   /** merge-on-read over all index segments: union of the per-segment

@@ -315,9 +315,14 @@ object Dedup {
     * ReusedExchange), since mass-boilerplate buckets live there.
     */
   /** per-band bucket hashes of a `sig` column — shared by every LSH
-    * banding consumer so batch and streaming faces cannot drift
+    * banding consumer so batch and streaming faces cannot drift.
+    * Validated like [[Similarity]]'s bandWidth: a non-divisor would
+    * silently discard the top k % bands signature positions from
+    * every bucket key.
     */
   private[graft] def bandBucketHashes(k: Int, bands: Int): Column = {
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val r = k / bands
     array((0 until bands).map { b =>
       xxhash64(array_join(
@@ -350,7 +355,7 @@ object Dedup {
                       maxBucket: Long = 10000L): DataFrame =
     minhashLshCrossBands(bandedSignatures(newDocs, text, id, k, bands),
       bandedSignatures(corpus, text, id, k, bands),
-      k, minEstJaccard, maxBucket)
+      minEstJaccard, maxBucket)
 
   /** [[minhashLshCross]] over PREBUILT band tables — the per-batch
     * entry point of an incremental pipeline: the corpus side is the
@@ -358,9 +363,16 @@ object Dedup {
     * at ingest, reopened per batch), so each batch pays only its own
     * signature build plus the bucket join. Spec-checked identical to
     * the from-text spelling through a parquet round-trip.
+    *
+    * est_jaccard's denominator is DERIVED from the signature column
+    * (`size(sig)`), never taken as a parameter: prebuilt band tables
+    * carry their k with them, and a caller-supplied k mismatched with
+    * the persisted signatures would silently rescale every estimate
+    * (match counts over differently-built families don't line up
+    * anyway — the banding hashes wouldn't collide — so same-k on both
+    * sides is already the operating contract).
     */
   def minhashLshCrossBands(newBanded: DataFrame, corpusBanded: DataFrame,
-                           k: Int = 32,
                            minEstJaccard: Double = 0.5,
                            maxBucket: Long = 10000L): DataFrame = {
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
@@ -377,7 +389,7 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
     cand.select(col("new_id"), col("corpus_id"),
         round(graft.functions.MinHash.sigMatchCount(col("siga"), col("sigb"))
-          .cast("double") / k, 6).as("est_jaccard"))
+          .cast("double") / size(col("siga")), 6).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
       .orderBy("new_id", "corpus_id")
   }

@@ -150,25 +150,32 @@ object EventPipeline {
     * Emits each arriving doc that is a near-dup of the corpus ONCE
     * (watermark-bounded dropDuplicates on doc_id — the only state in
     * the plan; the stream-static join itself is stateless per Spark's
-    * semantics). The broadcast hint fits benchmark-to-moderate corpus
-    * tables; a corpus too big to broadcast drops the hint and lets the
-    * static side shuffle per microbatch.
+    * semantics). SIZE-ROUTED like [[decontaminateStream]]: the static
+    * band table is counted ONCE at stream construction (it is fixed
+    * for the stream's lifetime), and a corpus past
+    * `broadcastBandLimit` rows drops the broadcast hint — an explicit
+    * hint would force an over-limit driver broadcast and fail the
+    * stream — letting the static side shuffle per microbatch instead.
     */
   def crossDedupStream(docs: DataFrame, textCol: String, idCol: String,
                        tsCol: String, corpusBands: DataFrame,
                        k: Int = 32, bands: Int = 8,
                        minEstJaccard: Double = 0.5,
-                       maxBucket: Long = 10000L): DataFrame = {
+                       maxBucket: Long = 10000L,
+                       broadcastBandLimit: Long = 5_000_000L): DataFrame = {
     import graft.ops.Dedup
     // SAME skew cap as the batch face (minhashLshCrossBands): a
     // mass-boilerplate bucket is dropped, both to bound the per-doc
     // join fan-out and so the two faces flag the SAME docs
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val capped = corpusBands
+    val cappedRaw = corpusBands
       .withColumn("bn", count(lit(1)).over(wB))
       .where(col("bn") <= maxBucket)
       .select(col("band"), col("bucket"),
         col("sig").as("csig"), col("doc_id").as("corpus_id"))
+    val capped =
+      if (corpusBands.count() <= broadcastBandLimit) broadcast(cappedRaw)
+      else cappedRaw
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
         Dedup.minhashSigCol(col(textCol), k = k).as("sig"))
@@ -179,7 +186,7 @@ object EventPipeline {
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(Dedup.bandBucketHashes(k, bands)).as(Seq("band", "bucket")))
-      .join(broadcast(capped), Seq("band", "bucket"))
+      .join(capped, Seq("band", "bucket"))
       .where(col("doc_id") =!= col("corpus_id") &&
         graft.functions.MinHash.sigMatchCount(col("sig"), col("csig"))
           .cast("double") / k >= minEstJaccard)
@@ -205,15 +212,23 @@ object EventPipeline {
     * stream's responsibility, as for any append-time assignment).
     * Docs with null text carry no tokens (counted 0 here; the batch
     * face marks their shard null — a corpus with null texts should be
-    * curated before sharding either way). State: ONE long per source
+    * curated before sharding either way). Docs with a null (or
+    * non-long-castable) id are DROPPED — the contract, stated rather
+    * than crashed into: the typed state tuple decodes the id as a
+    * non-nullable Long, so an unfiltered null would kill the stream at
+    * runtime, while the batch face merely carries the null through.
+    * An id-less doc has no position in a doc_id-ordered shard
+    * assignment either way. State: ONE long per source
     * — O(#sources), no timeout (sources are few and long-lived; a
     * bounded-source pipeline can add a processing-time timeout).
     */
   def shardStream(docs: DataFrame, textCol: String, idCol: String,
                   sourceCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      .where(col(idCol).cast("long").isNotNull)
       .select(col(sourceCol).cast("string").as("part"),
         col(idCol).cast("long").as("doc_id"),
         coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
