@@ -53,17 +53,14 @@ object Dedup {
     val toks = split(lower(text), " ")
     val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
     val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
-    // skew cap as a COUNT WINDOW over the shingle partitioning: the
-    // window requires hashpartitioning(shingle) — exactly what the
-    // self-join requires — so Catalyst plans ONE exchange and the
-    // second join side becomes a ReusedExchange. The shingle
-    // tokenize/explode runs once with no session-lifetime persist()
-    // (the r2 cache leaked blocks for the life of the session).
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val capped = shingles(df, text, id, w)
-      .withColumn("sfreq", count(lit(1)).over(wS))
-      .where(col("sfreq") <= maxShingleFreq)
-      .drop("sfreq")
+    // stop-shingle cap via [[Skew.dropHotKeys]]: grouped counts +
+    // broadcast anti-join by default (a mega-hot boilerplate shingle
+    // collapses map-side instead of funnelling through one window
+    // partition); the single-exchange window spelling is the conf
+    // opt-in. The shingle explode is map-only, so the grouped
+    // spelling's second evaluation costs no shuffle.
+    val capped = Skew.dropHotKeys(
+      shingles(df, text, id, w), Seq("shingle"), maxShingleFreq)
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -113,11 +110,9 @@ object Dedup {
     val fps = df.select(id.as("doc_id"),
       explode(graft.functions.TextHash.winnowedHashes(text, k, winnowWindow))
         .as("h"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val capped = fps
-      .withColumn("hfreq", count(lit(1)).over(wH))
-      .where(col("hfreq") <= maxHashFreq)
-      .drop("hfreq")
+    // mass-boilerplate fingerprints capped via [[Skew.dropHotKeys]]
+    // (grouped default / window opt-in — see Skew's tradeoff note)
+    val capped = Skew.dropHotKeys(fps, Seq("h"), maxHashFreq)
     capped.as("x").join(capped.as("y"),
         col("x.h") === col("y.h") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -268,16 +263,14 @@ object Dedup {
     // definition for every LSH consumer, so self-pairing, cross-corpus
     // and streaming signatures can never drift
     val bandHashes = bandBucketHashes(k, bands)
-    // bucket skew cap as a count window over (band,bucket): the window
-    // forces the same hashpartitioning the candidate self-join needs,
-    // so the signature build + banding is computed ONCE and the second
-    // join side reuses the exchange (no session-lifetime persist)
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(bandHashes).as(Seq("band", "bucket")))
-      .withColumn("bn", count(lit(1)).over(wB))
-      .where(col("bn") <= maxBucket)
-      .drop("bn")
+    // bucket skew cap via [[Skew.dropHotKeys]] (grouped default /
+    // window opt-in). The grouped spelling's count branch reads the
+    // repartition(doc_id) exchange above (ReusedExchange), so the
+    // signature build still computes once.
+    val banded = Skew.dropHotKeys(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(bandHashes).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -375,11 +368,7 @@ object Dedup {
   def minhashLshCrossBands(newBanded: DataFrame, corpusBanded: DataFrame,
                            minEstJaccard: Double = 0.5,
                            maxBucket: Long = 10000L): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val capped = corpusBanded
-      .withColumn("bn", count(lit(1)).over(wB))
-      .where(col("bn") <= maxBucket)
-      .drop("bn")
+    val capped = Skew.dropHotKeys(corpusBanded, Seq("band", "bucket"), maxBucket)
     val cand = newBanded.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -556,18 +545,15 @@ object Dedup {
     val bandKeys = array((0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)
     }: _*)
-    // the fingerprint build is now map-only (native simhash64), so the
-    // ONLY exchange in this plan is hashpartitioning(band,bkey) — the
-    // skew-cap count window forces it, the self-join requires the same
-    // partitioning, and both join sides are identical subplans, so
-    // Catalyst computes the banded stream once (ReusedExchange) with
-    // no session-lifetime persist (the r2 cache leaked blocks)
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        posexplode(bandKeys).as(Seq("band", "bkey")))
-      .withColumn("bn", count(lit(1)).over(wB))
-      .where(col("bn") <= maxBucket)
-      .drop("bn")
+    // the fingerprint build is map-only (native simhash64); the bucket
+    // skew cap goes through [[Skew.dropHotKeys]] (grouped default /
+    // window opt-in), and both self-join sides remain identical
+    // subplans, so Catalyst still plans one exchange + ReusedExchange
+    // with no session-lifetime persist
+    val banded = Skew.dropHotKeys(
+      fp.select(col("doc_id"), col("simhash"),
+        posexplode(bandKeys).as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&

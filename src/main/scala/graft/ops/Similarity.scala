@@ -112,17 +112,14 @@ object Similarity {
       hyperplaneSig(col("embedding"), dim, nbits).as("sig"))
     val bandKeys = array((0 until bands).map(b =>
       bandKey(col("sig"), b, r)): _*)
-    // bucket skew cap as a count window over (band,bucket): forces the
-    // exact hashpartitioning the self-join needs, so the signature
-    // build + banding computes once and the second join side is a
-    // ReusedExchange (no session-lifetime persist) — the minhashLsh /
-    // simhashPairsOf pattern verbatim
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(bandKeys).as(Seq("band", "bucket")))
-      .withColumn("bn", count(lit(1)).over(wB))
-      .where(col("bn") <= maxBucket)
-      .drop("bn")
+    // bucket skew cap via [[Skew.dropHotKeys]] (grouped default /
+    // window opt-in) — the minhashLsh / simhashPairsOf pattern
+    // verbatim; the signature build is a map-only codegen'd kernel,
+    // so the grouped spelling's second evaluation shuffles nothing
+    val banded = Skew.dropHotKeys(
+      v.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(bandKeys).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
     // exact-cosine verify INSIDE the join condition, before the
     // pair-dedup shuffle: same cheap-raw-prefilter + round(…,6)
     // discipline as cosinePairs (see the BigDecimal note there), so

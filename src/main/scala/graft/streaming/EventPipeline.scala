@@ -164,13 +164,12 @@ object EventPipeline {
                        maxBucket: Long = 10000L,
                        broadcastBandLimit: Long = 5_000_000L): DataFrame = {
     import graft.ops.Dedup
-    // SAME skew cap as the batch face (minhashLshCrossBands): a
-    // mass-boilerplate bucket is dropped, both to bound the per-doc
-    // join fan-out and so the two faces flag the SAME docs
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val cappedRaw = corpusBands
-      .withColumn("bn", count(lit(1)).over(wB))
-      .where(col("bn") <= maxBucket)
+    // SAME skew cap as the batch face (minhashLshCrossBands, via
+    // Skew.dropHotKeys): a mass-boilerplate bucket is dropped, both to
+    // bound the per-doc join fan-out and so the two faces flag the
+    // SAME docs
+    val cappedRaw = graft.ops.Skew
+      .dropHotKeys(corpusBands, Seq("band", "bucket"), maxBucket)
       .select(col("band"), col("bucket"),
         col("sig").as("csig"), col("doc_id").as("corpus_id"))
     val capped =

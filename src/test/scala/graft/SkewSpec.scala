@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Skew}
+import org.apache.spark.sql.functions._
+
+/** The two hot-key cap spellings (grouped anti-join default, window
+  * opt-in) must keep/drop IDENTICAL row sets — flipping
+  * `spark.graft.skew.windowCap` may change the physical plan, never a
+  * result. Checked directly on the helper with a planted mega-hot key
+  * and end-to-end on the pair operators that route through it.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withWindowCap[T](body: => T): T = {
+    spark.conf.set(Skew.WindowCapConf, "true")
+    try body finally spark.conf.unset(Skew.WindowCapConf)
+  }
+
+  test("grouped and window cap spellings keep identical row sets") {
+    // key 7 is the planted mega-hot key (3000 rows); everything else
+    // is under the cap, including key 8 sitting exactly AT it
+    val df = ((1 to 3000).map(i => (7L, i.toLong)) ++
+        (1 to 100).map(i => (8L, i.toLong)) ++
+        (1 to 99).map(i => (9L, i.toLong)))
+      .toDF("k", "v")
+    val grouped = Skew.dropHotKeysGrouped(df, Seq("k"), 100L)
+      .as[(Long, Long)].collect().toSet
+    val window = Skew.dropHotKeysWindow(df, Seq("k"), 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(grouped === window)
+    assert(!grouped.exists(_._1 == 7L)) // hot key fully dropped
+    assert(grouped.count(_._1 == 8L) === 100) // at-cap key fully kept
+  }
+
+  test("pair operators produce identical pairs under both spellings") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    def allPairs() = Map(
+      "minhash" -> Dedup.minhashLsh(corpus, col("text"), col("doc_id"))
+        .select("a", "b").as[(Long, Long)].collect().toSet,
+      "ngram" -> Dedup.ngramJaccard(corpus, col("text"), col("doc_id"))
+        .select("a", "b").as[(Long, Long)].collect().toSet,
+      "simhash" -> Dedup.simhashPairs(corpus, col("text"), col("doc_id"))
+        .select("a", "b").as[(Long, Long)].collect().toSet,
+      "substring" -> Dedup.substringPairs(Dedup.plantSpanDups(corpus),
+          col("text"), col("doc_id"))
+        .select("a", "b").as[(Long, Long)].collect().toSet)
+    val grouped = allPairs()
+    val window = withWindowCap(allPairs())
+    grouped.foreach { case (name, pairs) =>
+      assert(pairs === window(name), s"$name pair set differs")
+      assert(pairs.nonEmpty, s"$name produced no pairs")
+    }
+  }
+
+  test("a mega-hot bucket is dropped, small buckets survive (capped op)") {
+    // 600 exact copies of one text share every (band,bucket) →
+    // 600²/2 candidate pairs without the cap; with maxBucket=100 the
+    // blob is dropped while a small near-dup pair still pairs
+    val blob = (1L to 600L).map(i => (i, "common boilerplate text that " +
+      "repeats verbatim across the whole corpus many many times over"))
+    val pair = Seq(
+      (1001L, "a unique document about distributed query planning at scale"),
+      (1002L, "a unique document about distributed query planning at large scale"))
+    val df = (blob ++ pair).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, col("text"), col("doc_id"),
+        maxBucket = 100L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1001L, 1002L)))
+    assert(!pairs.exists(p => p._1 <= 600L || p._2 <= 600L))
+  }
+}
