@@ -47,7 +47,8 @@ object Analyzers {
 
 final case class IndexSpec(
     fields: Seq[String],
-    analyzers: Map[String, Column => Column] = Map.empty) {
+    analyzers: Map[String, Column => Column] = Map.empty,
+    rowRefs: Option[String] = None) {
   def analyzer(field: String): Column => Column =
     analyzers.getOrElse(field, Analyzers.identity)
   def withAnalyzer(field: String, a: Column => Column): IndexSpec =
@@ -58,6 +59,14 @@ final case class IndexSpec(
   def withoutField(field: String): IndexSpec =
     copy(fields = fields.filterNot(_ == field),
       analyzers = analyzers - field)
+  /** opt in to the per-entry row-refs artifact: `keyCol` names the
+    * row-key column whose values each index entry records (the
+    * reference's per-(field,value) row bitmap, Dfs.scala:330-408,
+    * re-expressed — see [[IndexedFrame.rowRefs]]). Optional because
+    * at 100 TB the refs artifact is a point-lookup accelerator, not
+    * something every store should pay to maintain.
+    */
+  def withRowRefs(keyCol: String): IndexSpec = copy(rowRefs = Some(keyCol))
 }
 
 /** Spark-native re-expression of the reference's inverted index
@@ -77,6 +86,30 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
 
   /** tokens array column for a field */
   private def tokens(field: String): Column = spec.analyzer(field)(col(field))
+
+  /** identity-indexed fields of numeric column type: their index
+    * entries order by NATIVE value, not by the string form — the
+    * reference's typed index ordering (Dfs.indexColIdOrdering,
+    * Dfs.scala:310-328: anyOrdering compares Int/Long/Double as such,
+    * so a numeric column's index never reads "10" < "2"). Analyzed
+    * fields emit string tokens and keep string order; booleans, ISO
+    * dates and timestamps already sort natively in string form.
+    */
+  private lazy val numericFields: Seq[String] =
+    spec.fields.filter { f =>
+      !spec.analyzers.contains(f) &&
+        df.schema(f).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+
+  /** typed sort key beside the string `value` column: numeric fields
+    * get their numeric value back, every other field gets null (its
+    * rows then tie-break on the string value alone — within one field
+    * the key is all-null or all-numeric, so order is total either way).
+    */
+  private def valueSortKey: Column =
+    if (numericFields.isEmpty) lit(null).cast("double")
+    else when(col("field").isin(numericFields: _*), col("value").cast("double"))
 
   /** Predicate "row matches (field, value)" — the analog of opening
     * the (field,value) bitmap (IndexedDf.scala:77-85). For identity
@@ -108,13 +141,59 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
     df.select(explode(array(pairs: _*)).as("fv"))
       .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
       .groupBy("field", "value").agg(count(lit(1)).as("f"))
-      .orderBy("field", "value")
+      .orderBy(col("field"), valueSortKey, col("value"))
   }
 
-  /** distinct sorted values for one field (IndexedDf.colValues) */
-  def colValues(field: String): DataFrame =
-    df.select(explode(tokens(field)).as("value"))
-      .distinct().orderBy("value")
+  /** (field, value, row_key) — one row per matching row per entry: the
+    * reference's per-entry row bitmap (Dfs.scala:330-408 writes an
+    * LBits of matching rows for every (colId, value)) re-expressed as
+    * a flat sorted frame keyed by `spec.rowRefs`. Flat rows, not
+    * array cells: a mega-hot entry (a stopword token matching every
+    * row) becomes a long RUN of rows that parquet RLE/dictionary
+    * encoding compresses like a bitmap would — never a single
+    * multi-GB array cell or one straggler task. Range-clustered on
+    * (field, value, row_key) so a point read prunes to the files
+    * whose min/max straddle the entry — the Spark analog of opening
+    * exactly one bitmap.
+    */
+  def rowRefs: DataFrame = {
+    val key = spec.rowRefs.getOrElse(throw new IllegalArgumentException(
+      "IndexSpec.rowRefs is unset — opt in with withRowRefs(keyCol)"))
+    // same array_distinct discipline as [[entries]]: one ref per
+    // MATCHING ROW per entry (bitmap semantics), so f == refs count
+    val pairs = spec.fields.map { f =>
+      val ts = if (spec.analyzers.contains(f)) array_distinct(tokens(f))
+               else tokens(f)
+      struct(lit(f).as("field"), ts.as("ts"))
+    }
+    df.select(col(key).as("row_key"), explode(array(pairs: _*)).as("fv"))
+      .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"),
+        col("row_key"))
+      // row_key participates in the range partitioning so a hot
+      // entry's run splits across tasks/files instead of pinning one
+      .repartitionByRange(col("field"), col("value"), col("row_key"))
+      .sortWithinPartitions("field", "value", "row_key")
+  }
+
+  /** row keys matching one (field, value) from the LIVE data — the
+    * pushed-down-scan spelling; [[StoredFrame.rowsOf]] serves the same
+    * set index-only from the persisted refs.
+    */
+  def rowsOf(field: String, value: String): DataFrame = {
+    val key = spec.rowRefs.getOrElse(throw new IllegalArgumentException(
+      "IndexSpec.rowRefs is unset — opt in with withRowRefs(keyCol)"))
+    df.where(predicate(field, value)).select(col(key).as("row_key"))
+  }
+
+  /** distinct sorted values for one field (IndexedDf.colValues) —
+    * numeric fields sort natively (see [[numericFields]])
+    */
+  def colValues(field: String): DataFrame = {
+    val base = df.select(explode(tokens(field)).as("value")).distinct()
+    if (numericFields.contains(field))
+      base.orderBy(col("value").cast("double"), col("value"))
+    else base.orderBy("value")
+  }
 
   /** (field, value, idx) for one field, where idx is the entry's
     * GLOBAL ordinal in the full sorted index — the reference's
@@ -124,8 +203,10 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
     * global sort) plus each field's broadcast cumulative offset.
     */
   def colNameValuesWithIndex(field: String): DataFrame = {
+    // ordinal order = the typed entry order (numeric fields count
+    // 1,2,…,10 — not "1","10","2" — matching indexColIdOrdering)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("field").orderBy("value")
+      .partitionBy("field").orderBy(valueSortKey, col("value"))
     val perFieldCounts = entries.groupBy("field").agg(count(lit(1)).as("n"))
     val offsets = perFieldCounts
       .withColumn("offset",

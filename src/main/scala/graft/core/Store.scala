@@ -79,8 +79,12 @@ object Store {
     // for the index would recompute the whole upstream (2× cost) and,
     // for a nondeterministic input (sample/rand/changing source),
     // index a DIFFERENT row set than the one persisted
-    IndexedFrame(spark.read.parquet(s"$dir/data"), spec).entries
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
+    val ix = IndexedFrame(spark.read.parquet(s"$dir/data"), spec)
+    ix.entries.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
+    // optional per-entry row-refs artifact (the reference's bitmap
+    // payload, Dfs.scala:330-408) — segment-parallel to the f index
+    if (spec.rowRefs.isDefined)
+      ix.rowRefs.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/rows_0")
   }
 
   /** reopen a written frame + its persisted index (openIndexedDf);
@@ -89,7 +93,8 @@ object Store {
   def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame =
     StoredFrame(
       IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
-      mergedIndex(spark, dir))
+      mergedIndex(spark, dir),
+      rowRefsFrame(spark, dir))
 
   /** write-if-absent then open (haveIndexedDf). "Present" means BOTH
     * halves exist — a write() that died between the data and index
@@ -102,7 +107,11 @@ object Store {
     val dataOk = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data"))
     val (root, _) = currentIndexRoot(spark, dir)
     val indexOk = fs.exists(new org.apache.hadoop.fs.Path(root))
-    if (!dataOk || !indexOk) write(provide, dir, spec)
+    // a spec asking for row-refs is not satisfied by a store written
+    // without them — re-provide rather than serve a refs-less frame
+    val rowsOk = spec.rowRefs.isEmpty ||
+      rowRefsFrame(spark, dir).isDefined
+    if (!dataOk || !indexOk || !rowsOk) write(provide, dir, spec)
     open(spark, dir, spec)
   }
 
@@ -202,9 +211,16 @@ object Store {
     val before = dataFiles()
     batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
     val written = (dataFiles() -- before).toSeq.sorted
-    if (written.nonEmpty)
-      IndexedFrame(spark.read.parquet(written: _*), spec).entries
+    if (written.nonEmpty) {
+      val ix = IndexedFrame(spark.read.parquet(written: _*), spec)
+      ix.entries
         .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
+      // row-refs segment mirrors the f segment 1:1 — O(batch), the
+      // existing refs are neither read nor rewritten
+      if (spec.rowRefs.isDefined)
+        ix.rowRefs
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
+    }
   }
 
   /** merge-on-read over all index segments: union of the per-segment
@@ -229,6 +245,23 @@ object Store {
       .orderBy("field", "value")
   }
 
+  /** the persisted row-refs (field, value, row_key) across all
+    * segments of the live generation, or None if the store was
+    * written without [[IndexSpec.withRowRefs]]. No merge shuffle:
+    * row keys are unique across segments by construction (each data
+    * row is appended once), so the union IS the merged refs table;
+    * per-segment (field,value) parquet stats still prune point reads.
+    */
+  private[core] def rowRefsFrame(spark: SparkSession,
+                                 dir: String): Option[DataFrame] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRows = fs.exists(rootPath) &&
+      fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("rows_"))
+    if (hasRows) Some(spark.read.parquet(s"$root/rows_*")) else None
+  }
+
   /** fold all index segments into one — run when a stream has
     * accumulated enough segments that merge-on-read amplification
     * matters (the reference's explicit writeMergedIndexedDf step).
@@ -246,16 +279,30 @@ object Store {
     * in-flight append on the same store.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
     // eager checkpoint: every read of the old generation completes
     // here, before any directory is created or deleted
     val merged = mergedIndex(spark, dir).localCheckpoint(true)
+    val rows = rowRefsFrame(spark, dir).map(_.localCheckpoint(true))
     val (fs, base) = fsFor(spark, dir)
     val (_, gen) = currentIndexRoot(spark, dir)
     val newRoot = s"$dir/index_g${gen + 1}"
     merged.write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_0")
+    // row-refs fold to one re-clustered segment inside the same
+    // atomic publish (the _COMMITTED marker below covers both)
+    rows.foreach(_
+      .repartitionByRange(col("field"), col("value"), col("row_key"))
+      .sortWithinPartitions("field", "value", "row_key")
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_0"))
     fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
     // reclaim generations at least two compacts old (never `gen`
     // itself — in-flight readers may still be planned against it)
+    reclaimBelow(fs, base, dir, gen)
+  }
+
+  private def reclaimBelow(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path,
+                           dir: String, gen: Int): Unit = {
     val stale =
       (if (gen > 0) Seq(s"$dir/index") else Nil) ++
       fs.listStatus(base).toSeq.map(_.getPath.getName)
@@ -264,6 +311,25 @@ object Store {
         .filter(_ < gen)
         .map(g => s"$dir/index_g$g")
     stale.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  /** reclaim every superseded generation INCLUDING the one the last
+    * compact retained — without paying for a merge. Use when the
+    * retention window has served its purpose (no reader still holds a
+    * frame planned before the last compact); a reader that does hold
+    * one will fail on its next execution, which is exactly the
+    * contract violation the caller asserted away. [[compact]] already
+    * reclaims generations two compacts old on its own, so vacuum is
+    * only needed to trim the LAST retained generation of a store that
+    * has stopped compacting.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val (fs, base) = fsFor(spark, dir)
+    // here gen IS the live generation (inside compact it is the one
+    // being superseded), so "strictly below gen" spares exactly the
+    // live index and reclaims everything else, retained or legacy
+    val (_, gen) = currentIndexRoot(spark, dir)
+    reclaimBelow(fs, base, dir, gen)
   }
 
   /** Hive-layout partitioned write: `<dir>/data/<col>=<value>/…`. A
@@ -303,7 +369,8 @@ object Store {
   * (pre-aggregated — index_freqs-style lookups hit the small sorted
   * parquet instead of rescanning the data).
   */
-final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame) {
+final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
+                             rowRefs: Option[DataFrame] = None) {
   /** frequency of (field,value) from the persisted index — a pruned
     * point read, the analog of opening one bitmap's popcount.
     */
@@ -312,5 +379,20 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame) {
     persistedIndex
       .where(col("field") === field && col("value") === value)
       .select(col("f"))
+  }
+
+  /** row keys matching one (field,value) served INDEX-ONLY from the
+    * persisted row-refs — the analog of opening one bitmap and reading
+    * its set bits (the base table is never touched; the point
+    * predicate prunes to the refs files whose (field,value) stats
+    * straddle the entry). Requires the store to have been written
+    * with [[IndexSpec.withRowRefs]].
+    */
+  def rowsOf(field: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rowRefs.getOrElse(throw new IllegalStateException(
+        s"store has no row-refs artifact — write with withRowRefs"))
+      .where(col("field") === field && col("value") === value)
+      .select(col("row_key"))
   }
 }

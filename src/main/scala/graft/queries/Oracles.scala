@@ -41,6 +41,25 @@ object Oracles {
         |  )
         |) WHERE field = 'l_returnflag' ORDER BY idx""".stripMargin,
 
+    // typed ordinal order: p_size entries rank by NUMERIC value (the
+    // CASE mirrors IndexedFrame.valueSortKey), after p_brand's offset
+    "index_nav_num" ->
+      """SELECT field, value, idx FROM (
+        |  SELECT field, value,
+        |    row_number() OVER (ORDER BY field,
+        |      CASE WHEN field = 'p_size' THEN CAST(value AS DOUBLE) END,
+        |      value) - 1 AS idx
+        |  FROM (
+        |    SELECT DISTINCT 'p_brand' AS field, p_brand AS value FROM part
+        |    UNION ALL
+        |    SELECT DISTINCT 'p_size', CAST(p_size AS VARCHAR) FROM part
+        |  )
+        |) WHERE field = 'p_size' ORDER BY idx""".stripMargin,
+
+    "index_rowrefs" ->
+      """SELECT o_orderkey AS row_key FROM orders
+        |WHERE o_orderpriority = '1-URGENT' ORDER BY row_key""".stripMargin,
+
     "index_freqs" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem

@@ -125,6 +125,16 @@ object RefSurface {
       IndexedFrame(Tables.lineitem(s, d), liSpec)
         .colNameValuesWithIndex("l_returnflag")),
 
+    // §2a.4c — typed index ordering: a NUMERIC field's entries (and
+    // therefore their bitmap-addressing ordinals) order by native
+    // value, not string form — the reference's indexColIdOrdering
+    // (Dfs.scala:310-328) semantics; "10" never sorts before "2".
+    // Global ordinals also exercise the cross-field offset (p_brand
+    // precedes p_size in the sorted index).
+    "index_nav_num" -> ((s, d) =>
+      IndexedFrame(Tables.part(s, d), IndexSpec(Seq("p_brand", "p_size")))
+        .colNameValuesWithIndex("p_size")),
+
     // §2a.5b — sketch path: approximate per-field index cardinality
     // via mergeable DataSketches HLL (rows-only; estimates)
     "index_approx" -> ((s, d) =>
@@ -150,6 +160,20 @@ object RefSurface {
       Store.write(Tables.lineitem(s, d), dir, liSpec)
       Store.open(s, dir, liSpec).persistedIndex
         .orderBy("field", "value")
+    }),
+
+    // §2a.12e — per-entry row-refs: the reference's bitmap PAYLOAD
+    // (each (field,value) → the rows that match, Dfs.scala:330-408)
+    // persisted as the optional refs artifact and served INDEX-ONLY —
+    // rowsOf never touches the base table, the analog of opening one
+    // bitmap and enumerating its set bits. Oracled against a direct
+    // scan of the data with the same predicate.
+    "index_rowrefs" -> ((s, d) => {
+      val dir = s"/tmp/graft_storer_${new java.io.File(d).getName}"
+      val spec = IndexSpec(Seq("o_orderpriority")).withRowRefs("o_orderkey")
+      Store.write(Tables.orders(s, d), dir, spec)
+      Store.open(s, dir, spec).rowsOf("o_orderpriority", "1-URGENT")
+        .orderBy("row_key")
     }),
 
     // §2a.12d — partition-pruned reopen: documents written Hive-

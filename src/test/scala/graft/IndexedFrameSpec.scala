@@ -139,6 +139,67 @@ class IndexedFrameSpec extends SparkSpec {
     val point = ix.coStats(ix.predicate("f1", "a"), ix.predicate("f2", "x"))
     assert(point.fAB === 2L)
   }
+
+  test("numeric fields order by native value, not string form") {
+    // the reference's typed index ordering (Dfs.indexColIdOrdering,
+    // Dfs.scala:310-328): an Int column's entries never read "10" < "2"
+    val num = Seq((2, "b"), (10, "a"), (1, "a"), (10, "b"))
+      .toDF("n", "s")
+    val ix = IndexedFrame(num, IndexSpec(Seq("n", "s")))
+    assert(ix.colValues("n").collect().map(_.getString(0)).toSeq ===
+      Seq("1", "2", "10"))
+    // string fields keep lexicographic order
+    assert(ix.colValues("s").collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b"))
+    // entries: within field n, typed order; field sort itself unchanged
+    assert(ix.entries.where($"field" === "n").collect()
+      .map(_.getString(1)).toSeq === Seq("1", "2", "10"))
+    // global ordinals count in typed order and keep the cross-field
+    // offset ("n" precedes "s": 3 n-entries, then the s-entries)
+    val ords = ix.colNameValuesWithIndex("s").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(ords === Map("a" -> 3L, "b" -> 4L))
+    val nOrds = ix.colNameValuesWithIndex("n").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(nOrds === Map("1" -> 0L, "2" -> 1L, "10" -> 2L))
+  }
+
+  test("analyzed numeric-typed field keeps string token order") {
+    // an analyzer emits string TOKENS — typed ordering applies only to
+    // identity-indexed numeric columns, never to analyzed ones
+    val num = Seq((2, "x"), (10, "x")).toDF("n", "s")
+    val ix = IndexedFrame(num,
+      IndexSpec(Seq("n")).withAnalyzer("n", Analyzers.whitespace))
+    assert(ix.colValues("n").collect().map(_.getString(0)).toSeq ===
+      Seq("10", "2")) // lexicographic: analyzed field
+  }
+
+  test("live rowRefs carries one ref per matching row per entry") {
+    // bitmap semantics: refs-per-entry count == the entry's f, and
+    // rowsOf(field,value) equals the refs slice for that entry
+    val d = Seq((1L, "a", "red big"), (2L, "b", "red small"),
+      (3L, "a", "red red")).toDF("id", "cat", "txt")
+    val sp = IndexSpec(Seq("cat", "txt"))
+      .withAnalyzer("txt", Analyzers.whitespace).withRowRefs("id")
+    val ix = IndexedFrame(d, sp)
+    val refs = ix.rowRefs.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // "red red" sets ONE bit for row 3 (array_distinct discipline)
+    assert(refs(("txt", "red")) === Set(1L, 2L, 3L))
+    assert(refs(("cat", "a")) === Set(1L, 3L))
+    // f == refs count for every entry
+    val f = ix.entries.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    f.foreach { case (k, n) => assert(refs(k).size.toLong === n, k) }
+    // rowsOf agrees with the refs slice
+    assert(ix.rowsOf("txt", "red").collect().map(_.getLong(0)).toSet ===
+      refs(("txt", "red")))
+    // unset spec refuses
+    intercept[IllegalArgumentException] {
+      IndexedFrame(d, IndexSpec(Seq("cat"))).rowRefs
+    }
+  }
 }
 
 /** typedView target (top-level for a stable Encoder) */

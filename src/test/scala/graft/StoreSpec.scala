@@ -196,6 +196,98 @@ class StoreSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("cat=a")), files)
   }
 
+  private val refsSpec = IndexSpec(Seq("cat")).withRowRefs("id")
+
+  test("row-refs artifact serves rowsOf index-only and matches a live scan") {
+    val dir = java.nio.file.Files.createTempDirectory("rowref").toString
+    Store.write(data, dir, refsSpec)
+    val st = Store.open(spark, dir, refsSpec)
+    val served = st.rowsOf("cat", "a")
+    assert(served.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // index-only: every file the plan scans lives under index*/rows_*,
+    // the base data parquet is never touched (the analog of answering
+    // from the bitmap alone)
+    val files = served.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("rows_")), files)
+    assert(files.forall(!_.contains("/data/")), files)
+    // live-frame spelling agrees
+    assert(st.frame.rowsOf("cat", "a").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+    // a store written WITHOUT refs refuses rowsOf rather than rescanning
+    val bare = java.nio.file.Files.createTempDirectory("norefs").toString
+    Store.write(data, bare, spec)
+    intercept[IllegalStateException] {
+      Store.open(spark, bare, spec).rowsOf("cat", "a")
+    }
+  }
+
+  test("have() re-provides when the spec demands row-refs the store lacks") {
+    val dir = java.nio.file.Files.createTempDirectory("uprefs").toString
+    var calls = 0
+    def provide = { calls += 1; data }
+    Store.have(spark, dir, spec)(provide)          // refs-less store
+    val st = Store.have(spark, dir, refsSpec)(provide) // upgrade in place
+    assert(calls === 2)
+    assert(st.rowsOf("cat", "a").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+    Store.have(spark, dir, refsSpec)(provide)      // now satisfied
+    assert(calls === 2)
+  }
+
+  test("row-refs segments mirror index segments across append and compact") {
+    val dir = java.nio.file.Files.createTempDirectory("rowrefseg").toString
+    Store.append(data.where($"id" <= 2), dir, refsSpec)
+    Store.append(data.where($"id" > 2), dir, refsSpec)
+    assert(new java.io.File(s"$dir/index/rows_0").isDirectory)
+    assert(new java.io.File(s"$dir/index/rows_1").isDirectory)
+    val st = Store.open(spark, dir, refsSpec)
+    assert(st.rowsOf("cat", "a").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+    // bitmap invariant across segments: every entry's f == refs count
+    val f = st.persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val refs = st.rowRefs.get.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(refs === f)
+    // compact folds refs into the new generation alongside the index
+    Store.compact(spark, dir)
+    assert(new java.io.File(s"$dir/index_g1/rows_0").isDirectory)
+    val st2 = Store.open(spark, dir, refsSpec)
+    assert(st2.rowsOf("cat", "a").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+  }
+
+  test("second compact reclaims generations two compacts old; vacuum trims the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("gc").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2), dir, spec)
+    Store.compact(spark, dir) // publishes g1, retains gen0 (index/)
+    assert(new java.io.File(s"$dir/index").exists())
+    val reader = Store.open(spark, dir, spec) // planned against g1
+    Store.append(data.select($"id" + 10, $"cat", $"v").toDF("id", "cat", "v"),
+      dir, spec)
+    Store.compact(spark, dir) // publishes g2, retains g1, reclaims gen0
+    assert(!new java.io.File(s"$dir/index").exists(), "gen0 not reclaimed")
+    assert(new java.io.File(s"$dir/index_g1").exists(), "retained gen gone")
+    // the reader planned before the second compact stays correct (its
+    // generation g1 was retained)
+    val ix = reader.persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix === Map(("cat", "a") -> 2L, ("cat", "b") -> 1L, ("cat", "c") -> 1L))
+    // vacuum trims the last retained generation; a FRESH reader is exact
+    Store.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/index_g1").exists(), "vacuum kept g1")
+    assert(new java.io.File(s"$dir/index_g2").exists(), "vacuum ate the live gen")
+    val ix2 = Store.open(spark, dir, spec).persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix2 === Map(("cat", "a") -> 4L, ("cat", "b") -> 2L, ("cat", "c") -> 2L))
+  }
+
   test("persisted index f() matches live recount") {
     val dir = java.nio.file.Files.createTempDirectory("store3").toString
     Store.write(data, dir, spec)
