@@ -39,6 +39,41 @@ case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Int, height: Int,
   */
 object Multimodal {
 
+  /** ImageIO defaults to a DISK-backed stream cache: every read/write
+    * spills the encoded bytes through a temp file — per image. For
+    * in-memory byte-array payloads that is pure overhead (a file
+    * create+delete per decode); reference once per executor JVM from
+    * each codec closure to switch to memory-backed streams.
+    */
+  @transient private lazy val imageIoNoDiskCache: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false); true
+  }
+
+  /** per-channel pixel sums of a decoded raster via BULK row reads:
+    * `getRGB(0,y,w,1,row,0,w)` converts one scanline per call instead
+    * of re-dispatching through the ColorModel for every pixel — the
+    * per-pixel `getRGB(x,y)` spelling is the dominant cost of a decode
+    * walk on any non-trivial image (~3-5× slower than the row bulk).
+    */
+  private def channelSums(
+      img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** wrap a text corpus as a payload table: (doc_id, payload binary,
     * meta struct<n_bytes, content_md5>) — the schema any real media
     * ingest would produce.
@@ -86,6 +121,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         it.map { case (id, bytes) =>
           val img =
             if (bytes == null || bytes.isEmpty) null
@@ -113,6 +149,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         // one iterator per partition: the shape a real decoder (native
         // context, batched I/O) requires; stays in the typed Dataset
         // world so downstream ops keep the Encoder
@@ -141,6 +178,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long")).as[Long].mapPartitions { it =>
+        imageIoNoDiskCache
       it.map { docId =>
         val w = 16 + (docId % 16).toInt
         val h = 16 + ((docId / 16) % 16).toInt
@@ -180,6 +218,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         it.map { case (id, bytesOrNull) =>
           val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           val img =
@@ -193,17 +232,7 @@ object Multimodal {
           } else {
             val w = img.getWidth
             val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = channelSums(img)
             val n = w.toLong * h
             DecodedImage(id, w, h,
               sr.toDouble / n / 255.0, sg.toDouble / n / 255.0,
@@ -235,6 +264,7 @@ object Multimodal {
     val width = 256 / bins
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         it.flatMap { case (id, bytesOrNull) =>
           val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           val img =
@@ -247,11 +277,14 @@ object Multimodal {
             val hr = new Array[Long](bins)
             val hg = new Array[Long](bins)
             val hb = new Array[Long](bins)
+            val w = img.getWidth
+            val row = new Array[Int](w)
             var y = 0
             while (y < img.getHeight) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
+              while (x < w) {
+                val p = row(x)
                 hr(((p >> 16) & 0xff) / width) += 1
                 hg(((p >> 8) & 0xff) / width) += 1
                 hb((p & 0xff) / width) += 1
@@ -282,6 +315,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long")).as[Long].mapPartitions { it =>
+        imageIoNoDiskCache
       it.map { docId =>
         val bos = new java.io.ByteArrayOutputStream()
         val out = new java.io.DataOutputStream(bos)
@@ -323,6 +357,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         it.flatMap { case (id, bytes) =>
           val buf = java.nio.ByteBuffer.wrap(
             if (bytes == null) Array.empty[Byte] else bytes)
@@ -355,6 +390,7 @@ object Multimodal {
     frames.select("doc_id", "frame_idx", "frame")
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache
         it.map { case (id, idx, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -363,17 +399,7 @@ object Multimodal {
           else {
             val w = img.getWidth
             val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = channelSums(img)
             val n = w.toLong * h
             DecodedFrame(id, idx, w, h,
               sr.toDouble / n / 255.0, sg.toDouble / n / 255.0,
