@@ -144,6 +144,36 @@ object BaselineProbe {
     }
     results += "hicard_freq_1024" -> (hfr, nHKeys)
 
+    // 9-10. the row-refs artifact (the reference's per-entry bitmap
+    //    payload): write cost with refs enabled, then 1024 MEMBERSHIP
+    //    lookups — each op enumerates the ROWS matching a (field,value)
+    //    entry, the workload the reference serves by opening 1024
+    //    bitsets and reading their set bits (243-257 ms + µs-scale
+    //    reads). Served INDEX-ONLY from the persisted refs parquet;
+    //    the 600k-row base table is never scanned.
+    val refSpec = hiSpec.withRowRefs("l_orderkey")
+    val rwr = bestOf(3) { Store.write(li, s"$outDir/refstore", refSpec) }
+    results += "write_hicard_with_refs" -> (rwr, nRows)
+
+    val rst = Store.open(spark, s"$outDir/refstore", refSpec)
+    val rrefs = rst.rowRefs.get
+    val mr = bestOf(3) {
+      rrefs.join(broadcast(hkeys), Seq("field", "value"))
+        .select(count(col("row_key"))).head()
+    }
+    results += "rowrefs_membership_1024" -> (mr, nHKeys)
+
+    // 11. ONE interactive point membership op (not amortized): the
+    //    refs parquet is range-clustered on (field,value), so the scan
+    //    prunes to the files straddling the entry — Spark's floor here
+    //    is the scheduler round-trip, the honest number to put against
+    //    the reference's sub-ms warm-mmap bitmap open
+    val oneKey = hkeys.limit(1).collect().head
+    val pr = bestOf(5) {
+      rst.rowsOf(oneKey.getString(0), oneKey.getString(1)).collect()
+    }
+    results += "rowrefs_single_point" -> (pr, 1L)
+
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0
       s""""$k":{"ms":${math.round(ms * 10.0) / 10.0},"ops":$n,"us_per_op":$usPerOp}"""

@@ -228,6 +228,17 @@ object Store {
     * entries (small by construction — the index is the aggregate, not
     * the data); parquet's field/value column stats still prune
     * per-segment point reads.
+    *
+    * SINGLE-SEGMENT FAST PATH: a store that was write()n once or has
+    * been compacted holds exactly one segment, which is already
+    * aggregated and written in sorted (field, value) clustering — it
+    * is served AS-IS, so a point f() lookup is a pruned parquet read
+    * with no shuffle at all (the mmap-bitmap-open analog; this is the
+    * steady-state shape, since compact exists precisely to return a
+    * store to one segment). Row ORDER of the returned frame is
+    * unspecified in both paths — consumers order as needed (they all
+    * do); an always-on global sort here would bill every point lookup
+    * for a display order nothing consumes.
     */
   private[core] def mergedIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -237,12 +248,14 @@ object Store {
     // exist rather than failing the path glob
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasSegments = fs.exists(rootPath) &&
-      fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_"))
-    val src = if (hasSegments) s"$root/seg_*" else root
-    spark.read.parquet(src)
+    val segs =
+      if (!fs.exists(rootPath)) Array.empty[String]
+      else fs.listStatus(rootPath).map(_.getPath.getName)
+        .filter(_.startsWith("seg_"))
+    if (segs.isEmpty) spark.read.parquet(root)
+    else if (segs.length == 1) spark.read.parquet(s"$root/${segs.head}")
+    else spark.read.parquet(s"$root/seg_*")
       .groupBy("field", "value").agg(sum("f").as("f"))
-      .orderBy("field", "value")
   }
 
   /** the persisted row-refs (field, value, row_key) across all
@@ -287,7 +300,11 @@ object Store {
     val (fs, base) = fsFor(spark, dir)
     val (_, gen) = currentIndexRoot(spark, dir)
     val newRoot = s"$dir/index_g${gen + 1}"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_0")
+    // sorted (field,value) clustering belongs to the WRITE, not the
+    // read ([[mergedIndex]] serves unordered): the folded segment's
+    // parquet stats must prune point reads like a write()n one's do
+    merged.orderBy("field", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_0")
     // row-refs fold to one re-clustered segment inside the same
     // atomic publish (the _COMMITTED marker below covers both)
     rows.foreach(_
