@@ -90,6 +90,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Overlap-RATIO decontamination (§2c.36c): the quality-gate form
+    * of [[contaminated]]. Where `contaminated` lists hit docs with
+    * their shared-shingle count, this scores EVERY training doc with
+    * the fraction of its distinct k-shingles found in the eval set
+    * and flags those at or above `threshold` — the GPT-3-style
+    * published recipe ("remove documents with ≥N% n-gram overlap
+    * with any benchmark"), where a doc quoting one benchmark line
+    * survives but a near-copy is dropped.
+    *
+    * Same normalization, same shingle kernel, same size-routed
+    * broadcast as [[contaminated]] — the corpus side stays a map-only
+    * stream into the (left) hash join, then ONE shuffle by doc to
+    * aggregate numerator and denominator together.
+    */
+  def ngramOverlap(df: DataFrame, text: Column, id: Column,
+                   isEval: Column, k: Int = 8, threshold: Double = 0.5,
+                   broadcastShingleLimit: Long = 5_000_000L): DataFrame = {
+    val toks = normTokens(text)
+    val shingled = df
+      .select(id.as("doc_id"), isEval.as("is_eval"), toks.as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), col("is_eval"),
+        explode(graft.functions.TokenOps.wordShingles(col("t"), k,
+          distinct = true)).as("sh"))
+    val evalShingles = shingled.where(col("is_eval"))
+      .select("sh").distinct().withColumn("hit", lit(1))
+      .localCheckpoint() // materialize once: sizing count + join probe
+    val corpus = shingled.where(!col("is_eval"))
+    val joined =
+      if (evalShingles.count() <= broadcastShingleLimit)
+        corpus.join(broadcast(evalShingles), Seq("sh"), "left")
+      else corpus.join(evalShingles, Seq("sh"), "left")
+    joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("ratio",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("ratio") >= threshold)
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination (§2c.36b) — the 100 TB shape
     * of [[contaminated]] when the eval shingle set outgrows an exact
     * broadcast. The result is IDENTICAL (same oracle): the sketch only

@@ -37,6 +37,64 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("re_tokens"))
 
+  /** BPE-statistics step (§2c.32c): corpus-wide counts of adjacent
+    * character pairs inside normalized words — the pair-frequency
+    * aggregation at the heart of BPE vocabulary induction (each merge
+    * round of BPE training recomputes exactly this table). Top `topN`
+    * pairs by (count desc, pair asc) — the tie-broken order makes the
+    * cut deterministic, so the row is hash-oracled.
+    *
+    * Scale shape: pair emission is map-only off the token stream, and
+    * the pair alphabet is BOUNDED (≤ 37² symbols over [a-z0-9]), so
+    * map-side partial aggregation collapses every partition to ≤~1.4k
+    * rows before the shuffle — corpus size never reaches the exchange.
+    */
+  def bpePairCounts(df: DataFrame, text: Column,
+                    topN: Int = 200): DataFrame =
+    df.select(explode(Curation.normTokens(text)).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+
+  /** Vocabulary tokenization (§2c.32b): build the top-`vocabSize`
+    * token vocabulary by corpus frequency — ids dense from 0 in
+    * (freq desc, token asc) order — then re-encode every doc as its
+    * ordered token-id sequence (OOV → -1), plus token/OOV counts.
+    * This is the tokenize-for-training step that turns a curated
+    * corpus into model input, with the id assignment deterministic
+    * enough to hash-oracle.
+    *
+    * Scale shape: vocab build is word-count (map-side combine
+    * collapses the token stream to the vocabulary before the
+    * exchange); the ≤vocabSize id-assignment window runs on one
+    * task over vocabSize rows (driver-bounded by construction, like
+    * IVF centroids); re-encoding is a map-only broadcast join on the
+    * token stream and one shuffle by doc to reassemble sequences.
+    */
+  def tokenizeIds(df: DataFrame, text: Column, id: Column,
+                  vocabSize: Int = 512): DataFrame = {
+    val stream = df.select(id.as("doc_id"),
+      posexplode(Curation.normTokens(text)).as(Seq("pos", "tok")))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val vocab = stream.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), (row_number().over(byFreq) - 1L).as("tok_id"))
+    stream.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tok_id"), lit(-1L)).as("tid")))),
+          x => x.getField("tid").cast("string"))).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
   /** length / punctuation / stopword / alpha ratios + a quality score
     * (§2c.30). Score: alpha-ratio and stopword-ratio reward natural
     * text; bare heuristic, but the point is the distributed shape.

@@ -300,6 +300,75 @@ object OraclesLlm {
         |FROM sh s JOIN ev USING (sh) WHERE NOT s.is_eval
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // distinct shingles per doc (list_distinct mirrors the kernel's
+    // distinct=true); LEFT join keeps zero-overlap docs, ratio =
+    // hits/denominator rounded 6dp on both sides
+    "decontaminate_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 8
+        |), ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval)
+        |SELECT doc_id, n_shingles, n_hits, ratio,
+        |  ratio >= 0.5 AS contaminated
+        |FROM (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    count(e.sh) AS n_hits,
+        |    round(CAST(count(e.sh) AS DOUBLE) / count(*), 6) AS ratio
+        |  FROM sh s LEFT JOIN ev e ON s.sh = e.sh
+        |  WHERE NOT s.is_eval GROUP BY s.doc_id
+        |) ORDER BY doc_id""".stripMargin,
+
+    // range(1, n) is end-exclusive → pair starts 1..n-1; substring is
+    // 1-based on both engines; (n DESC, pair) makes the top-200 cut
+    // deterministic under ties
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substring(w, i, 2))) AS pair
+        |  FROM words WHERE length(w) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 200""".stripMargin,
+
+    // vocab ids dense in (freq DESC, token ASC) order over the top
+    // 512; the id window runs over the grouped counts BEFORE the
+    // limit on both engines, so ids agree; position only orders the
+    // per-doc sequence (Spark's posexplode is 0-based,
+    // generate_subscripts 1-based — irrelevant to the ordering)
+    "text_tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), stream AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    generate_subscripts(t, 1) AS pos
+        |  FROM toks
+        |), vocab AS (
+        |  SELECT tok,
+        |    row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS tok_id
+        |  FROM stream GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 512
+        |)
+        |SELECT s.doc_id,
+        |  string_agg(CAST(coalesce(v.tok_id, -1) AS VARCHAR),
+        |             ',' ORDER BY s.pos) AS token_ids,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_oov
+        |FROM stream s LEFT JOIN vocab v ON s.tok = v.tok
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     // IDENTICAL oracle to decontaminate: the bloom path is a map-side
     // prefilter + exact verify, so any sketch-induced loss (a missed
     // hit, a surviving false positive) is a hash mismatch here

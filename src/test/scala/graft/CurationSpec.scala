@@ -175,4 +175,29 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) === "mail <EMAIL> or <PHONE> today")
     assert(out(2L) === "no pii in this one 12-34 not a phone a@b not an email")
   }
+
+  test("ngramOverlap scores every doc with ratio and threshold flag") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"$run benchmark answer text here"),                 // eval
+      // 9 tokens -> 2 distinct shingles, BOTH inside the eval run's
+      // shingle window? construct: run + one extra token gives
+      // shingles [1..8]=run (hit) and [2..9] (miss) -> ratio 0.5
+      (1L, s"$run trailing"),
+      (2L, "totally different words nothing shared across this one lone doc"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramOverlap(docs, col("text"), col("doc_id"),
+        col("doc_id") === 0L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // doc 3 (< 8 tokens) emits no shingles and no row
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((2L, 1L, 0.5, true)))
+    // 10 tokens -> 3 distinct shingles, none shared with eval
+    val (n2, h2, r2, c2) = got(2L)
+    assert(n2 === 3L && h2 === 0L && r2 === 0.0 && !c2)
+  }
 }

@@ -54,4 +54,31 @@ class TextSignalsSpec extends SparkSpec {
     assert(strict(0) === strict(1))
     assert(strict.head._3 === 0.0)
   }
+
+  test("bpePairCounts: hand-checked adjacent pair table") {
+    val docs = Seq((0L, "aba ab"), (1L, "Ab!ba")).toDF("doc_id", "text")
+    // normalized words: aba, ab, ab, ba
+    // pairs: aba -> ab, ba ; ab -> ab ; ab -> ab ; ba -> ba
+    val got = TextAnalysis.bpePairCounts(docs, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("ab", 3L), ("ba", 2L))) // count desc, pair asc
+    val capped = TextAnalysis.bpePairCounts(docs, col("text"), topN = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(capped === Seq("ab"))
+  }
+
+  test("tokenizeIds: dense freq-ordered vocab, ordered ids, OOV -1") {
+    val docs = Seq(
+      (0L, "b a b c"),
+      (1L, "a b rare")
+    ).toDF("doc_id", "text")
+    // freq: b=3, a=2, c=1, rare=1 -> vocabSize 3 keeps b(0), a(1), c(2)
+    val got = TextAnalysis.tokenizeIds(docs, col("text"), col("doc_id"),
+        vocabSize = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) === (("0,1,0,2", 4L, 0L)))
+    assert(got(1L) === (("1,0,-1", 3L, 1L)))
+  }
 }
