@@ -19,6 +19,13 @@ case class DecodedImage(doc_id: Long, width: Int, height: Int,
 /** one sampled frame from a multi-frame payload */
 case class FramePayload(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 
+/** an ingested audio row: opaque encoded bytes + typed id */
+case class AudioPayload(doc_id: Long, payload: Array[Byte])
+
+/** real audio decode output: container format + PCM sample stats */
+case class DecodedAudio(doc_id: Long, sample_rate: Long, n_samples: Long,
+                        duration_s: Double, peak: Long, rms: Double)
+
 /** one non-empty histogram bucket of a decoded image channel */
 case class ImageFeature(doc_id: Long, channel: String, bin: Int, n_px: Long)
 
@@ -419,4 +426,91 @@ object Multimodal {
       md5(to_binary(
         array_join(transform(col("feature"),
           f => format_string("%.6f", f)), ","), lit("utf-8"))).as("feature_md5"))
+
+  /** Deterministic REAL WAV payload per row (§2c.34f): canonical
+    * 16-bit mono PCM RIFF/WAVE bytes assembled field by field (the
+    * container layout is public), carrying a full-amplitude square
+    * wave at Nyquist — every sample is ±amp with
+    * amp = (doc_id·37) % 10000 over n = 800 + doc_id % 800 samples at
+    * 8 kHz. Every downstream stat (sample rate, count, duration,
+    * peak, RMS — RMS of a square wave is exactly amp) is a pure
+    * function of doc_id, so the DECODE through the JDK's real WAV
+    * codec is hash-oracled, the same posture as the PNG round trip.
+    */
+  def syntheticAudioPayload(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val n = 800 + (docId % 800).toInt
+        val amp = ((docId * 37) % 10000).toInt
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)            // PCM
+          .putShort(1)            // mono
+          .putInt(8000)           // sample rate
+          .putInt(16000)          // byte rate
+          .putShort(2)            // block align
+          .putShort(16)           // bits/sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          bb.putShort((if (i % 2 == 0) amp else -amp).toShort)
+          i += 1
+        }
+        AudioPayload(docId, bb.array())
+      }
+    }.toDF()
+  }
+
+  /** REAL audio decode (§2c.34f): `javax.sound.sampled.AudioSystem`
+    * parses the container (format, rate, sample width), then the PCM
+    * stream is walked once for sample count, peak and RMS — the
+    * feature-extraction shape of an audio ingest pipeline, batched
+    * per partition like every codec here. Non-PCM-16 or unparseable
+    * payloads are quarantined as a deterministic -1 row (tag-and-
+    * continue), mirroring [[decodeImages]].
+    */
+  def decodeAudio(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val ok = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian
+            if (!ok) DecodedAudio(id, -1L, -1L, -1.0, -1L, -1.0)
+            else {
+              val pcm = ais.readAllBytes()
+              val n = pcm.length / 2
+              var i = 0; var peak = 0L; var sumSq = 0.0
+              while (i < n) {
+                val s = ((pcm(2 * i + 1).toInt << 8) |
+                  (pcm(2 * i) & 0xff)).toShort.toInt
+                val a = math.abs(s).toLong
+                if (a > peak) peak = a
+                sumSq += s.toDouble * s
+                i += 1
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              DecodedAudio(id, fmt.getSampleRate.toLong, n.toLong,
+                n / fmt.getSampleRate.toDouble, peak, rms)
+            }
+          } catch {
+            case _: Exception => DecodedAudio(id, -1L, -1L, -1.0, -1L, -1.0)
+          }
+        }
+      }.toDF()
+  }
 }

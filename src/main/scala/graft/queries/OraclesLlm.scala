@@ -243,6 +243,20 @@ object OraclesLlm {
         |  round((doc_id * 13 % 256) / 255.0, 6) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the audio query round-trips REAL WAVs whose amplitude/length are
+    // pure functions of doc_id: a Nyquist square wave's |sample| is
+    // its amplitude everywhere, so peak == RMS == amp exactly (sqrt
+    // of a perfect square is exact in IEEE for amp < 2^26)
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+        |  round(CAST(800 + doc_id % 800 AS DOUBLE) / 8000, 6)
+        |    AS duration_s,
+        |  CAST((doc_id * 37) % 10000 AS BIGINT) AS peak,
+        |  round(CAST((doc_id * 37) % 10000 AS DOUBLE), 6) AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // sampled frames 0 and 2 of the 4-frame container; colour/size
     // are pure functions of (doc_id, frame_idx)
     "multimodal_frames" ->

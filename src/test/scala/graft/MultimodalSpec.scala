@@ -130,4 +130,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 2)
     assert(rows.forall(r => r.getString(3).length === 32)) // md5 hex
   }
+
+  test("audio: WAV round trip through the real JDK codec") {
+    val ids = Seq(0L, 7L, 799L, 1234L).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(
+        Multimodal.syntheticAudioPayload(ids, col("doc_id")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    for (id <- Seq(0L, 7L, 799L, 1234L)) {
+      val n = 800 + (id % 800)
+      val amp = (id * 37) % 10000
+      val (sr, ns, dur, peak, rms) = decoded(id)
+      assert(sr === 8000L, s"doc $id")
+      assert(ns === n, s"doc $id")
+      assert(dur === n / 8000.0, s"doc $id")
+      assert(peak === amp, s"doc $id")
+      assert(rms === amp.toDouble, s"doc $id") // square wave: RMS == amp
+    }
+    // unparseable payloads quarantine as the deterministic -1 row
+    val junk = Seq((9L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val q = Multimodal.decodeAudio(junk).collect().head
+    assert(q.getLong(1) === -1L && q.getLong(4) === -1L)
+  }
 }
