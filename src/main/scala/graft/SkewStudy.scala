@@ -31,9 +31,8 @@ object SkewStudy {
           "whole corpus many many times over and over again").as("text"))
     val corpus = docs.unionByName(blob).localCheckpoint(true)
 
-    def run(label: String, windowCap: Boolean): Unit = {
-      if (windowCap) spark.conf.set(graft.ops.Skew.WindowCapConf, "true")
-      else spark.conf.unset(graft.ops.Skew.WindowCapConf)
+    def run(label: String, impl: String): Unit = {
+      spark.conf.set(graft.ops.Skew.CapImplConf, impl)
       // warm
       graft.ops.Dedup.minhashLsh(corpus.limit(100), col("text"), col("doc_id"))
         .write.mode("overwrite").format("noop").save()
@@ -44,10 +43,12 @@ object SkewStudy {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"STUDY $label%-8s wall=$wall%.2f s  max_task=${maxTask.get / 1000.0}%.2f s")
     }
-    run("grouped", windowCap = false)
-    run("window", windowCap = true)
-    run("grouped", windowCap = false)
-    run("window", windowCap = true)
+    run("exchange", "exchange")
+    run("grouped", "grouped")
+    run("window", "window")
+    run("exchange", "exchange")
+    run("grouped", "grouped")
+    run("window", "window")
     spark.stop()
   }
 }

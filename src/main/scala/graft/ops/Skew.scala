@@ -9,41 +9,76 @@ import org.apache.spark.sql.functions._
   * candidate self-join, bounding the join's per-key fan-out (a key
   * shared by c rows creates c² candidate pairs).
   *
-  * Two spellings of the same row-set, selected by config:
+  * Three spellings of the same row-set, selected by config:
   *
-  * - GROUPED (default): per-key counts via groupBy (map-side partial
-  *   aggregation collapses even a mega-hot key to one row per map
-  *   task), keys over the cap become a broadcast LEFT ANTI join.
-  *   Under any Zipf-like key distribution the over-cap set is tiny
-  *   (it is the reason a cap exists), so the broadcast is bytes. The
-  *   input subtree is evaluated twice (once for counts, once as the
-  *   join probe side) — map-only work for every caller here — but NO
-  *   key's row stream is ever concentrated in one task.
+  * - EXCHANGE (default): repartition the stream on the cap keys —
+  *   the exact hashpartitioning the downstream self-join needs —
+  *   then derive BOTH the over-cap key set (post-shuffle hash
+  *   aggregation: no sort, a mega-hot partition streams through one
+  *   hash-table entry) and the anti-join probe side from that ONE
+  *   exchange (ReusedExchange / AQE stage reuse). One evaluation of
+  *   the input, one shuffle of the stream, no window sort: this
+  *   combines the window spelling's plan-sharing with the grouped
+  *   spelling's straggler-safety — the hot key's partition is only
+  *   ever STREAMED (hash-count, then filter), never externally
+  *   sorted. (Measured: the grouped default's second evaluation of a
+  *   shingle stream cost ~2× on ngram_jaccard; the window's sort of
+  *   a planted 2M-row hot key cost a 22 s straggler task. This
+  *   spelling pays neither.)
   *
-  * - WINDOW (opt-in, `spark.graft.skew.windowCap=true`): a count
-  *   window over partitionBy(keys). Evaluates the input once and
-  *   forces the exact hashpartitioning the downstream self-join
-  *   needs (one exchange, ReusedExchange) — but the hot key's ENTIRE
-  *   stream funnels through one window partition (external sort,
-  *   disk-bound) before being dropped. At a Zipf-heavy 100 TB corpus
-  *   that straggler task is the first thing the operator hits, which
-  *   is why this spelling is the opt-in rather than the default.
+  * - GROUPED (`spark.graft.skew.capImpl=grouped`): per-key counts
+  *   via map-side-combined groupBy on the UNSHUFFLED input, over-cap
+  *   keys become a broadcast LEFT ANTI join. Evaluates the input
+  *   twice but never shuffles the full stream — the right trade when
+  *   the downstream does NOT need the stream partitioned by the cap
+  *   key (no caller here is in that position today) or when the
+  *   input evaluation is cheaper than a stream shuffle.
   *
-  * The two spellings keep/drop IDENTICAL row sets (spec-checked), so
+  * - WINDOW (`spark.graft.skew.capImpl=window`, legacy
+  *   `spark.graft.skew.windowCap=true`): a count window over
+  *   partitionBy(keys). Single evaluation and single exchange like
+  *   the default, but WindowExec SORTS each partition — the hot
+  *   key's entire stream external-sorts in one task before being
+  *   dropped. Kept as the reference spelling the others are
+  *   spec-checked against.
+  *
+  * All spellings keep/drop IDENTICAL row sets (spec-checked), so
   * flipping the conf can never change operator results, only the
   * physical plan.
   */
 object Skew {
 
-  /** set to "true" to select the single-exchange window spelling */
+  /** "exchange" (default) | "grouped" | "window" */
+  val CapImplConf = "spark.graft.skew.capImpl"
+
+  /** legacy boolean: "true" selects the window spelling */
   val WindowCapConf = "spark.graft.skew.windowCap"
 
   /** drop all rows of keys occurring more than `maxFreq` times */
   private[graft] def dropHotKeys(df: DataFrame, keys: Seq[String],
-                                 maxFreq: Long): DataFrame =
-    if (df.sparkSession.conf.getOption(WindowCapConf).exists(_.toBoolean))
-      dropHotKeysWindow(df, keys, maxFreq)
-    else dropHotKeysGrouped(df, keys, maxFreq)
+                                 maxFreq: Long): DataFrame = {
+    val conf = df.sparkSession.conf
+    val impl = conf.getOption(CapImplConf).getOrElse(
+      if (conf.getOption(WindowCapConf).exists(_.toBoolean)) "window"
+      else "exchange")
+    impl match {
+      case "exchange" => dropHotKeysExchange(df, keys, maxFreq)
+      case "grouped"  => dropHotKeysGrouped(df, keys, maxFreq)
+      case "window"   => dropHotKeysWindow(df, keys, maxFreq)
+      case other => throw new IllegalArgumentException(
+        s"$CapImplConf must be exchange|grouped|window, got '$other'")
+    }
+  }
+
+  private[graft] def dropHotKeysExchange(df: DataFrame, keys: Seq[String],
+                                         maxFreq: Long): DataFrame = {
+    val parted = df.repartition(keys.map(col): _*)
+    val hot = parted.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("kn"))
+      .where(col("kn") > maxFreq)
+      .select(keys.map(col): _*)
+    parted.join(broadcast(hot), keys, "left_anti")
+  }
 
   private[graft] def dropHotKeysGrouped(df: DataFrame, keys: Seq[String],
                                         maxFreq: Long): DataFrame = {

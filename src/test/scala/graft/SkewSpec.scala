@@ -28,12 +28,15 @@ class SkewSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val window = Skew.dropHotKeysWindow(df, Seq("k"), 100L)
       .as[(Long, Long)].collect().toSet
+    val exchange = Skew.dropHotKeysExchange(df, Seq("k"), 100L)
+      .as[(Long, Long)].collect().toSet
     assert(grouped === window)
+    assert(exchange === window)
     assert(!grouped.exists(_._1 == 7L)) // hot key fully dropped
     assert(grouped.count(_._1 == 8L) === 100) // at-cap key fully kept
   }
 
-  test("pair operators produce identical pairs under both spellings") {
+  test("pair operators produce identical pairs under all three spellings") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     def allPairs() = Map(
       "minhash" -> Dedup.minhashLsh(corpus, col("text"), col("doc_id"))
@@ -45,10 +48,16 @@ class SkewSpec extends SparkSpec {
       "substring" -> Dedup.substringPairs(Dedup.plantSpanDups(corpus),
           col("text"), col("doc_id"))
         .select("a", "b").as[(Long, Long)].collect().toSet)
-    val grouped = allPairs()
+    def withImpl[T](impl: String)(body: => T): T = {
+      spark.conf.set(Skew.CapImplConf, impl)
+      try body finally spark.conf.unset(Skew.CapImplConf)
+    }
+    val exchange = allPairs() // default
+    val grouped = withImpl("grouped")(allPairs())
     val window = withWindowCap(allPairs())
-    grouped.foreach { case (name, pairs) =>
-      assert(pairs === window(name), s"$name pair set differs")
+    exchange.foreach { case (name, pairs) =>
+      assert(pairs === window(name), s"$name: exchange vs window differs")
+      assert(pairs === grouped(name), s"$name: exchange vs grouped differs")
       assert(pairs.nonEmpty, s"$name produced no pairs")
     }
   }
