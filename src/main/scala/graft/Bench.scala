@@ -83,8 +83,12 @@ object Bench {
         clearState()
       }
 
+    // min-of-3 on BOTH ends: the sentinel detects MACHINE degradation,
+    // and a single shot also catches one-off GC pauses / session noise
+    // — one-sided noise, the same argument as the per-query min. A
+    // genuinely contended machine is slow on all three.
     sentinel() // compile the sentinel itself outside the measurement
-    val sentStart = sentinel()
+    val sentStart = (1 to 3).map(_ => sentinel()).min
 
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
@@ -96,7 +100,8 @@ object Bench {
       }
       name -> times.min
     }
-    val sentEnd = sentinel()
+    clearState()
+    val sentEnd = (1 to 3).map(_ => sentinel()).min
     val sentRatio = if (sentStart > 0) sentEnd / sentStart else 1.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -16,9 +16,8 @@ object SkewBenchStudy {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
       "dedup_substring", "dedup_embedding", "dedup_incremental")
-    def run(label: String, windowCap: Boolean): Unit = {
-      if (windowCap) spark.conf.set(graft.ops.Skew.WindowCapConf, "true")
-      else spark.conf.unset(graft.ops.Skew.WindowCapConf)
+    def run(label: String, impl: String): Unit = {
+      spark.conf.set(graft.ops.Skew.CapImplConf, impl)
       val times = qs.map { q =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
@@ -28,10 +27,10 @@ object SkewBenchStudy {
       println(f"STUDY $label%-8s total=${times.map(_._2).sum}%.2f  " +
         times.map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
     }
-    // warm both, then measure alternating
-    run("warm-g", windowCap = false); run("warm-w", windowCap = true)
-    run("grouped", windowCap = false); run("window", windowCap = true)
-    run("grouped", windowCap = false); run("window", windowCap = true)
+    // warm all, then measure alternating
+    run("warm-e", "exchange"); run("warm-g", "grouped"); run("warm-w", "window")
+    run("exchange", "exchange"); run("grouped", "grouped"); run("window", "window")
+    run("exchange", "exchange"); run("grouped", "grouped"); run("window", "window")
     spark.stop()
   }
 }
