@@ -53,12 +53,12 @@ object Dedup {
     val toks = split(lower(text), " ")
     val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
     val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
-    // stop-shingle cap via [[Skew.dropHotKeys]]: grouped counts +
-    // broadcast anti-join by default (a mega-hot boilerplate shingle
-    // collapses map-side instead of funnelling through one window
-    // partition); the single-exchange window spelling is the conf
-    // opt-in. The shingle explode is map-only, so the grouped
-    // spelling's second evaluation costs no shuffle.
+    // stop-shingle cap via [[Skew.dropHotKeys]] (exchange default:
+    // one shuffle of the shingle stream feeds both the over-cap
+    // count and the anti-join probe; grouped/window are the conf
+    // alternatives — see Skew's tradeoff note). A mega-hot
+    // boilerplate shingle streams through a hash-agg entry instead
+    // of external-sorting in one window partition.
     val capped = Skew.dropHotKeys(
       shingles(df, text, id, w), Seq("shingle"), maxShingleFreq)
     val pairs = capped.as("x").join(capped.as("y"),
@@ -111,7 +111,7 @@ object Dedup {
       explode(graft.functions.TextHash.winnowedHashes(text, k, winnowWindow))
         .as("h"))
     // mass-boilerplate fingerprints capped via [[Skew.dropHotKeys]]
-    // (grouped default / window opt-in — see Skew's tradeoff note)
+    // (exchange default / grouped / window — see Skew's tradeoff note)
     val capped = Skew.dropHotKeys(fps, Seq("h"), maxHashFreq)
     capped.as("x").join(capped.as("y"),
         col("x.h") === col("y.h") &&
@@ -263,10 +263,10 @@ object Dedup {
     // definition for every LSH consumer, so self-pairing, cross-corpus
     // and streaming signatures can never drift
     val bandHashes = bandBucketHashes(k, bands)
-    // bucket skew cap via [[Skew.dropHotKeys]] (grouped default /
-    // window opt-in). The grouped spelling's count branch reads the
-    // repartition(doc_id) exchange above (ReusedExchange), so the
-    // signature build still computes once.
+    // bucket skew cap via [[Skew.dropHotKeys]] (exchange default /
+    // grouped / window — see Skew's tradeoff note): the banded
+    // stream shuffles once on (band,bucket) and that exchange feeds
+    // both the over-cap count and the self-join probe.
     val banded = Skew.dropHotKeys(
       sig.select(col("doc_id"), col("sig"),
         posexplode(bandHashes).as(Seq("band", "bucket"))),
@@ -546,10 +546,10 @@ object Dedup {
       shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)
     }: _*)
     // the fingerprint build is map-only (native simhash64); the bucket
-    // skew cap goes through [[Skew.dropHotKeys]] (grouped default /
-    // window opt-in), and both self-join sides remain identical
-    // subplans, so Catalyst still plans one exchange + ReusedExchange
-    // with no session-lifetime persist
+    // skew cap goes through [[Skew.dropHotKeys]] (exchange default /
+    // grouped / window — see Skew's tradeoff note), and both
+    // self-join sides remain identical subplans with no
+    // session-lifetime persist
     val banded = Skew.dropHotKeys(
       fp.select(col("doc_id"), col("simhash"),
         posexplode(bandKeys).as(Seq("band", "bkey"))),

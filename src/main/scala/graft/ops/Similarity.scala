@@ -112,10 +112,10 @@ object Similarity {
       hyperplaneSig(col("embedding"), dim, nbits).as("sig"))
     val bandKeys = array((0 until bands).map(b =>
       bandKey(col("sig"), b, r)): _*)
-    // bucket skew cap via [[Skew.dropHotKeys]] (grouped default /
-    // window opt-in) — the minhashLsh / simhashPairsOf pattern
-    // verbatim; the signature build is a map-only codegen'd kernel,
-    // so the grouped spelling's second evaluation shuffles nothing
+    // bucket skew cap via [[Skew.dropHotKeys]] (exchange default /
+    // grouped / window — see Skew's tradeoff note) — the minhashLsh /
+    // simhashPairsOf pattern verbatim; the signature build is a
+    // map-only codegen'd kernel feeding the one (band,bucket) shuffle
     val banded = Skew.dropHotKeys(
       v.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(bandKeys).as(Seq("band", "bucket"))),

@@ -54,17 +54,26 @@ object Skew {
   /** legacy boolean: "true" selects the window spelling */
   val WindowCapConf = "spark.graft.skew.windowCap"
 
-  /** drop all rows of keys occurring more than `maxFreq` times */
+  /** drop all rows of keys occurring more than `maxFreq` times.
+    *
+    * NULL keys are dropped up front, for two reasons: (a) a null key
+    * cannot form a candidate pair in any downstream equi-join, so the
+    * rows are dead weight; (b) the spellings would otherwise DIVERGE
+    * on them — a window partitions nulls into one countable group
+    * while an anti-join never matches null keys — and the identical-
+    * row-set contract is the whole point of the conf.
+    */
   private[graft] def dropHotKeys(df: DataFrame, keys: Seq[String],
                                  maxFreq: Long): DataFrame = {
     val conf = df.sparkSession.conf
     val impl = conf.getOption(CapImplConf).getOrElse(
       if (conf.getOption(WindowCapConf).exists(_.toBoolean)) "window"
       else "exchange")
+    val nonNull = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
     impl match {
-      case "exchange" => dropHotKeysExchange(df, keys, maxFreq)
-      case "grouped"  => dropHotKeysGrouped(df, keys, maxFreq)
-      case "window"   => dropHotKeysWindow(df, keys, maxFreq)
+      case "exchange" => dropHotKeysExchange(nonNull, keys, maxFreq)
+      case "grouped"  => dropHotKeysGrouped(nonNull, keys, maxFreq)
+      case "window"   => dropHotKeysWindow(nonNull, keys, maxFreq)
       case other => throw new IllegalArgumentException(
         s"$CapImplConf must be exchange|grouped|window, got '$other'")
     }

@@ -60,6 +60,10 @@ object Oracles {
       """SELECT o_orderkey AS row_key FROM orders
         |WHERE o_orderpriority = '1-URGENT' ORDER BY row_key""".stripMargin,
 
+    // ORDER BY mirrors the typed entry order (IndexedFrame.valueSortKey):
+    // the numeric l_linenumber field sorts by native value, not string
+    // form — coincident for values 1..7, divergent the moment a numeric
+    // field crosses a digit-length boundary ("10" vs "2")
     "index_freqs" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value FROM lineitem
@@ -67,7 +71,9 @@ object Oracles {
         |  SELECT 'l_linestatus', l_linestatus FROM lineitem
         |  UNION ALL
         |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
-        |) GROUP BY field, value ORDER BY field, value""".stripMargin,
+        |) GROUP BY field, value ORDER BY field,
+        |  CASE WHEN field = 'l_linenumber' THEN CAST(value AS DOUBLE) END,
+        |  value""".stripMargin,
 
     // list_distinct: f is the number of DOCS containing the token
     // (bitmap-popcount semantics), not the occurrence count

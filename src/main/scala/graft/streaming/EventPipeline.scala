@@ -227,9 +227,13 @@ object EventPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .where(col(idCol).cast("long").isNotNull)
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+      // cast of a non-numeric id THROWS inside the filter — the exact
+      // stream-killing crash this guard exists to prevent; try_cast
+      // yields null and the row is dropped as documented
+      .where(col(idCol).try_cast("long").isNotNull)
       .select(col(sourceCol).cast("string").as("part"),
-        col(idCol).cast("long").as("doc_id"),
+        col(idCol).try_cast("long").as("doc_id"),
         coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
           .as("ntok"))
       .as[(String, Long, Long)]

@@ -3,11 +3,13 @@ package graft
 import graft.ops.{Dedup, Skew}
 import org.apache.spark.sql.functions._
 
-/** The two hot-key cap spellings (grouped anti-join default, window
-  * opt-in) must keep/drop IDENTICAL row sets — flipping
-  * `spark.graft.skew.windowCap` may change the physical plan, never a
+/** The three hot-key cap spellings (exchange default, grouped,
+  * window) must keep/drop IDENTICAL row sets — flipping
+  * `spark.graft.skew.capImpl` may change the physical plan, never a
   * result. Checked directly on the helper with a planted mega-hot key
-  * and end-to-end on the pair operators that route through it.
+  * (plus null keys, which the dispatcher drops so the spellings
+  * cannot diverge on them) and end-to-end on the pair operators that
+  * route through it.
   */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
@@ -19,11 +21,27 @@ class SkewSpec extends SparkSpec {
 
   test("grouped and window cap spellings keep identical row sets") {
     // key 7 is the planted mega-hot key (3000 rows); everything else
-    // is under the cap, including key 8 sitting exactly AT it
+    // is under the cap, including key 8 sitting exactly AT it; null
+    // keys (which a window would count as one hot group but an
+    // anti-join can never match) are dropped by the dispatcher so the
+    // spellings cannot diverge on them
     val df = ((1 to 3000).map(i => (7L, i.toLong)) ++
         (1 to 100).map(i => (8L, i.toLong)) ++
         (1 to 99).map(i => (9L, i.toLong)))
       .toDF("k", "v")
+    val withNulls = df.unionByName(
+      (1 to 500).map(i => (Option.empty[Long], i.toLong)).toDF("k", "v"))
+    Seq("exchange", "grouped", "window").foreach { impl =>
+      spark.conf.set(Skew.CapImplConf, impl)
+      try {
+        val kept = Skew.dropHotKeys(withNulls, Seq("k"), 100L)
+          .collect().map(r => (if (r.isNullAt(0)) null
+                               else java.lang.Long.valueOf(r.getLong(0)),
+                               r.getLong(1))).toSet
+        assert(!kept.exists(_._1 == null), s"$impl kept null keys")
+        assert(kept.map(_._2).nonEmpty, impl)
+      } finally spark.conf.unset(Skew.CapImplConf)
+    }
     val grouped = Skew.dropHotKeysGrouped(df, Seq("k"), 100L)
       .as[(Long, Long)].collect().toSet
     val window = Skew.dropHotKeysWindow(df, Seq("k"), 100L)
