@@ -43,4 +43,43 @@ object Sharding {
       .groupBy("part", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
       .orderBy("part", "shard")
+
+  /** Concat-and-chunk context-window statistics — the OTHER packing
+    * rule training pipelines use: docs are concatenated in id order
+    * within each part and the token stream is cut into fixed
+    * `contextLen` windows, docs straddling cuts (the GPT-style
+    * "packed sequences" layout, vs [[assignShards]]' no-straddle
+    * shards). Emits per-(part, chunk): how many docs touch the
+    * window, how many START in it (the document-boundary-per-context
+    * rate people tune contextLen against), and how many of its token
+    * slots are covered (only a part's final chunk is ever partial).
+    *
+    * Shape: one per-part running-sum window (same scale argument as
+    * [[assignShards]]), then each doc explodes into only the chunks
+    * it overlaps (≤ ntok/contextLen + 1 rows), then one (part, chunk)
+    * hash aggregate with map-side combine. Zero-token docs span no
+    * chunk and are dropped before the explode.
+    */
+  def contextChunks(df: DataFrame, text: Column, id: Column, part: Column,
+                    contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val w = Window.partitionBy("part").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(contextLen)
+    df.select(part.as("part"), id.as("doc_id"),
+        size(split(text, " ")).cast("long").as("ntok"))
+      .withColumn("e", sum("ntok").over(w))
+      .withColumn("st", col("e") - col("ntok"))
+      .where(col("ntok") > 0)
+      .withColumn("chunk",
+        explode(sequence(floor(col("st") / L).cast("long"),
+          floor((col("e") - 1) / L).cast("long"))))
+      .groupBy("part", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(floor(col("st") / L).cast("long") === col("chunk"), 1L)
+          .otherwise(0L)).as("n_starts"),
+        sum(least(col("e"), (col("chunk") + 1) * L)
+          - greatest(col("st"), col("chunk") * L)).as("n_tokens"))
+      .orderBy("part", "chunk")
+  }
 }

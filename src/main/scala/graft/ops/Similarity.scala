@@ -368,4 +368,194 @@ object Similarity {
     TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
       .orderBy("qid", "rnk")
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou/Douze/Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search") — the byte-compressed
+  // ANN path: each vector is reduced to ONE packed long of sub-space
+  // code indices, so a 100 TB float corpus becomes a ~3 TB codes table
+  // that an ADC (asymmetric-distance) scan reads at 8 B/row.
+
+  /** unit-normalize an embedding (norm staged as its own column so
+    * it's computed once per row, not once per element): on the unit
+    * sphere L2 order equals cosine order (d² = 2 − 2·cos), which is
+    * what lets a PQ L2 scan answer a COSINE top-k.
+    */
+  private def unitized(df: DataFrame, v: String): DataFrame =
+    df.withColumn("__nrm", greatest(vecNorm(col(v)), lit(1e-30)))
+      .withColumn(v, transform(col(v), x => (x / col("__nrm")).cast("float")))
+      .drop("__nrm")
+
+  /** Fit the m per-subspace codebooks on a SAMPLE of the corpus (the
+    * [[ivfCentroids]] posture: fitting is an offline, once-per-corpus
+    * job; queries never contain a fit). Vectors are unit-normalized
+    * first — see [[unitized]]. Result is m·ks·(dim/m) floats —
+    * driver-sized index metadata.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 16, ks: Int = 16,
+                  sampleFraction: Double = 0.25,
+                  seed: Long = 42L): Array[Array[Array[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = unitized(
+      emb.sample(withReplacement = false, sampleFraction, seed)
+        .select(col("embedding").as("e")), "e")
+    val dim = sample.select(size(col("e"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val feats = sample.withColumn("features",
+        array_to_vector(slice(col("e"), j * sub + 1, sub).cast("array<double>")))
+      new KMeans().setK(ks).setSeed(seed + j).setMaxIter(10)
+        .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+  }
+
+  /** persist/reopen/fit-once lifecycle for PQ codebooks — flat
+    * (subspace, code, centroid) rows, the [[saveCentroids]] pattern.
+    */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      books: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(dir).orderBy("subspace", "code").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1))
+        .map(_.getAs[Seq[Float]]("centroid").toArray))
+
+  def havePqCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String)
+                     (fit: => Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) savePqCodebooks(spark, dir, fit)
+    loadPqCodebooks(spark, dir)
+  }
+
+  /** bits per code index = ⌈log2(max codebook size)⌉ */
+  private def pqBits(books: Array[Array[Array[Float]]]): Int = {
+    val maxKs = books.map(_.length).max
+    var b = 1; while ((1 << b) < maxKs) b += 1
+    b
+  }
+
+  /** Encode a vector as ONE packed long: subspace j's nearest-centroid
+    * index in bits [j·bits, (j+1)·bits). Map-only codegen'd argmin per
+    * subspace (the [[ivfTopK]] distStructs pattern); with the default
+    * m=16, ks=16 a 64-dim float vector (256 B) packs into 8 B — 32×.
+    * The per-centroid c·c constant is folded in as a literal, so each
+    * candidate costs one codegen'd sub-vector dot.
+    */
+  def pqEncode(v: Column, books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val bits = pqBits(books)
+    require(m * bits <= 64, s"m=$m × $bits bits exceeds one long")
+    (0 until m).map { j =>
+      val s = slice(v, j * sub + 1, sub)
+      // v·v is constant per (row, subspace): ranking by c·c − 2·s·c
+      // equals ranking by true sub-space L2 (same trick as ivfTopK)
+      val structs = array(books(j).indices.map { c =>
+        val cc = books(j)(c).map(x => x.toDouble * x.toDouble).sum
+        struct((lit(cc) - vecDot(s, typedlit(books(j)(c).toSeq)) * 2).as("d"),
+          lit(c).as("code"))
+      }: _*)
+      shiftleft(array_min(structs).getField("code").cast("long"), j * bits)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** per-query ADC distance tables: dtabs[j][c] = c·c − 2·q_j·c. The
+    * dropped ‖q_j‖² terms sum to the per-query constant ‖q‖², so
+    * Σ_j dtabs[j][code_j] ranks candidates exactly as squared L2 does.
+    */
+  private def pqDistTables(qv: Column,
+                           books: Array[Array[Array[Float]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.indices.map { j =>
+      val s = slice(qv, j * sub + 1, sub)
+      array(books(j).indices.map { c =>
+        val cc = books(j)(c).map(x => x.toDouble * x.toDouble).sum
+        lit(cc) - vecDot(s, typedlit(books(j)(c).toSeq)) * 2
+      }: _*)
+    }: _*)
+  }
+
+  /** Σ_j dtabs[j][code_j] — m shift/mask/lookup terms, all codegen'd */
+  private def adcScore(code: Column, dtabs: Column,
+                       m: Int, bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    (0 until m).map { j =>
+      element_at(element_at(dtabs, j + 1),
+        shiftrightunsigned(code, j * bits).bitwiseAND(lit(mask))
+          .cast("int") + lit(1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ ANN top-k: ADC scan of the packed-codes table → per-query
+    * shortlist → EXACT cosine rerank of the shortlist (the standard
+    * production shape: PQ compresses the scan, the rerank restores
+    * accuracy on |Q|·shortlist rows).
+    *
+    * Plan shape at scale: the encode is a map-only pass (in a real
+    * deployment the codes table is persisted once at ingest and the
+    * scan reads 8 B/row instead of 256 B raw vectors); query dist
+    * tables ride in the broadcast query side (m·ks doubles each); the
+    * rerank re-touches the corpus only through a broadcast semi-join
+    * on the shortlist ids. The only shuffles are the two bounded-heap
+    * top-k passes.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             books: Array[Array[Array[Float]]],
+             shortlist: Int = 80): DataFrame = {
+    val m = books.length
+    val bits = pqBits(books)
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // encode/probe on UNIT vectors (codebooks were fit on unit
+    // vectors): ADC then ranks by 2−2cos, i.e. by cosine
+    val codes = unitized(emb.select(col("vec_id").as("nbr"),
+        col("embedding")), "embedding")
+      .select(col("nbr"), pqEncode(col("embedding"), books).as("code"))
+    val q = unitized(queries.select(col("vec_id").as("qid"),
+        col("embedding")), "embedding")
+      .select(col("qid"), pqDistTables(col("embedding"), books).as("dtabs"))
+    val adc = codes.join(broadcast(q), col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+        adcScore(col("code"), col("dtabs"), m, bits).as("adc"))
+    val short = TopK.perGroup(adc, Seq(col("qid")),
+        Seq(asc("adc"), asc("nbr")), shortlist)
+      .select("qid", "nbr")
+    val qside = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), vecNorm(col("embedding")).as("qn"))
+    val scored = emb.select(col("vec_id").as("nbr"),
+        col("embedding").as("nbr_v"), vecNorm(col("embedding")).as("nbr_n"))
+      .join(broadcast(short), Seq("nbr"))
+      .join(broadcast(qside), Seq("qid"))
+      .select(col("qid"), col("nbr"),
+        round(vecDot(col("qv"), col("nbr_v")) / (col("qn") * col("nbr_n")), 6)
+          .as("cos"))
+    TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** per-(group, dimension) embedding statistics — the centroid/
+    * moment computation behind domain clustering and drift monitoring.
+    * FLAT (grp, dim, n, mean, mean_sq) rows rather than assembled
+    * centroid arrays: flat rows hash-oracle cleanly, aggregate with
+    * map-side partial combine on one (grp, dim) shuffle, and
+    * reassemble into vectors trivially when a consumer wants them.
+    */
+  def groupStats(emb: DataFrame, grp: Column): DataFrame =
+    emb.select(grp.as("grp"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim"), col("x").cast("double").as("x"))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean"),
+        round(avg(col("x") * col("x")), 6).as("mean_sq"))
+      .orderBy("grp", "dim")
 }

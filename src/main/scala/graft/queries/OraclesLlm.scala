@@ -226,6 +226,49 @@ object OraclesLlm {
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY part, shard ORDER BY part, shard""".stripMargin,
 
+    // concat-and-chunk: each doc occupies token span [st, e) of its
+    // part's concatenated stream and touches chunks ⌊st/128⌋..⌊(e-1)/128⌋
+    "pipeline_chunks" ->
+      """WITH t AS (
+        |  SELECT source AS part, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT part, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY part ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |  FROM t
+        |), s AS (
+        |  SELECT part, ntok, e, e - ntok AS st FROM c WHERE ntok > 0
+        |), x AS (
+        |  SELECT part, e, st,
+        |    unnest(range(CAST(st // 128 AS BIGINT),
+        |                 CAST((e - 1) // 128 + 1 AS BIGINT))) AS chunk
+        |  FROM s
+        |)
+        |SELECT part, CAST(chunk AS BIGINT) AS chunk,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN st // 128 = chunk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_starts,
+        |  CAST(sum(least(e, (chunk + 1) * 128) - greatest(st, chunk * 128))
+        |    AS BIGINT) AS n_tokens
+        |FROM x GROUP BY part, chunk ORDER BY part, chunk""".stripMargin,
+
+    // flat per-(group, dim) embedding moments; double-widened element
+    // math and round(,6) mirror the Spark side exactly
+    "embed_group_stats" ->
+      """WITH x AS (
+        |  SELECT vec_id % 8 AS grp, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings
+        |)
+        |SELECT grp, CAST(i - 1 AS INT) AS dim,
+        |  count(*) AS n,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean,
+        |  round(avg(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 6)
+        |    AS mean_sq
+        |FROM x GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5

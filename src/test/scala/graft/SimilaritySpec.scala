@@ -77,6 +77,56 @@ class SimilaritySpec extends SparkSpec {
     assert(probed >= 0.9, s"multi-probe r=4 recall: $probed")
   }
 
+  test("pq recall@5 >= 0.9 vs brute force (ADC shortlist + exact rerank)") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, q, 5)
+      .select("qid", "nbr").as[(Long, Long)].collect().toSet
+    // default m=16 ks=16 (one 64-bit code word) + shortlist-80 rerank:
+    // on this near-uniform corpus (the hard case — no cluster
+    // structure for the codebooks to exploit) ADC alone ranks weakly,
+    // and the exact rerank of the shortlist restores recall; on
+    // clustered real corpora a far smaller shortlist suffices
+    val books = Similarity.pqCodebooks(emb, sampleFraction = 0.5)
+    val r = recallAt5(Similarity.pqTopK(emb, q, 5, books), brute)
+    assert(r >= 0.9, s"pq recall@5 = $r")
+  }
+
+  test("pq codes pack m nearest-centroid indices into one long") {
+    // handcrafted 4-dim corpus, m=2 subspaces with 2 centroids each:
+    // argmin per subspace is computable by eye
+    val books: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(10f, 10f)),   // subspace 0: codes 0/1
+      Array(Array(5f, 5f), Array(-5f, -5f)))   // subspace 1: codes 0/1
+    val df = Seq(
+      (1L, Array(0.1f, -0.2f, 4.8f, 5.1f)),    // sub0→code0, sub1→code0
+      (2L, Array(9.7f, 10.2f, -4.9f, -5.2f)),  // sub0→code1, sub1→code1
+      (3L, Array(9.9f, 9.9f, 5.5f, 4.5f)))     // sub0→code1, sub1→code0
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("code"))
+      .as[(Long, Long)].collect().toMap
+    // bits=1 per code: packed = code0 | code1 << 1
+    assert(got(1L) === 0L)
+    assert(got(2L) === (1L | (1L << 1)))
+    assert(got(3L) === 1L)
+  }
+
+  test("pq codebooks persist and reopen via the build-once lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString + "/books"
+    var fits = 0
+    def fit = { fits += 1; Similarity.pqCodebooks(emb, sampleFraction = 0.5) }
+    val b1 = Similarity.havePqCodebooks(spark, dir)(fit)
+    val b2 = Similarity.havePqCodebooks(spark, dir)(fit)
+    assert(fits === 1) // fit ran once; second call loaded
+    assert(b1.length === 16 && b2.length === 16)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ===
+      b2.map(_.map(_.toSeq).toSeq).toSeq) // bit-identical reload
+    val q = emb.where(col("vec_id") < 5)
+    val viaLoaded = Similarity.pqTopK(emb, q, 3, b2).collect().map(_.toString)
+    val viaFitted = Similarity.pqTopK(emb, q, 3, b1).collect().map(_.toString)
+    assert(viaLoaded.sameElements(viaFitted))
+  }
+
   test("centroids persist and reopen via the build-once store lifecycle") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/centroids"
     var fits = 0

@@ -75,6 +75,26 @@ class TextHashSpec extends SparkSpec {
     assert(s(("q", 0L)) === ((1L, 5L)))
   }
 
+  test("context chunks: docs straddle window cuts with exact coverage") {
+    import spark.implicits._
+    // part p concat stream: doc 0 spans [0,3), doc 1 [3,9), doc 2
+    // [9,10); L=4 → chunks [0,4) [4,8) [8,10). Doc 1 straddles all
+    // three; only the final chunk is partial (2 of 4 slots).
+    val docs = Seq(
+      (0L, "a a a", "p"), (1L, "b b b b b b", "p"), (2L, "c", "p")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Sharding.contextChunks(docs, col("text"),
+        col("doc_id"), col("source"), 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("p", 0L)) === ((2L, 2L, 4L))) // docs 0,1 touch; both start here
+    assert(got(("p", 1L)) === ((1L, 0L, 4L))) // doc 1 mid-span, no starts
+    assert(got(("p", 2L)) === ((2L, 1L, 2L))) // doc 1 tail + doc 2; partial
+    // conservation: starts sum to doc count, tokens sum to stream length
+    assert(got.values.map(_._2).sum === 3L)
+    assert(got.values.map(_._3).sum === 10L)
+  }
+
   test("streaming dedup keeps first occurrence per key") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
