@@ -510,17 +510,27 @@ object Similarity {
     * on the shortlist ids. The only shuffles are the two bounded-heap
     * top-k passes.
     */
+  /** the corpus side of [[pqTopK]] as its own step: (vec_id, code)
+    * rows, 8 B of payload each. In a deployment this runs ONCE at
+    * ingest and persists — queries then scan the codes table, never
+    * the raw vectors (that is the entire point of PQ at 100 TB).
+    */
+  def pqCodeTable(emb: DataFrame,
+                  books: Array[Array[Array[Float]]]): DataFrame =
+    // encode on UNIT vectors (codebooks were fit on unit vectors):
+    // ADC then ranks by 2−2cos, i.e. by cosine
+    unitized(emb.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), pqEncode(col("embedding"), books).as("code"))
+
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
              books: Array[Array[Array[Float]]],
-             shortlist: Int = 80): DataFrame = {
+             shortlist: Int = 80,
+             codeTable: Option[DataFrame] = None): DataFrame = {
     val m = books.length
     val bits = pqBits(books)
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    // encode/probe on UNIT vectors (codebooks were fit on unit
-    // vectors): ADC then ranks by 2−2cos, i.e. by cosine
-    val codes = unitized(emb.select(col("vec_id").as("nbr"),
-        col("embedding")), "embedding")
-      .select(col("nbr"), pqEncode(col("embedding"), books).as("code"))
+    val codes = codeTable.getOrElse(pqCodeTable(emb, books))
+      .select(col("vec_id").as("nbr"), col("code"))
     val q = unitized(queries.select(col("vec_id").as("qid"),
         col("embedding")), "embedding")
       .select(col("qid"), pqDistTables(col("embedding"), books).as("dtabs"))
