@@ -252,6 +252,47 @@ object EventPipeline {
       .toDF("part", "doc_id", "ntok", "shard")
   }
 
+  /** streaming concat-and-chunk assignment — the streaming face of
+    * [[graft.ops.Sharding.contextChunks]] (§2c.35c): every arriving
+    * doc is assigned its context-window span [start_chunk, end_chunk]
+    * in its part's concatenated token stream. Same state shape and
+    * contracts as [[shardStream]] (ONE long of running token count
+    * per source; micro-batch groups sorted by doc_id; null/non-long
+    * ids dropped — stated, not crashed into). Zero-token docs span no
+    * window and are dropped, matching the batch face's `ntok > 0`
+    * filter; the batch face's per-chunk aggregate is a downstream
+    * groupBy over these spans (spec-checked identical).
+    */
+  def chunkStream(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .where(col(idCol).try_cast("long").isNotNull)
+      .select(col(sourceCol).cast("string").as("part"),
+        col(idCol).try_cast("long").as("doc_id"),
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+          .as("ntok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (part: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_._2).flatMap { case (_, docId, ntok) =>
+            val st = cum
+            cum += ntok
+            if (ntok <= 0) None
+            else Some((part, docId, ntok,
+              st / contextLen, (cum - 1) / contextLen))
+          }
+          state.update(cum)
+          out.iterator
+        })
+      .toDF("part", "doc_id", "ntok", "start_chunk", "end_chunk")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

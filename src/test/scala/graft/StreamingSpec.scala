@@ -346,6 +346,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming chunk spans match the batch chunk stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // contextLen 4, docs of 3 tokens → every doc straddles or abuts a
+    // window cut, and the running offset must survive the batch break
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq(
+      (0L, "src_a", txt(3)), (1L, "src_a", txt(3)),
+      (2L, "src_b", txt(3)))
+    val batch2 = Seq(
+      (3L, "src_a", txt(3)), (4L, "src_b", txt(3)))
+
+    val stream = MemoryStream[(Long, String, String)]
+    val docs = stream.toDF().toDF("doc_id", "source", "text")
+    val q = EventPipeline.chunkStream(docs, "text", "doc_id", "source", 4L)
+      .writeStream.format("memory").queryName("schunk")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val spans = spark.table("schunk").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      // doc 3 (src_a's third doc, arriving in batch 2) continues
+      // src_a's token offset 6: spans chunks 1..2, not a fresh 0..0
+      assert(spans(("src_a", 3L)) === ((1L, 2L)))
+      // re-aggregating the streamed spans reproduces the batch face's
+      // per-chunk doc/boundary counts exactly
+      val fromStream = spark.table("schunk")
+        .select(col("part"),
+          explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk"),
+          col("start_chunk"))
+        .groupBy("part", "chunk")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("start_chunk") === col("chunk"), 1L).otherwise(0L))
+            .as("n_starts"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val fromBatch = graft.ops.Sharding.contextChunks(
+          (batch1 ++ batch2).toDF("doc_id", "source", "text"),
+          col("text"), col("doc_id"), col("source"), 4L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(fromStream === fromBatch)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
