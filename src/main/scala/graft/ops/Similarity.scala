@@ -400,15 +400,25 @@ object Similarity {
     val sample = unitized(
       emb.sample(withReplacement = false, sampleFraction, seed)
         .select(col("embedding").as("e")), "e")
-    val dim = sample.select(size(col("e"))).head().getInt(0)
-    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
-    val sub = dim / m
-    (0 until m).map { j =>
-      val feats = sample.withColumn("features",
-        array_to_vector(slice(col("e"), j * sub + 1, sub).cast("array<double>")))
-      new KMeans().setK(ks).setSeed(seed + j).setMaxIter(10)
-        .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
+    // persist across the m fits: KMeans caches only its own converted
+    // RDD, so an unpersisted sample would re-scan and re-unitize the
+    // source parquet once per subspace (m+1 reads); released in the
+    // finally, so the fit leaves no session cache state behind
+    sample.persist()
+    try {
+      val dims = sample.select(size(col("e"))).head(1)
+      require(dims.nonEmpty,
+        s"PQ codebook sample is empty — raise sampleFraction ($sampleFraction)")
+      val dim = dims(0).getInt(0)
+      require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+      val sub = dim / m
+      (0 until m).map { j =>
+        val feats = sample.withColumn("features",
+          array_to_vector(slice(col("e"), j * sub + 1, sub).cast("array<double>")))
+        new KMeans().setK(ks).setSeed(seed + j).setMaxIter(10)
+          .fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+    } finally sample.unpersist()
   }
 
   /** persist/reopen/fit-once lifecycle for PQ codebooks — flat
@@ -434,7 +444,10 @@ object Similarity {
                      (fit: => Array[Array[Array[Float]]]): Array[Array[Array[Float]]] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) savePqCodebooks(spark, dir, fit)
+    // completeness = the _SUCCESS marker, not the dir (a fit that died
+    // mid-save must rebuild over its partial dir, not crash-loop on it)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      savePqCodebooks(spark, dir, fit)
     loadPqCodebooks(spark, dir)
   }
 
@@ -452,6 +465,17 @@ object Similarity {
     * The per-centroid c·c constant is folded in as a literal, so each
     * candidate costs one codegen'd sub-vector dot.
     */
+  /** c·c − 2·s·c with c·c folded to a literal — the SHARED distance
+    * spelling of the encode and query sides (the [[ivfTopK]]
+    * distStructs trick: the dropped ‖s‖² is constant per (row,
+    * subspace), so argmin/ranking match true sub-space L2). One
+    * definition so the two sides can never drift.
+    */
+  private def centApproxDist(s: Column, cent: Array[Float]): Column = {
+    val cc = cent.map(x => x.toDouble * x.toDouble).sum
+    lit(cc) - vecDot(s, typedlit(cent.toSeq)) * 2
+  }
+
   def pqEncode(v: Column, books: Array[Array[Array[Float]]]): Column = {
     val m = books.length
     val sub = books(0)(0).length
@@ -459,19 +483,15 @@ object Similarity {
     require(m * bits <= 64, s"m=$m × $bits bits exceeds one long")
     (0 until m).map { j =>
       val s = slice(v, j * sub + 1, sub)
-      // v·v is constant per (row, subspace): ranking by c·c − 2·s·c
-      // equals ranking by true sub-space L2 (same trick as ivfTopK)
       val structs = array(books(j).indices.map { c =>
-        val cc = books(j)(c).map(x => x.toDouble * x.toDouble).sum
-        struct((lit(cc) - vecDot(s, typedlit(books(j)(c).toSeq)) * 2).as("d"),
-          lit(c).as("code"))
+        struct(centApproxDist(s, books(j)(c)).as("d"), lit(c).as("code"))
       }: _*)
       shiftleft(array_min(structs).getField("code").cast("long"), j * bits)
     }.reduce(_ bitwiseOR _)
   }
 
-  /** per-query ADC distance tables: dtabs[j][c] = c·c − 2·q_j·c. The
-    * dropped ‖q_j‖² terms sum to the per-query constant ‖q‖², so
+  /** per-query ADC distance tables: dtabs[j][c] = [[centApproxDist]];
+    * the dropped ‖q_j‖² terms sum to the per-query constant ‖q‖², so
     * Σ_j dtabs[j][code_j] ranks candidates exactly as squared L2 does.
     */
   private def pqDistTables(qv: Column,
@@ -479,10 +499,7 @@ object Similarity {
     val sub = books(0)(0).length
     array(books.indices.map { j =>
       val s = slice(qv, j * sub + 1, sub)
-      array(books(j).indices.map { c =>
-        val cc = books(j)(c).map(x => x.toDouble * x.toDouble).sum
-        lit(cc) - vecDot(s, typedlit(books(j)(c).toSeq)) * 2
-      }: _*)
+      array(books(j).indices.map(c => centApproxDist(s, books(j)(c))): _*)
     }: _*)
   }
 

@@ -221,51 +221,20 @@ object EventPipeline {
     * — O(#sources), no timeout (sources are few and long-lived; a
     * bounded-source pipeline can add a processing-time timeout).
     */
-  def shardStream(docs: DataFrame, textCol: String, idCol: String,
-                  sourceCol: String, budget: Long): DataFrame = {
-    require(budget > 0, s"token budget must be positive, got $budget")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain
-      // cast of a non-numeric id THROWS inside the filter — the exact
-      // stream-killing crash this guard exists to prevent; try_cast
-      // yields null and the row is dropped as documented
-      .where(col(idCol).try_cast("long").isNotNull)
-      .select(col(sourceCol).cast("string").as("part"),
-        col(idCol).try_cast("long").as("doc_id"),
-        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
-          .as("ntok"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (part: String, it: Iterator[(String, Long, Long)],
-         state: GroupState[Long]) => {
-          var cum = state.getOption.getOrElse(0L)
-          val out = it.toSeq.sortBy(_._2).map { case (_, docId, ntok) =>
-            cum += ntok
-            (part, docId, ntok, (cum - ntok) / budget)
-          }
-          state.update(cum)
-          out.iterator
-        })
-      .toDF("part", "doc_id", "ntok", "shard")
-  }
-
-  /** streaming concat-and-chunk assignment — the streaming face of
-    * [[graft.ops.Sharding.contextChunks]] (§2c.35c): every arriving
-    * doc is assigned its context-window span [start_chunk, end_chunk]
-    * in its part's concatenated token stream. Same state shape and
-    * contracts as [[shardStream]] (ONE long of running token count
-    * per source; micro-batch groups sorted by doc_id; null/non-long
-    * ids dropped — stated, not crashed into). Zero-token docs span no
-    * window and are dropped, matching the batch face's `ntok > 0`
-    * filter; the batch face's per-chunk aggregate is a downstream
-    * groupBy over these spans (spec-checked identical).
+  /** the SHARED ingest preamble + per-source running-token state
+    * harness behind [[shardStream]] and [[chunkStream]]: decodes
+    * (part, doc_id, ntok) — try_cast, not cast, because under ANSI
+    * mode (Spark 4 default) a plain cast of a non-numeric id THROWS
+    * inside the filter, the exact stream-killing crash the guard
+    * exists to prevent; try_cast yields null and the row is dropped
+    * as documented — then folds each doc over ONE long of cumulative
+    * token count per source, emitting via `emit(part, docId, ntok,
+    * cumBefore)`. One definition so the two packing faces' contracts
+    * cannot drift.
     */
-  def chunkStream(docs: DataFrame, textCol: String, idCol: String,
-                  sourceCol: String, contextLen: Long): DataFrame = {
-    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+  private def statefulTokenFold[T: org.apache.spark.sql.Encoder](
+      docs: DataFrame, textCol: String, idCol: String, sourceCol: String)(
+      emit: (String, Long, Long, Long) => Option[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -283,14 +252,48 @@ object EventPipeline {
           val out = it.toSeq.sortBy(_._2).flatMap { case (_, docId, ntok) =>
             val st = cum
             cum += ntok
-            if (ntok <= 0) None
-            else Some((part, docId, ntok,
-              st / contextLen, (cum - 1) / contextLen))
+            emit(part, docId, ntok, st)
           }
           state.update(cum)
           out.iterator
         })
-      .toDF("part", "doc_id", "ntok", "start_chunk", "end_chunk")
+  }
+
+  def shardStream(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    statefulTokenFold(docs, textCol, idCol, sourceCol) {
+      (part, docId, ntok, st) => Some((part, docId, ntok, st / budget))
+    }.toDF("part", "doc_id", "ntok", "shard")
+  }
+
+  /** streaming concat-and-chunk assignment — the streaming face of
+    * [[graft.ops.Sharding.contextChunks]] (§2c.35c): every arriving
+    * doc is assigned its context-window span [start_chunk, end_chunk]
+    * in its part's concatenated token stream. Same state shape and
+    * contracts as [[shardStream]] via the shared
+    * [[statefulTokenFold]] harness (ONE long of running token count
+    * per source; micro-batch groups sorted by doc_id; null/non-long
+    * ids dropped — stated, not crashed into). Zero-token docs span no
+    * window and are dropped, matching the batch face's `ntok > 0`
+    * filter. `tok_start` is the doc's token offset in its part's
+    * stream, so the batch face's FULL per-chunk aggregate — including
+    * token-fill — is a downstream groupBy over these rows
+    * (spec-checked identical).
+    */
+  def chunkStream(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    statefulTokenFold(docs, textCol, idCol, sourceCol) {
+      (part, docId, ntok, st) =>
+        if (ntok <= 0) None
+        else Some((part, docId, ntok, st,
+          st / contextLen, (st + ntok - 1) / contextLen))
+    }.toDF("part", "doc_id", "ntok", "tok_start", "start_chunk", "end_chunk")
   }
 
   def curateStream(docs: DataFrame, textCol: String, idCol: String,

@@ -368,29 +368,32 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       stream.addData(batch2: _*)
       q.processAllAvailable()
-      val spans = spark.table("schunk").collect()
+      val spans = spark.table("schunk")
+        .select("part", "doc_id", "start_chunk", "end_chunk").collect()
         .map(r => (r.getString(0), r.getLong(1)) ->
-          (r.getLong(3), r.getLong(4))).toMap
+          (r.getLong(2), r.getLong(3))).toMap
       // doc 3 (src_a's third doc, arriving in batch 2) continues
       // src_a's token offset 6: spans chunks 1..2, not a fresh 0..0
       assert(spans(("src_a", 3L)) === ((1L, 2L)))
-      // re-aggregating the streamed spans reproduces the batch face's
-      // per-chunk doc/boundary counts exactly
+      // re-aggregating the streamed rows reproduces the batch face's
+      // FULL per-chunk stats — docs, boundary starts, AND token-fill
       val fromStream = spark.table("schunk")
-        .select(col("part"),
-          explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk"),
-          col("start_chunk"))
+        .withColumn("chunk",
+          explode(sequence(col("start_chunk"), col("end_chunk"))))
+        .withColumn("e", col("tok_start") + col("ntok"))
         .groupBy("part", "chunk")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("start_chunk") === col("chunk"), 1L).otherwise(0L))
-            .as("n_starts"))
+            .as("n_starts"),
+          sum(least(col("e"), (col("chunk") + 1) * 4)
+            - greatest(col("tok_start"), col("chunk") * 4)).as("n_tokens"))
         .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          (r.getLong(2), r.getLong(3))).toMap
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val fromBatch = graft.ops.Sharding.contextChunks(
           (batch1 ++ batch2).toDF("doc_id", "source", "text"),
           col("text"), col("doc_id"), col("source"), 4L)
         .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          (r.getLong(2), r.getLong(3))).toMap
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       assert(fromStream === fromBatch)
     } finally q.stop()
   }
