@@ -239,7 +239,10 @@ object Similarity {
                    (fit: => Array[Array[Float]]): Array[Array[Float]] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) saveCentroids(spark, dir, fit)
+    // completeness = the _SUCCESS marker, not the dir (a fit that died
+    // mid-save must rebuild over its partial dir, not crash-loop on it)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      saveCentroids(spark, dir, fit)
     loadCentroids(spark, dir)
   }
 
@@ -261,27 +264,19 @@ object Similarity {
               centroids: Option[Array[Array[Float]]] = None,
               sampleFraction: Double = 0.25): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(emb, nlist, sampleFraction))
-    val cc = cents.map(c => c.map(x => x.toDouble * x.toDouble).sum)
-    // (L2-to-centroid, list) structs; v·v is constant per row so
-    // ranking by c·c − 2·v·c equals ranking by true L2
-    def distStructs(v: Column): Column = array(cents.indices.map { i =>
-      struct(
-        (lit(cc(i)) - graft.functions.VecMath.vecDot(v, typedlit(cents(i).toSeq)) * 2)
-          .as("d"),
-        lit(i).as("list"))
-    }: _*)
 
     // corpus: map-only top-1 assignment (argmin = array_min on structs)
     val corpus = emb.select(col("vec_id").as("nbr"), col("embedding").as("nbr_v"),
       graft.functions.VecMath.vecNorm(col("embedding")).as("nbr_n"),
-      array_min(distStructs(col("embedding"))).getField("list").as("list"))
+      array_min(coarseDistStructs(cents)(col("embedding")))
+        .getField("list").as("list"))
 
     // queries: nprobe nearest centroids via array_sort + slice (map-only)
     val probed = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         graft.functions.VecMath.vecNorm(col("embedding")).as("qn"),
-        explode(slice(array_sort(distStructs(col("embedding"))), 1, nprobe))
-          .as("probe"))
+        explode(slice(array_sort(coarseDistStructs(cents)(col("embedding"))),
+          1, nprobe)).as("probe"))
       .select(col("qid"), col("qv"), col("qn"), col("probe.list").as("list"))
 
     // score only the probed lists; query side broadcast; rank via the
@@ -476,6 +471,16 @@ object Similarity {
     lit(cc) - vecDot(s, typedlit(cent.toSeq)) * 2
   }
 
+  /** (approx-L2, list) structs over the coarse centroids — the shared
+    * routing expression of [[ivfTopK]] and the IVF-PQ ops; argmin =
+    * `array_min`, probe set = `array_sort` + `slice` (all codegen'd,
+    * no window, no shuffle).
+    */
+  private def coarseDistStructs(cents: Array[Array[Float]])(v: Column): Column =
+    array(cents.indices.map { i =>
+      struct(centApproxDist(v, cents(i)).as("d"), lit(i).as("list"))
+    }: _*)
+
   def pqEncode(v: Column, books: Array[Array[Array[Float]]]): Column = {
     val m = books.length
     val sub = books(0)(0).length
@@ -557,6 +562,16 @@ object Similarity {
     val short = TopK.perGroup(adc, Seq(col("qid")),
         Seq(asc("adc"), asc("nbr")), shortlist)
       .select("qid", "nbr")
+    exactRerank(emb, queries, short, k)
+  }
+
+  /** exact cosine rerank of a (qid, nbr) shortlist: raw vectors are
+    * re-touched ONLY through broadcast joins on the (|Q|·shortlist)-row
+    * shortlist — a map-only pass over the corpus, then the bounded-heap
+    * top-k. Shared tail of [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def exactRerank(emb: DataFrame, queries: DataFrame,
+                          short: DataFrame, k: Int): DataFrame = {
     val qside = queries.select(col("vec_id").as("qid"),
       col("embedding").as("qv"), vecNorm(col("embedding")).as("qn"))
     val scored = emb.select(col("vec_id").as("nbr"),
@@ -568,6 +583,60 @@ object Similarity {
           .as("cos"))
     TopK.perGroup(scored, Seq(col("qid")), Seq(desc("cos"), asc("nbr")), k)
       .orderBy("qid", "rnk")
+  }
+
+  /** coarse quantizer for IVF-PQ: k-means over UNIT vectors, so
+    * routing happens in the same geometry the PQ codes live in.
+    */
+  def ivfPqCentroids(emb: DataFrame, nlist: Int = 8,
+                     sampleFraction: Double = 0.25,
+                     seed: Long = 42L): Array[Array[Float]] =
+    ivfCentroids(unitized(emb.select(col("vec_id"), col("embedding")),
+      "embedding"), nlist, sampleFraction, seed)
+
+  /** the IVF-PQ ingest artifact: (vec_id, list, code) — the coarse
+    * list id stored WITH the 8-byte PQ code, so a query scans only
+    * its probed lists' codes and never the raw vectors. This is the
+    * FAISS IVF-PQ deployment shape: at 100 TB the codes table is
+    * ~1/32 the corpus and the probed fraction ~nprobe/nlist of THAT.
+    */
+  def ivfPqCodeTable(emb: DataFrame, cents: Array[Array[Float]],
+                     books: Array[Array[Array[Float]]]): DataFrame =
+    unitized(emb.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"),
+        array_min(coarseDistStructs(cents)(col("embedding")))
+          .getField("list").as("list"),
+        pqEncode(col("embedding"), books).as("code"))
+
+  /** IVF-PQ ANN top-k: coarse routing bounds WHICH codes are scanned
+    * (nprobe/nlist of the corpus), PQ bounds the BYTES per scanned row
+    * (8), the exact rerank restores accuracy — the three bounding
+    * mechanisms compose multiplicatively and each is the same operator
+    * it is standalone ([[ivfTopK]] routing / [[pqTopK]] ADC+rerank).
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                cents: Array[Array[Float]],
+                books: Array[Array[Array[Float]]],
+                nprobe: Int = 5, shortlist: Int = 80,
+                codeTable: Option[DataFrame] = None): DataFrame = {
+    val m = books.length
+    val bits = pqBits(books)
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val codes = codeTable.getOrElse(ivfPqCodeTable(emb, cents, books))
+    val q = unitized(queries.select(col("vec_id").as("qid"),
+        col("embedding")), "embedding")
+      .select(col("qid"), pqDistTables(col("embedding"), books).as("dtabs"),
+        explode(slice(array_sort(coarseDistStructs(cents)(col("embedding"))),
+          1, nprobe)).as("probe"))
+      .select(col("qid"), col("dtabs"), col("probe.list").as("list"))
+    val adc = codes.join(broadcast(q), Seq("list"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        adcScore(col("code"), col("dtabs"), m, bits).as("adc"))
+    val short = TopK.perGroup(adc, Seq(col("qid")),
+        Seq(asc("adc"), asc("nbr")), shortlist)
+      .select("qid", "nbr")
+    exactRerank(emb, queries, short, k)
   }
 
   /** per-(group, dimension) embedding statistics — the centroid/

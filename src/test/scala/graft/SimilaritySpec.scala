@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"pq recall@5 = $r")
   }
 
+  test("ivf-pq recall@5 >= 0.9 vs brute force (routed ADC + exact rerank)") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(emb, q, 5)
+      .select("qid", "nbr").as[(Long, Long)].collect().toSet
+    val cents = Similarity.ivfPqCentroids(emb, nlist = 8, sampleFraction = 0.5)
+    val books = Similarity.pqCodebooks(emb, sampleFraction = 0.5)
+    // nprobe=6/8 on the near-uniform corpus (coarse routing's hardest
+    // case, as for plain IVF above); the scan composes both bounds —
+    // 6/8 of the codes, 8 B each
+    val r = recallAt5(
+      Similarity.ivfPqTopK(emb, q, 5, cents, books, nprobe = 6), brute)
+    assert(r >= 0.9, s"ivf-pq recall@5 = $r")
+  }
+
   test("pq codes pack m nearest-centroid indices into one long") {
     // handcrafted 4-dim corpus, m=2 subspaces with 2 centroids each:
     // argmin per subspace is computable by eye
