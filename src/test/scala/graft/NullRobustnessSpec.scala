@@ -57,6 +57,19 @@ class NullRobustnessSpec extends SparkSpec {
     val s = graft.ops.Sharding.tokenBudgeted(docs, col("text"), col("doc_id"),
       lit("all"), 4L)
     assert(s.count() >= 1) // no throw; null-token docs pass through
+    // contextChunks: a null text yields null ntok, which the ntok > 0
+    // filter drops BUT whose null contribution to the running sum
+    // would otherwise poison every later offset — assert the non-null
+    // docs still chunk correctly after a null in stream order
+    val c = graft.ops.Sharding.contextChunks(docs, col("text"),
+      col("doc_id"), lit("all"), 4L).collect()
+    assert(c.nonEmpty)
+    assert(c.map(_.getLong(4)).sum > 0) // token fill survives
+    // embedding group stats: null embeddings explode to no rows
+    val e = Seq((0L, Some(Array(1f, 2f))), (1L, None))
+      .toDF("vec_id", "embedding")
+    val g = graft.ops.Similarity.groupStats(e, col("vec_id") % 2).collect()
+    assert(g.length === 2 && g.forall(_.getLong(2) === 1L))
   }
 
   test("curation ops tolerate null/empty text and null strata") {
