@@ -26,24 +26,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and floor-convert to a micros
-    * TIMESTAMP_NTZ (matches DuckDB's own ns→us truncation).
+  /** events.ts has shipped with two physical encodings across data
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects unless read as long) and plain timestamp[us]. A
+    * loader that hard-codes one encoding breaks on the first upstream
+    * regen, so branch on the dtype the scan actually produced and
+    * canonicalize to TIMESTAMP_NTZ(micros) either way (matches
+    * DuckDB's own ns→us truncation). The reference gets this for free
+    * by reopening its own self-describing files
+    * (/root/reference/src/main/scala/com/futurice/iodf/Dfs.scala:291-308).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // scope the legacy-nanos conf to THIS relation's creation instead
     // of mutating the session for every later parquet read: the
-    // resolved relation snapshots the hadoop conf at creation, so the
-    // flag can be restored immediately after
+    // resolved relation snapshots the conf at creation, so the flag
+    // can be restored immediately after. Harmless when ts is already
+    // a real timestamp (the conf only affects TIMESTAMP(NANOS) cols).
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try apply(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    val raw =
+      try apply(s, d, "events")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -288,6 +288,66 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** MinHash + LSH banding with an ENGINE-PORTABLE hash family
+    * (§2c.25e): signature position i = min over the doc's shingles of
+    * `md5(i ++ ":" ++ shingle)` — a 128-bit minimum over hex strings.
+    * Identical pipeline shape to [[minhashLsh]] (band the signature,
+    * bucket-join, verify matching-position fraction = the unbiased
+    * Broder estimator), but every stage — signature build, band
+    * bucketing, candidate generation, verification — is expressible
+    * in plain SQL (md5 + string min + group-by), so the WHOLE
+    * near-dup pipeline hash-checks end-to-end against an independent
+    * engine (the DuckDB oracle), not only against its own spec. This
+    * is the cross-engine-reproducibility variant a pipeline uses when
+    * signatures must be recomputable outside Spark.
+    *
+    * Scale shape: one exchange for the signature build (k min()
+    * aggregates over the shingle stream, map-side combined — the
+    * k-column row shuffle, never the k× row explosion), then the
+    * standard banded bucket join with the [[Skew.dropHotKeys]] cap.
+    * The verify stage's 32 element comparisons are plain codegen'd
+    * expressions over the candidate stream.
+    */
+  def minhashLshPortable(df: DataFrame, text: Column, id: Column,
+                         k: Int = 32, bands: Int = 8,
+                         minEstJaccard: Double = 0.5,
+                         maxBucket: Long = 10000L): DataFrame = {
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
+    val r = k / bands
+    val sh = shingles(df, text, id)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val bandHashes = array((0 until bands).map { b =>
+      md5(array_join(slice(col("sig"), b * r + 1, r), ","))
+    }: _*)
+    val banded = Skew.dropHotKeys(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(bandHashes).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("a", "b")
+    // matching-position count as k codegen'd comparisons (no lambda
+    // higher-order functions — those are CodegenFallback on the
+    // hottest stream here, exactly the SigMatchCount lesson)
+    val matches = (0 until k)
+      .map(i => when(element_at(col("siga"), i + 1) ===
+        element_at(col("sigb"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.select(col("a"), col("b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .orderBy("a", "b")
+  }
+
   /** Incremental cross-corpus near-dup detection (§2c.25d): pairs
     * between a NEW batch and an EXISTING corpus — the daily-ingest
     * shape, where re-pairing the corpus against itself (what

@@ -161,6 +161,25 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // §2b.22l3 — the `nearest` direction: each event paired with the
+    // user's CLOSEST order in time, either side, ties → backward
+    // (AsOf.scala evaluates both window frames over one exchange).
+    "asof_join_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsOf.join(
+          ev, col("user_id"), col("ts"),
+          ord, col("o_custkey"), col("o_orderdate"),
+          Seq("o_orderkey" -> col("o_orderkey"),
+            "o_orderdate" -> col("o_orderdate")),
+          direction = "nearest")
+        .where(col("o_orderkey").isNotNull)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }),
+
     // §2b.29 — cumulative window: running order-count per customer in
     // date order (rows-frame running aggregation).
     "running_sum" -> ((s, d) => {

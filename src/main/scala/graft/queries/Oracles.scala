@@ -381,6 +381,38 @@ object Oracles {
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
+    // nearest = ASOF both directions, pick the closer side per row
+    // (ties → backward) — mirrors AsOf.scala's takeBack predicate
+    "asof_join_nearest" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), b AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         r.o_orderkey AS b_key, r.o_orderdate AS b_date
+        |  FROM events e ASOF LEFT JOIN r
+        |    ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |), f AS (
+        |  SELECT e.event_id,
+        |         r.o_orderkey AS f_key, r.o_orderdate AS f_date
+        |  FROM events e ASOF LEFT JOIN r
+        |    ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+        |), pick AS (
+        |  SELECT b.event_id, b.user_id,
+        |    CASE WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL AND
+        |           epoch_us(b.ts) - epoch_us(b.b_date)
+        |             <= epoch_us(f.f_date) - epoch_us(b.ts))
+        |         THEN b.b_key ELSE f.f_key END AS o_orderkey,
+        |    CASE WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL AND
+        |           epoch_us(b.ts) - epoch_us(b.b_date)
+        |             <= epoch_us(f.f_date) - epoch_us(b.ts))
+        |         THEN b.b_date ELSE f.f_date END AS o_orderdate
+        |  FROM b JOIN f USING (event_id)
+        |)
+        |SELECT event_id, user_id, o_orderkey, o_orderdate
+        |FROM pick WHERE o_orderkey IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
     "running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  count(*) OVER w AS running_n,
