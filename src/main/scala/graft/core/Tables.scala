@@ -51,6 +51,14 @@ object Tables {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    canonicalizeEventTs(raw)
+  }
+
+  /** the dtype-branch drift guard, shared by the batch and streaming
+    * events loaders so the two faces can never canonicalize
+    * differently (SchemaDriftSpec pins both encodings).
+    */
+  private def canonicalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -58,6 +66,40 @@ object Tables {
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
+
+  /** STREAMING face of [[events]]: a file-source stream over the same
+    * parquet with the same dtype-branch drift guard. The physical
+    * schema comes from the batch scan (one footer read — streaming
+    * sources cannot infer), so schema drift hits the same branch as
+    * the batch path instead of a divergent hand-written schema.
+    * One deliberate divergence: the canonical type is TIMESTAMP, not
+    * the batch TIMESTAMP_NTZ, because Spark only accepts event-time
+    * watermarks on TIMESTAMP — value-identical under the library's
+    * fixed UTC session timezone.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val raw =
+      try {
+        val physical = apply(s, d, "events").schema
+        // the file-stream source requires a DIRECTORY to monitor; the
+        // generator writes the table as a BARE FILE, so stream the
+        // dataset dir filtered down to that one file (a Spark-written
+        // table is a directory and streams directly)
+        val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.getFileStatus(p).isDirectory)
+          s.readStream.schema(physical).parquet(p.toString)
+        else
+          s.readStream.schema(physical)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    canonicalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -398,6 +398,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed agg over the REAL events parquet: stream face == batch face") {
+    // the r6 drift lesson, applied to streaming: the windowed-agg face
+    // must run against the live data generation through the shared
+    // loader guard (Tables.eventsStream), not only over MemoryStream
+    // fixtures whose schema the test itself controls
+    val stream = graft.core.Tables.eventsStream(spark, sfDir)
+    val query = EventPipeline.windowedAgg(stream)
+      .writeStream.format("memory").queryName("agg_real")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("agg_real")
+        .orderBy("hour", "event_type")
+        .collect().map(_.toSeq).toSeq
+      // the batch loader canonicalizes to NTZ; cast to TIMESTAMP to
+      // mirror the streaming face's watermark-compatible type
+      // (value-identical under the UTC session timezone)
+      val batch = EventPipeline.windowedAgg(
+          graft.core.Tables.events(spark, sfDir)
+            .withColumn("ts", col("ts").cast("timestamp")))
+        .orderBy("hour", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
