@@ -289,24 +289,28 @@ object Dedup {
   }
 
   /** MinHash + LSH banding with an ENGINE-PORTABLE hash family
-    * (§2c.25e): signature position i = min over the doc's shingles of
-    * `md5(i ++ ":" ++ shingle)` — a 128-bit minimum over hex strings.
+    * (§2c.25e): the token hash is the top 60 bits of `md5(shingle)`
+    * reduced mod p = 2³¹−1, run through the SAME (aᵢ·x+bᵢ) mod p
+    * permutation family as the native kernel ([[graft.functions.MinHash]]
+    * constants — ONE definition, interpolated into the DuckDB oracle).
     * Identical pipeline shape to [[minhashLsh]] (band the signature,
     * bucket-join, verify matching-position fraction = the unbiased
-    * Broder estimator), but every stage — signature build, band
-    * bucketing, candidate generation, verification — is expressible
-    * in plain SQL (md5 + string min + group-by), so the WHOLE
-    * near-dup pipeline hash-checks end-to-end against an independent
-    * engine (the DuckDB oracle), not only against its own spec. This
-    * is the cross-engine-reproducibility variant a pipeline uses when
-    * signatures must be recomputable outside Spark.
+    * Broder estimator), but the base hash is md5 instead of xxhash64,
+    * so every stage — signature build, band bucketing, candidate
+    * generation, verification — is expressible in plain SQL and the
+    * WHOLE near-dup pipeline hash-checks end-to-end against an
+    * independent engine (the DuckDB oracle), not only against its own
+    * spec. This is the cross-engine-reproducibility variant a
+    * pipeline uses when signatures must be recomputable outside
+    * Spark.
     *
-    * Scale shape: one exchange for the signature build (k min()
-    * aggregates over the shingle stream, map-side combined — the
-    * k-column row shuffle, never the k× row explosion), then the
-    * standard banded bucket join with the [[Skew.dropHotKeys]] cap.
-    * The verify stage's 32 element comparisons are plain codegen'd
-    * expressions over the candidate stream.
+    * Scale shape: md5 computed ONCE per shingle in the projection
+    * (the k permutations are long multiply-mods, not k hash calls),
+    * then one exchange for the signature build (k min() aggregates
+    * over (doc_id, x) long rows, map-side combined), then the
+    * standard banded bucket join with the [[Skew.dropHotKeys]] cap
+    * and the codegen'd [[graft.functions.MinHash.sigMatchCount]]
+    * verify.
     */
   def minhashLshPortable(df: DataFrame, text: Column, id: Column,
                          k: Int = 32, bands: Int = 8,
@@ -315,14 +319,23 @@ object Dedup {
     require(bands > 0 && k >= bands && k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k)")
     val r = k / bands
-    val sh = shingles(df, text, id)
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // top 60 bits of md5 (15 hex chars → fits a long) mod p: DuckDB
+    // mirrors it as ('0x' || substr(md5(s),1,15))::BIGINT % p
+    val x = pmod(
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
+      lit(MersenneP))
+    val perms = permParams(k)
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(pmod(col("x") * a, lit(MersenneP)) + b, lit(MersenneP)))
+        .as(s"h$i")
+    }
+    val sig = shingles(df, text, id).select(col("doc_id"), x.as("x"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val bandHashes = array((0 until bands).map { b =>
-      md5(array_join(slice(col("sig"), b * r + 1, r), ","))
+      md5(array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
     }: _*)
     val banded = Skew.dropHotKeys(
       sig.select(col("doc_id"), col("sig"),
@@ -335,15 +348,9 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .dropDuplicates("a", "b")
-    // matching-position count as k codegen'd comparisons (no lambda
-    // higher-order functions — those are CodegenFallback on the
-    // hottest stream here, exactly the SigMatchCount lesson)
-    val matches = (0 until k)
-      .map(i => when(element_at(col("siga"), i + 1) ===
-        element_at(col("sigb"), i + 1), 1).otherwise(0))
-      .reduce(_ + _)
     cand.select(col("a"), col("b"),
-        round(matches.cast("double") / k, 6).as("est_jaccard"))
+        round(graft.functions.MinHash.sigMatchCount(col("siga"), col("sigb"))
+          .cast("double") / k, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
       .orderBy("a", "b")
   }

@@ -22,42 +22,57 @@ object OraclesLlm {
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
 
-    // end-to-end mirror of Dedup.minhashLshPortable: md5-family
-    // signatures (position i = min md5(i:shingle)), 8×4 banding,
-    // candidate pairs from shared band buckets, matching-position
-    // verification. k=32 ⟹ est ≥ 0.5 ⟺ matches ≥ 16.
-    "dedup_minhash_banded" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(toks[i:i+2], ' ')
-        |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
-        |  FROM base
-        |), sig AS (
-        |  SELECT doc_id, t.i, min(md5(t.i::VARCHAR || ':' || shingle)) AS h
-        |  FROM sh CROSS JOIN range(0, 32) t(i)
-        |  GROUP BY doc_id, t.i
-        |), sigarr AS (
-        |  SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, sig, t.bd,
-        |         md5(array_to_string(sig[t.bd*4+1:t.bd*4+4], ',')) AS bucket
-        |  FROM sigarr CROSS JOIN range(0, 8) t(bd)
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |                  x.sig AS siga, y.sig AS sigb
-        |  FROM banded x JOIN banded y
-        |    ON x.bd = y.bd AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-        |), m AS (
-        |  SELECT a, b, unnest(siga) AS ha, unnest(sigb) AS hb FROM cand
-        |), v AS (
-        |  SELECT a, b, sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS matches
-        |  FROM m GROUP BY a, b
-        |)
-        |SELECT a, b, round(matches / 32.0, 6) AS est_jaccard
-        |FROM v WHERE matches >= 16
-        |ORDER BY a, b""".stripMargin,
+    // end-to-end mirror of Dedup.minhashLshPortable: md5-based token
+    // hash (top 60 bits mod p) through the SAME (a·x+b) mod p family
+    // as the native kernel — the constants are interpolated from
+    // graft.functions.MinHash.permParams so Spark and oracle can
+    // never drift — then 8×4 banding, candidate pairs from shared
+    // band buckets, matching-position verification. k=32 ⟹
+    // est ≥ 0.5 ⟺ matches ≥ 16.
+    "dedup_minhash_banded" -> {
+      val p = graft.functions.MinHash.MersenneP
+      val perms = graft.functions.MinHash.permParams(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+         |  FROM base
+         |), xs AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS x
+         |  FROM sh
+         |), perms(i, pa, pb) AS (
+         |  SELECT * FROM (VALUES $perms) t(i, pa, pb)
+         |), sig AS (
+         |  SELECT doc_id, p.i,
+         |         min(((x * p.pa) % $p + p.pb) % $p) AS h
+         |  FROM xs CROSS JOIN perms p
+         |  GROUP BY doc_id, p.i
+         |), sigarr AS (
+         |  SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, t.bd,
+         |         md5(array_to_string(sig[t.bd*4+1:t.bd*4+4], ',')) AS bucket
+         |  FROM sigarr CROSS JOIN range(0, 8) t(bd)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |                  x.sig AS siga, y.sig AS sigb
+         |  FROM banded x JOIN banded y
+         |    ON x.bd = y.bd AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), m AS (
+         |  SELECT a, b, unnest(siga) AS ha, unnest(sigb) AS hb FROM cand
+         |), v AS (
+         |  SELECT a, b, sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS matches
+         |  FROM m GROUP BY a, b
+         |)
+         |SELECT a, b, round(matches / 32.0, 6) AS est_jaccard
+         |FROM v WHERE matches >= 16
+         |ORDER BY a, b""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       """WITH base AS (
