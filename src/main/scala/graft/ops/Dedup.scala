@@ -588,6 +588,44 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** ENGINE-PORTABLE SimHash near-dup pairs (§2c.26b): a 60-bit
+    * fingerprint whose per-token hash is the top 60 bits of
+    * `md5(token)` (mod-free — the bits ARE the votes), so the whole
+    * operator — token hashing, bit votes, fingerprint assembly,
+    * pairing — is expressible in plain SQL and hash-checks against a
+    * brute-force DuckDB mirror. Because pigeonhole banding is EXACT
+    * (any pair within hamming ≤ 3 shares one of the 4 bands by
+    * construction), the brute-force oracle also proves the banded
+    * plan end-to-end, not just the fingerprint math.
+    *
+    * The 60-bit fingerprint rides the standard 64-bit banding
+    * ([[simhashPairsOf]], 4×16-bit bands — the top 4 zero bits join
+    * band 3, which preserves the pigeonhole guarantee). Scale shape:
+    * one exchange (the grouped vote build over the exploded token
+    * stream, 60 small integer sums map-side combined), then the
+    * banded bucket join with the skew cap. The native xxhash64
+    * [[simhash]] kernel stays the hot-path default; this variant is
+    * the cross-engine-reproducibility twin, exactly like
+    * [[minhashLshPortable]] beside [[minhashLsh]].
+    */
+  def simhashPortablePairs(df: DataFrame, text: Column, id: Column,
+                           maxHamming: Int = 3,
+                           maxBucket: Long = 10000L): DataFrame = {
+    val toks = array_distinct(split(lower(text), " "))
+    val x = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val votes = (0 until 60).map { j =>
+      sum(shiftrightunsigned(col("x"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val fpBits = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = df.select(id.as("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), x.as("x"))
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpBits.as("simhash"))
+    simhashPairsOf(fp, maxHamming, maxBucket)
+  }
+
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (§2c.26).
     * Pigeonhole banding: split the 64-bit fingerprint into
     * `maxHamming + 1` bands — two fingerprints within hamming

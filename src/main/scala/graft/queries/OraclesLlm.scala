@@ -74,6 +74,36 @@ object OraclesLlm {
          |ORDER BY a, b""".stripMargin
     },
 
+    // brute-force mirror of Dedup.simhashPortablePairs: md5-top-60-bit
+    // token hashes → per-bit votes → fingerprint → ALL-pairs hamming.
+    // Brute force is the STRONGER oracle here: pigeonhole banding is
+    // exact, so banded(Spark) == brute(DuckDB) must hold bit-for-bit.
+    "dedup_simhash_banded" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM base
+        |), xs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x
+        |  FROM tok
+        |), votes AS (
+        |  SELECT doc_id, j.j,
+        |         sum(CASE WHEN (x >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM xs CROSS JOIN range(0, 60) j(j)
+        |  GROUP BY doc_id, j.j
+        |), fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+        |              AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
