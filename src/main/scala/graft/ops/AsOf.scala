@@ -31,11 +31,23 @@ object AsOf {
   /** @param rightPayload right-side columns to carry (name → column),
     *                     evaluated against `right`
     * @param direction "backward" | "forward" | "nearest"
+    * @param toleranceTicks maximum time distance for a match, in the
+    *                       SAME exact integral unit the direction
+    *                       logic compares in (micros for timestamps,
+    *                       days for dates, the raw value for integral
+    *                       times). A match farther away carries NULL
+    *                       payload — the left row is kept (the pandas
+    *                       merge_asof tolerance contract). For
+    *                       `nearest`, tolerance participates in the
+    *                       PICK: if the closer side is out of
+    *                       tolerance but the farther side is within,
+    *                       the within side wins.
     */
   def join(left: DataFrame, leftKey: Column, leftTime: Column,
            right: DataFrame, rightKey: Column, rightTime: Column,
            rightPayload: Seq[(String, Column)],
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           toleranceTicks: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asof direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
@@ -60,30 +72,43 @@ object AsOf {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def back(n: String) = last(col(n), ignoreNulls = true).over(wB)
     def fwd(n: String) = first(col(n), ignoreNulls = true).over(wF)
-    val carried: Seq[Column] = direction match {
-      case "backward" => rightPayload.map { case (n, _) => back(n).as(n) }
-      case "forward"  => rightPayload.map { case (n, _) => fwd(n).as(n) }
-      case "nearest" =>
-        // pick per ROW (one winner for all payload columns): backward
-        // unless forward exists and is strictly closer. Distances are
-        // compared in an EXACT integral unit chosen by the time
-        // column's type — micros for timestamps (a bare long cast
-        // truncates to whole seconds and mis-picks on sub-second
-        // gaps), days for dates (which cannot cast to long at all),
-        // the value itself for integral types.
-        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-        val toTicks: Column => Column = u.schema("__t").dataType match {
-          case TimestampType | TimestampNTZType => c => unix_micros(c.cast("timestamp"))
-          case DateType => c => datediff(c, lit("1970-01-01")).cast("long")
-          case _ => c => c.cast("long")
-        }
-        val t = toTicks(col("__t"))
-        val bt = toTicks(back("__rt"))
-        val ft = toTicks(fwd("__rt"))
-        val takeBack = ft.isNull ||
-          (bt.isNotNull && (t - bt) <= (ft - t))
+    // Distances are compared in an EXACT integral unit chosen by the
+    // time column's type — micros for timestamps (a bare long cast
+    // truncates to whole seconds and mis-picks on sub-second gaps),
+    // days for dates (which cannot cast to long at all), the value
+    // itself for integral types. `toleranceTicks` shares this unit.
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    lazy val toTicks: Column => Column = u.schema("__t").dataType match {
+      case TimestampType | TimestampNTZType => c => unix_micros(c.cast("timestamp"))
+      case DateType => c => datediff(c, lit("1970-01-01")).cast("long")
+      case _ => c => c.cast("long")
+    }
+    lazy val t = toTicks(col("__t"))
+    lazy val bt = toTicks(back("__rt"))
+    lazy val ft = toTicks(fwd("__rt"))
+    val carried: Seq[Column] = (direction, toleranceTicks) match {
+      // no-tolerance backward/forward keep the bare window expression
+      // (no when() wrapper, no tick math in the plan)
+      case ("backward", None) => rightPayload.map { case (n, _) => back(n).as(n) }
+      case ("forward", None)  => rightPayload.map { case (n, _) => fwd(n).as(n) }
+      case ("backward", Some(tol)) => rightPayload.map { case (n, _) =>
+        when(bt.isNotNull && (t - bt) <= tol, back(n)).as(n)
+      }
+      case ("forward", Some(tol)) => rightPayload.map { case (n, _) =>
+        when(ft.isNotNull && (ft - t) <= tol, fwd(n)).as(n)
+      }
+      case ("nearest", tolOpt) =>
+        // pick per ROW (one winner for all payload columns): the
+        // closer VALID side, ties → backward; a side out of tolerance
+        // is not a candidate at all, so the farther-but-within side
+        // can win over the closer-but-beyond one
+        val bValid = tolOpt.map(tol => bt.isNotNull && (t - bt) <= tol)
+          .getOrElse(bt.isNotNull)
+        val fValid = tolOpt.map(tol => ft.isNotNull && (ft - t) <= tol)
+          .getOrElse(ft.isNotNull)
         rightPayload.map { case (n, _) =>
-          when(takeBack, back(n)).otherwise(fwd(n)).as(n)
+          when(bValid && (not(fValid) || (t - bt) <= (ft - t)), back(n))
+            .when(fValid, fwd(n)).as(n)
         }
     }
     u.select((Seq(col("__r")) ++ leftCols.map(col) ++ carried): _*)

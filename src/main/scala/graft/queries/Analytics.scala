@@ -180,6 +180,29 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // §2b.22l4 — backward as-of with a TOLERANCE (pandas merge_asof
+    // contract): matches farther than 30 days carry NULL payload, the
+    // left row is kept. Nulls are sentinel-coalesced (-1 / epoch) so
+    // the hash compare never meets engine-specific null encodings.
+    "asof_join_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsOf.join(
+          ev, col("user_id"), col("ts"),
+          ord, col("o_custkey"), col("o_orderdate"),
+          Seq("o_orderkey" -> col("o_orderkey"),
+            "o_orderdate" -> col("o_orderdate")),
+          direction = "backward",
+          toleranceTicks = Some(30L * 86400 * 1000000)) // 30 days in micros
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("o_orderdate"),
+            lit("1970-01-01 00:00:00").cast("timestamp_ntz")).as("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // §2b.29 — cumulative window: running order-count per customer in
     // date order (rows-frame running aggregation).
     "running_sum" -> ((s, d) => {

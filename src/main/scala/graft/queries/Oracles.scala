@@ -413,6 +413,25 @@ object Oracles {
         |FROM pick WHERE o_orderkey IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 
+    // tolerance = 30 days in micros; out-of-tolerance matches are
+    // sentinel-coalesced exactly as the Spark side does
+    "asof_join_tolerance" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.o_orderdate IS NOT NULL AND
+        |            epoch_us(e.ts) - epoch_us(r.o_orderdate) <= 2592000000000
+        |       THEN r.o_orderkey ELSE -1 END AS o_orderkey,
+        |  CASE WHEN r.o_orderdate IS NOT NULL AND
+        |            epoch_us(e.ts) - epoch_us(r.o_orderdate) <= 2592000000000
+        |       THEN r.o_orderdate ELSE TIMESTAMP '1970-01-01 00:00:00'
+        |       END AS o_orderdate
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
     "running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  count(*) OVER w AS running_n,

@@ -56,6 +56,59 @@ class AsOfSpec extends SparkSpec {
     assert(res(3L) === None)        // nothing follows
   }
 
+  test("asof tolerance nulls matches beyond the gap, keeps the left row") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")), // 5 s after the quote — within
+      (2L, "A", ts("2024-01-01 10:30:00")), // 20 min after — beyond
+      (3L, "B", ts("2024-01-01 10:00:10"))  // no quote at all
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:10:00"), 101.0)
+    ).toDF("sym", "qt", "price")
+    val res = AsOf.join(
+        trades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")),
+        toleranceTicks = Some(60L * 1000000)) // 1 minute in micros
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(res(1L) === Some(100.0))
+    assert(res(2L) === None) // match exists (10:10) but 20 min away
+    assert(res(3L) === None)
+    assert(res.size === 3)   // every left row kept
+  }
+
+  test("asof nearest with tolerance: out-of-gap sides drop out of the pick") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:59"))
+    ).toDF("trade_id", "sym", "t")
+    // backward quote 59 s away (within a 60 s tolerance), forward
+    // quote 61 s away (beyond): nearest must pick backward and must
+    // NOT fall back to the invalid forward side. (A closer-but-
+    // invalid vs farther-valid flip cannot exist under a single
+    // symmetric tolerance — closer out implies both out, the
+    // both-out → null case asserted below.)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0), // 59 s back — within 60 s
+      ("A", ts("2024-01-01 10:02:00"), 101.0)  // 61 s forward — beyond
+    ).toDF("sym", "qt", "price")
+    val near = AsOf.join(
+        trades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")), direction = "nearest",
+        toleranceTicks = Some(60L * 1000000))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(near(1L) === Some(100.0))
+    // now shrink tolerance below both gaps: no match at all
+    val none = AsOf.join(
+        trades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")), direction = "nearest",
+        toleranceTicks = Some(10L * 1000000))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(none(1L) === None)
+  }
+
   test("asof nearest picks the closer side, backward on ties") {
     // long times make the distance arithmetic explicit
     val evs = Seq(
