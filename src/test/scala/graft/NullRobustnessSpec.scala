@@ -42,6 +42,38 @@ class NullRobustnessSpec extends SparkSpec {
     assert(li.length === 5)
   }
 
+  test("portable minhash/simhash families survive null/empty text") {
+    // null text → no shingles/tokens → the doc silently drops from
+    // both portable pipelines (same contract as the xxhash twins and
+    // their DuckDB oracles); no query may throw
+    val mh = Dedup.minhashLshPortable(docs, col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mh === Set((0L, 4L))) // only the genuine dup pair
+    val sh = Dedup.simhashPortablePairs(docs, col("text"), col("doc_id"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // identical docs are hamming-0; null drops; ""/"   " tokenize to
+    // [""] / ["","",""] - distinct - sets whose fingerprints may or
+    // may not collide with each other, but must never throw
+    assert(sh.contains((0L, 4L)))
+    assert(sh.forall { case (a, b) => a != 1L && b != 1L })
+  }
+
+  test("asof tolerance tolerates null left times") {
+    import java.sql.Timestamp
+    val left = Seq(
+      (1L, "A", Some(Timestamp.valueOf("2024-01-01 10:00:05"))),
+      (2L, "A", None)
+    ).toDF("id", "k", "t")
+    val right = Seq(("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "rt", "v")
+    val res = graft.ops.AsOf.join(left, col("k"), col("t"),
+        right, col("k"), col("rt"), Seq("v" -> col("v")),
+        toleranceTicks = Some(60L * 1000000))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(res(1L) === Some(1.0))
+    assert(res(2L) === None) // null time → no match, row kept
+  }
+
   test("simhash and fingerprints survive null/empty text") {
     assert(Dedup.simhash(docs, col("text"), col("doc_id")).count() <= 5)
     assert(TextAnalysis.fingerprint(docs, col("text"), col("doc_id")).count() === 5)
