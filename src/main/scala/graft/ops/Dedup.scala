@@ -122,6 +122,51 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** ENGINE-PORTABLE duplicated-span pairs (§2c.27e): k-gram
+    * fingerprints selected by 0-mod-s sampling (the Manber 1994 /
+    * Broder "mod p" scheme) over md5-top-60-bit k-gram hashes —
+    * every stage (k-gram enumeration, hashing, selection, pairing)
+    * is plain SQL, so the SPAN-dedup pipeline hash-checks end-to-end
+    * against a DuckDB mirror the way the winnowing family cannot
+    * (its rightmost-tie-break selection rule does not translate).
+    * The tradeoff vs [[substringPairs]] is the guarantee: winnowing
+    * selects ≥1 fingerprint in EVERY w-window (structural recall for
+    * spans ≥ w+k−1), while mod-s sampling has expected density 1/s
+    * with no per-window floor — a shared span of L bytes is missed
+    * with probability ≈ (1−1/s)^(L−k+1). The winnowing kernel stays
+    * the production default; this is the cross-engine verification
+    * twin, beside [[minhashLshPortable]] and [[simhashPortablePairs]].
+    *
+    * Scale shape: the k-gram stream is map-only (explode + substring
+    * + md5) and immediately ~1/s sampled BEFORE the per-doc distinct
+    * shuffle, so the exchanged volume is a fraction of the text
+    * bytes; then the standard hot-fingerprint cap and count join.
+    */
+  def substringPairsPortable(df: DataFrame, text: Column, id: Column,
+                             k: Int = 16, sampleMod: Int = 16,
+                             minShared: Int = 2,
+                             maxHashFreq: Long = 1000L): DataFrame = {
+    val fps = df
+      .select(id.as("doc_id"), text.as("__text"))
+      .where(col("__text").isNotNull && length(col("__text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__text")) - (k - 1))).as("i"),
+        col("__text"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr(s"substring(__text, i, $k)")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .where(pmod(col("h"), lit(sampleMod.toLong)) === 0)
+      .dropDuplicates("doc_id", "h")
+    val capped = Skew.dropHotKeys(fps, Seq("h"), maxHashFreq)
+    capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
   /** Per-doc duplicated-span FRACTION (curation signal): the share of
     * a doc's winnowed fingerprints that also appear in at least one
     * OTHER doc — the document-level "how much of me is copied" number

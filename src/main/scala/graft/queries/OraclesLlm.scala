@@ -104,6 +104,39 @@ object OraclesLlm {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         |ORDER BY a, b""".stripMargin,
 
+    // end-to-end mirror of Dedup.substringPairsPortable over the
+    // plantSpanDups corpus: the aug CTE re-derives the planted docs
+    // (240-byte prefix slice wrapped in md5 filler at doc_id+2000000),
+    // then k-gram md5-top-60-bit hashes, 0-mod-16 sampling, per-doc
+    // distinct, hot-fingerprint cap, shared-count pairing.
+    "dedup_substring_mod" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           || substr(text, 1, 240) || ' '
+        |           || repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT AS h
+        |  FROM aug CROSS JOIN LATERAL
+        |    unnest(range(1, greatest(len(text) - 15, 0) + 1)) t(i)
+        |  WHERE len(text) >= 16
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, h FROM g WHERE h % 16 = 0
+        |), capped AS (
+        |  SELECT doc_id, h FROM sel
+        |  QUALIFY count(*) OVER (PARTITION BY h) <= 1000
+        |), p AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY a, b
+        |)
+        |SELECT a, b, shared FROM p WHERE shared >= 2 ORDER BY a, b""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
