@@ -149,6 +149,15 @@ object Dedup {
     val fps = df
       .select(id.as("doc_id"), text.as("__text"))
       .where(col("__text").isNotNull && length(col("__text")) >= k)
+      // PARALLELISM barrier, not a distribution need: a small corpus
+      // file scans as few (here one) input splits, which would run
+      // the whole md5-per-k-gram build single-threaded; spreading the
+      // (id, text) doc rows first costs one pass of the text bytes
+      // and unlocks every core. The EXPLICIT partition count matters:
+      // with repartition(col) alone AQE sees a ~MB exchange and
+      // coalesces it straight back to one partition
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("__text")) - (k - 1))).as("i"),
         col("__text"))
@@ -374,7 +383,13 @@ object Dedup {
       min(pmod(pmod(col("x") * a, lit(MersenneP)) + b, lit(MersenneP)))
         .as(s"h$i")
     }
-    val sig = shingles(df, text, id).select(col("doc_id"), x.as("x"))
+    // repartition = parallelism barrier (see substringPairsPortable):
+    // without it the map-side partial aggregation of the md5'd shingle
+    // stream runs inside however few splits the corpus file scans as
+    val sig = shingles(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, id),
+      text, id)
+      .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -664,7 +679,10 @@ object Dedup {
     val fpBits = (0 until 60)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val fp = df.select(id.as("doc_id"), explode(toks).as("tok"))
+    // repartition = parallelism barrier (see substringPairsPortable)
+    val fp = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, id)
+      .select(id.as("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fpBits.as("simhash"))
