@@ -76,6 +76,16 @@ object Tables {
     * the batch TIMESTAMP_NTZ, because Spark only accepts event-time
     * watermarks on TIMESTAMP — value-identical under the library's
     * fixed UTC session timezone.
+    *
+    * Why the scoped set/restore of the nanos conf is safe here even
+    * though file-stream micro-batches read parquet AFTER this method
+    * returns: the stream is built with an EXPLICIT schema (the batch
+    * probe below), so micro-batches never run parquet schema
+    * inference — and `spark.sql.legacy.parquet.nanosAsLong` only
+    * gates the inference-time "Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS" rejection, not value decoding. Pinned by
+    * SchemaDriftSpec's true-TIMESTAMP(NANOS) streaming test, which
+    * passes with the conf restored before the query starts.
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"

@@ -51,6 +51,56 @@ class SchemaDriftSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("Tables.eventsStream executes micro-batches on a true TIMESTAMP(NANOS) file") {
+    // the batch loader can scope the nanosAsLong conf to relation
+    // creation, but a file-stream source reads parquet at micro-batch
+    // EXECUTION time — if the loader restored the conf before the
+    // query ran, the first micro-batch of a TIMESTAMP(NANOS)
+    // generation threw "Illegal Parquet type: INT64 (TIMESTAMP(NANOS".
+    // Spark can't author that encoding, so write the fixture with the
+    // raw parquet-java API — this is the real upstream shape, not the
+    // int64 stand-in the batch test uses.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val dir = Files.createTempDirectory("events-drift-nanos").toString
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .named("events")
+    val fac = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(schema).build()
+    val baseNs = 1700000000L * 1000000000L
+    try (0 until 500).foreach { i =>
+      writer.write(fac.newGroup()
+        .append("event_id", i.toLong)
+        .append("ts", baseNs + i.toLong * 90L * 1000000000L))
+    } finally writer.close()
+
+    // batch face: LongType branch engages under the scoped conf
+    val batch = Tables.events(spark, dir)
+    assert(batch.schema("ts").dataType == TimestampNTZType)
+    assert(batch.count() == 500)
+
+    // streaming face: micro-batches must read the nanos file too
+    val q = Tables.eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .writeStream.format("memory").queryName("drift_nanos_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("drift_nanos_stream")
+        .agg(sum("count")).collect().head.getLong(0)
+      assert(streamed == 500L)
+    } finally q.stop()
+  }
+
   test("Tables.events loads the live testdata generation with a usable ts") {
     val df = Tables.events(spark, sfDir)
     assert(df.schema("ts").dataType == TimestampNTZType)
