@@ -321,7 +321,59 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64, nbits: Int = 16, bands: Int = 8,
-              multiProbe: Int = 0): DataFrame = {
+              multiProbe: Int = 0): DataFrame =
+    lshTopKImpl(emb, queries, k, nbits, bands, multiProbe,
+      hyperplaneSig(_, dim, nbits))
+
+  /** md5-derived ±1 plane sign — the ENGINE-PORTABLE hyperplane
+    * family (the [[graft.ops.Dedup.minhashLshPortable]] posture
+    * applied to ANN): sign(bit, i) for the 1-based vector component i
+    * is +1 iff the top-60-bit value of md5("bit:i") is even. DuckDB
+    * derives the identical plane from its own md5:
+    * `('0x' || substr(md5(bit || ':' || i), 1, 15))::BIGINT % 2 = 0`
+    * — no RNG state, no interpolated constants, so the whole LSH
+    * route (signatures → band buckets → candidate shortlist → exact
+    * rerank) is recomputable outside Spark and hash-checks end-to-end
+    * against an independent engine.
+    */
+  def md5PlaneSign(bit: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$bit:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+    else -1.0
+  }
+
+  /** [[hyperplaneSig]] with the md5-derived portable planes — same
+    * codegen'd kernel ([[graft.functions.VecMath.vecLshSig]]), only
+    * the ±1 pattern differs.
+    */
+  def md5HyperplaneSig(v: Column, dim: Int, nbits: Int): Column = {
+    val planes =
+      Array.tabulate(nbits * dim)(i => md5PlaneSign(i / dim, i % dim + 1))
+    graft.functions.VecMath.vecLshSig(v, planes, nbits, dim)
+  }
+
+  /** [[lshTopK]] over the [[md5PlaneSign]] portable plane family —
+    * identical pipeline shape and physical plan (signature map-only,
+    * banded bucket join with broadcast query side, exact-cosine
+    * rerank through the bounded-heap top-k), hash-oracled END-TO-END
+    * against a DuckDB SQL mirror that re-derives the planes from its
+    * own md5. Production default remains [[lshTopK]] (splitmix planes
+    * — one 64-bit mix vs an md5 per plane cell at plan-build time);
+    * this twin is the cross-engine evidence for the family's banding
+    * + shortlist + rerank route, and the variant a deployment uses
+    * when signatures must be recomputable outside Spark.
+    */
+  def lshTopKPortable(emb: DataFrame, queries: DataFrame, k: Int,
+                      dim: Int = 64, nbits: Int = 16,
+                      bands: Int = 8): DataFrame =
+    lshTopKImpl(emb, queries, k, nbits, bands, 0,
+      md5HyperplaneSig(_, dim, nbits))
+
+  private def lshTopKImpl(emb: DataFrame, queries: DataFrame, k: Int,
+                          nbits: Int, bands: Int, multiProbe: Int,
+                          sigOf: Column => Column): DataFrame = {
     // Band width r = nbits/bands sets the recall/cost tradeoff: a
     // band collides with prob (1-θ/π)^r, and ≥1-of-bands must hit.
     // Corpora whose true neighbors sit at wide angles (cos ~0.3-0.5,
@@ -332,7 +384,7 @@ object Similarity {
     // multiProbe to claw back the recall narrower bands cost.
     val r = bandWidth(nbits, bands)
     def banded(df: DataFrame, idCol: String, probes: Int): DataFrame = {
-      val sig = hyperplaneSig(col("embedding"), dim, nbits)
+      val sig = sigOf(col("embedding"))
       val bandBuckets = (0 until bands).flatMap { b =>
         val base = bandKey(col("sig"), b, r)
         // probe buckets = the band key plus its `probes` 1-bit flips

@@ -207,6 +207,51 @@ object OraclesLlm {
         |)
         |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
 
+    // end-to-end mirror of Similarity.lshTopKPortable: the ±1
+    // hyperplanes are RE-DERIVED here from DuckDB's own md5 (parity
+    // of the top 60 bits of md5("bit:i")) — no interpolated plane
+    // constants — then 16 sign bits per vector via an order-preserving
+    // double fold (list_sum over list_transform, mirroring VecLshSig's
+    // d-loop: ±1.0 multiplication is exact, so the projections are
+    // bit-identical), width-2 band buckets, corpus×query candidates
+    // from shared (band, bucket), exact-cosine rerank top-5.
+    "ann_lsh_topk_portable" ->
+      s"""WITH pl AS (
+        |  SELECT b.b AS bit,
+        |         list(CASE WHEN ('0x' || substr(md5(b.b::VARCHAR || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+        |              ORDER BY i.i) AS ps
+        |  FROM range(0, 16) b(b) CROSS JOIN range(1, 65) i(i)
+        |  GROUP BY b.b
+        |), sb AS (
+        |  SELECT e.vec_id, pl.bit,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.ps[i])) >= 0
+        |              THEN 1 ELSE 0 END AS bit_on
+        |  FROM embeddings e CROSS JOIN pl
+        |), cb AS (
+        |  SELECT vec_id, bit // 2 AS bd,
+        |         CAST(sum(bit_on << (bit % 2)) AS BIGINT) AS bucket
+        |  FROM sb GROUP BY vec_id, bit // 2
+        |), qb AS (
+        |  SELECT vec_id AS qid, bd, bucket FROM cb WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT c.vec_id AS nbr, q.qid
+        |  FROM cb c JOIN qb q
+        |    ON c.bd = q.bd AND c.bucket = q.bucket AND c.vec_id <> q.qid
+        |), s AS (
+        |  SELECT cand.qid, cand.nbr,
+        |         round(${cos("eq.embedding", "ec.embedding")}, 6) AS cos
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = cand.qid
+        |  JOIN embeddings ec ON ec.vec_id = cand.nbr
+        |), r AS (
+        |  SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
