@@ -366,40 +366,65 @@ object Dedup {
     * and the codegen'd [[graft.functions.MinHash.sigMatchCount]]
     * verify.
     */
-  def minhashLshPortable(df: DataFrame, text: Column, id: Column,
-                         k: Int = 32, bands: Int = 8,
-                         minEstJaccard: Double = 0.5,
-                         maxBucket: Long = 10000L): DataFrame = {
-    require(bands > 0 && k >= bands && k % bands == 0,
-      s"bands ($bands) must divide the signature length k ($k)")
-    val r = k / bands
+  /** the portable family's (doc_id, sig) signature table: md5-top-60
+    * token hash through the shared (a·x+b) mod p permutations — the
+    * piece every portable MinHash consumer (self-pairs, cross-corpus)
+    * builds from, one definition so their signatures are
+    * interchangeable exactly like the xxhash64 family's are.
+    */
+  private def portableSigTable(df: DataFrame, text: Column, id: Column,
+                               k: Int): DataFrame = {
     // top 60 bits of md5 (15 hex chars → fits a long) mod p: DuckDB
     // mirrors it as ('0x' || substr(md5(s),1,15))::BIGINT % p
     val x = pmod(
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long"),
       lit(MersenneP))
-    val perms = permParams(k)
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = permParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(pmod(col("x") * a, lit(MersenneP)) + b, lit(MersenneP)))
         .as(s"h$i")
     }
     // repartition = parallelism barrier (see substringPairsPortable):
     // without it the map-side partial aggregation of the md5'd shingle
     // stream runs inside however few splits the corpus file scans as
-    val sig = shingles(
+    shingles(
       df.repartition(df.sparkSession.sparkContext.defaultParallelism, id),
       text, id)
       .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-    val bandHashes = array((0 until bands).map { b =>
+  }
+
+  /** md5 per-band bucket hashes — the portable analog of
+    * [[bandBucketHashes]] (same width validation, md5 instead of
+    * xxhash64 so DuckDB reproduces the bucket keys).
+    */
+  private def portableBandHashes(k: Int, bands: Int): Column = {
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
+    val r = k / bands
+    array((0 until bands).map { b =>
       md5(array_join(
         transform(slice(col("sig"), b * r + 1, r), _.cast("string")), ","))
     }: _*)
+  }
+
+  /** [[bandedSignatures]] over the portable md5 family — the banded
+    * signature table an incremental pipeline persists when its corpus
+    * signatures must be recomputable outside Spark.
+    */
+  def bandedSignaturesPortable(df: DataFrame, text: Column, id: Column,
+                               k: Int = 32, bands: Int = 8): DataFrame =
+    portableSigTable(df, text, id, k)
+      .select(col("doc_id"), col("sig"),
+        posexplode(portableBandHashes(k, bands)).as(Seq("band", "bucket")))
+
+  def minhashLshPortable(df: DataFrame, text: Column, id: Column,
+                         k: Int = 32, bands: Int = 8,
+                         minEstJaccard: Double = 0.5,
+                         maxBucket: Long = 10000L): DataFrame = {
     val banded = Skew.dropHotKeys(
-      sig.select(col("doc_id"), col("sig"),
-        posexplode(bandHashes).as(Seq("band", "bucket"))),
+      bandedSignaturesPortable(df, text, id, k, bands),
       Seq("band", "bucket"), maxBucket)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -509,6 +534,26 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
       .orderBy("new_id", "corpus_id")
   }
+
+  /** [[minhashLshCross]] over the ENGINE-PORTABLE md5 family — the
+    * incremental pipeline's cross-engine evidence twin: identical
+    * band-table shape and bucket join ([[minhashLshCrossBands]] is
+    * hash-family-agnostic), but every stage — signature build, band
+    * bucketing, the new-vs-corpus candidate join, the corpus-side
+    * skew cap, verification — mirrors into plain SQL, so the daily-
+    * ingest shape hash-checks end-to-end against DuckDB instead of
+    * only against its own spec. Production default remains
+    * [[minhashLshCross]] (xxhash64 — ~1.5-2× cheaper hashes).
+    */
+  def minhashLshCrossPortable(newDocs: DataFrame, corpus: DataFrame,
+                              text: Column, id: Column,
+                              k: Int = 32, bands: Int = 8,
+                              minEstJaccard: Double = 0.5,
+                              maxBucket: Long = 10000L): DataFrame =
+    minhashLshCrossBands(
+      bandedSignaturesPortable(newDocs, text, id, k, bands),
+      bandedSignaturesPortable(corpus, text, id, k, bands),
+      minEstJaccard, maxBucket)
 
   // -------------------------------------------------------------- simhash
 

@@ -74,6 +74,64 @@ object OraclesLlm {
          |ORDER BY a, b""".stripMargin
     },
 
+    // end-to-end mirror of Dedup.minhashLshCrossPortable: the same
+    // md5 signature + banding CTEs as dedup_minhash_banded, then the
+    // INCREMENTAL shape — doc_id % 5 = 3 plays the ingest batch, the
+    // rest the persisted corpus; candidates are new-vs-corpus only;
+    // the corpus-side Skew.dropHotKeys cap mirrors as a QUALIFY
+    // count window over the same (band, bucket) grouping.
+    "dedup_incremental_portable" -> {
+      val p = graft.functions.MinHash.MersenneP
+      val perms = graft.functions.MinHash.permParams(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+         |  FROM base
+         |), xs AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS x
+         |  FROM sh
+         |), perms(i, pa, pb) AS (
+         |  SELECT * FROM (VALUES $perms) t(i, pa, pb)
+         |), sig AS (
+         |  SELECT doc_id, p.i,
+         |         min(((x * p.pa) % $p + p.pb) % $p) AS h
+         |  FROM xs CROSS JOIN perms p
+         |  GROUP BY doc_id, p.i
+         |), sigarr AS (
+         |  SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, t.bd,
+         |         md5(array_to_string(sig[t.bd*4+1:t.bd*4+4], ',')) AS bucket
+         |  FROM sigarr CROSS JOIN range(0, 8) t(bd)
+         |), newb AS (
+         |  SELECT * FROM banded WHERE doc_id % 5 = 3
+         |), corpb AS (
+         |  SELECT * FROM banded WHERE doc_id % 5 <> 3
+         |  QUALIFY count(*) OVER (PARTITION BY bd, bucket) <= 10000
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id,
+         |                  x.sig AS siga, y.sig AS sigb
+         |  FROM newb x JOIN corpb y
+         |    ON x.bd = y.bd AND x.bucket = y.bucket AND x.doc_id <> y.doc_id
+         |), m AS (
+         |  SELECT new_id, corpus_id, unnest(siga) AS ha, unnest(sigb) AS hb
+         |  FROM cand
+         |), v AS (
+         |  SELECT new_id, corpus_id,
+         |         sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS matches
+         |  FROM m GROUP BY new_id, corpus_id
+         |)
+         |SELECT new_id, corpus_id, round(matches / 32.0, 6) AS est_jaccard
+         |FROM v WHERE matches >= 16
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
+
     // brute-force mirror of Dedup.simhashPortablePairs: md5-top-60-bit
     // token hashes → per-bit votes → fingerprint → ALL-pairs hamming.
     // Brute force is the STRONGER oracle here: pigeonhole banding is
