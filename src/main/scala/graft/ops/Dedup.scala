@@ -731,7 +731,11 @@ object Dedup {
       .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fpBits.as("simhash"))
-    simhashPairsOf(fp, maxHamming, maxBucket)
+    // failOverCap: this twin's oracle is the BRUTE-FORCE hamming scan
+    // (banding is pigeonhole-exact, so banded == brute must hold
+    // row-for-row) — a silently capped bucket would break that
+    // equality, so an over-cap bucket errors instead (Skew.failHotKeys)
+    simhashPairsOf(fp, maxHamming, maxBucket, failOverCap = true)
   }
 
   /** SimHash near-dup pairs at hamming ≤ `maxHamming` (§2c.26).
@@ -748,10 +752,15 @@ object Dedup {
                    maxBucket: Long = 10000L): DataFrame =
     simhashPairsOf(simhash(df, text, id), maxHamming, maxBucket)
 
-  /** banded hamming-≤ pairs over a prebuilt (doc_id, simhash) frame */
+  /** banded hamming-≤ pairs over a prebuilt (doc_id, simhash) frame.
+    * `failOverCap = true` swaps the silent bucket cap for the loud
+    * guard ([[Skew.failHotKeys]]) — used by the portable evidence
+    * twin whose brute-force oracle the cap cannot be mirrored into.
+    */
   def simhashPairsOf(fp: DataFrame,
                      maxHamming: Int = 3,
-                     maxBucket: Long = 10000L): DataFrame = {
+                     maxBucket: Long = 10000L,
+                     failOverCap: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands // 16 bits for hamming≤3
     val mask = (1L << width) - 1
@@ -763,10 +772,11 @@ object Dedup {
     // grouped / window — see Skew's tradeoff note), and both
     // self-join sides remain identical subplans with no
     // session-lifetime persist
-    val banded = Skew.dropHotKeys(
-      fp.select(col("doc_id"), col("simhash"),
-        posexplode(bandKeys).as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), maxBucket)
+    val exploded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
+    val banded =
+      if (failOverCap) Skew.failHotKeys(exploded, Seq("band", "bkey"), maxBucket)
+      else Skew.dropHotKeys(exploded, Seq("band", "bkey"), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bkey") === col("y.bkey") &&

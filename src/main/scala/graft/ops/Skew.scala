@@ -106,4 +106,41 @@ object Skew {
       .where(col("__kn") <= maxFreq)
       .drop("__kn")
   }
+
+  /** Like [[dropHotKeys]], but an over-cap key FAILS the query loudly
+    * instead of having its rows silently dropped. For the engine-
+    * portable evidence twins whose oracle cannot express a cap (e.g.
+    * a brute-force mirror that must equal the banded path row-for-
+    * row): under the cap the returned row set is EXACTLY the input,
+    * so the oracle equivalence is unconditional; over it the job
+    * errors — the correct behavior for an evidence query whose
+    * contract would otherwise silently diverge. Null keys are dropped
+    * like dropHotKeys (they can't form pairs downstream).
+    *
+    * Same exchange shape as the default cap spelling: one shuffle of
+    * the stream on the cap keys (reused by any downstream equi-join
+    * on them), over-cap keys derived post-shuffle and broadcast back;
+    * the guard rides in a filter (a pruned projection could be
+    * optimized away) that raises on the first matched row.
+    */
+  private[graft] def failHotKeys(df: DataFrame, keys: Seq[String],
+                                 maxFreq: Long): DataFrame = {
+    val nonNull = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+    val parted = nonNull.repartition(keys.map(col): _*)
+    val hot = parted.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("kn"))
+      .where(col("kn") > maxFreq)
+      .select(keys.map(c => col(c).as(s"__hot_$c")): _*)
+    val joinCond = keys.map(c => col(c) === col(s"__hot_$c")).reduce(_ && _)
+    parted.join(broadcast(hot), joinCond, "left")
+      .filter(
+        when(col(s"__hot_${keys.head}").isNotNull,
+          raise_error(concat(
+            lit(s"[graft] hot-key cap exceeded (maxFreq=$maxFreq) at key "),
+            concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+            lit(" — this portable evidence query fails rather than silently diverge from its uncapped oracle; use the production (capped) operator for this corpus")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .drop(keys.map(c => s"__hot_$c"): _*)
+  }
 }

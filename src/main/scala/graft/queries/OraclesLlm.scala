@@ -58,6 +58,7 @@ object OraclesLlm {
          |  SELECT doc_id, sig, t.bd,
          |         md5(array_to_string(sig[t.bd*4+1:t.bd*4+4], ',')) AS bucket
          |  FROM sigarr CROSS JOIN range(0, 8) t(bd)
+         |  QUALIFY count(*) OVER (PARTITION BY bd, bucket) <= 10000
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |                  x.sig AS siga, y.sig AS sigb

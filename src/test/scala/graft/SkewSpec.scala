@@ -96,4 +96,42 @@ class SkewSpec extends SparkSpec {
     assert(pairs.contains((1001L, 1002L)))
     assert(!pairs.exists(p => p._1 <= 600L || p._2 <= 600L))
   }
+
+  test("failHotKeys: identity under the cap, loud failure over it") {
+    val under = ((1 to 100).map(i => (8L, i.toLong)) ++
+      (1 to 99).map(i => (9L, i.toLong))).toDF("k", "v")
+    // under the cap the row set is EXACTLY the input — the property
+    // that makes an uncapped oracle equivalence unconditional
+    val kept = Skew.failHotKeys(under, Seq("k"), 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == under.as[(Long, Long)].collect().toSet)
+
+    // an over-cap key errors instead of silently dropping its rows
+    val over = under.unionByName(
+      (1 to 101).map(i => (7L, i.toLong)).toDF("k", "v"))
+    val e = intercept[Exception] {
+      Skew.failHotKeys(over, Seq("k"), 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("hot-key cap exceeded")))
+  }
+
+  test("simhash portable twin routes through the loud guard") {
+    // 200 identical docs share every band bucket; with a cap of 10000
+    // they are fine, but calling simhashPairsOf with failOverCap and a
+    // tiny cap must raise, proving the guard is actually in the path
+    val fp = (1 to 200).map(i => (i.toLong, 0x0f0f0f0fL)).toDF("doc_id", "simhash")
+    val e = intercept[Exception] {
+      Dedup.simhashPairsOf(fp, maxHamming = 3, maxBucket = 50L,
+        failOverCap = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("hot-key cap exceeded")))
+    // and with the cap not exceeded it returns the full pair set
+    val n = Dedup.simhashPairsOf(fp, maxHamming = 3, maxBucket = 10000L,
+      failOverCap = true).count()
+    assert(n == 200L * 199L / 2L)
+  }
 }
