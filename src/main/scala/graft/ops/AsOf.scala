@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * (`l.key = r.key AND r.t <= l.t` + a per-row max) explodes to a
   * range join with O(|l|·|r|/keys) intermediate rows. This operator
   * uses the union + ordered-window formulation instead: tag both
-  * sides, union, and per key take `last(right payload, ignoreNulls)`
-  * over rows ordered by (time, right-before-left) — `first` over the
-  * mirrored frame for forward. ONE shuffle on the key, no row
+  * sides, union, and per key take `last(right-row struct,
+  * ignoreNulls)` over rows ordered by (time, right-before-left) —
+  * `first` over the mirrored frame for forward. The struct packs the
+  * payload with the matched right time, so the carried values and the
+  * tolerance distance always come from the SAME picked row (a NULL
+  * payload on the nearest row carries as NULL, as in pandas
+  * merge_asof). ONE shuffle on the key, no row
   * explosion — the shape that survives a fact-fact point-in-time join
   * at 100 TB. (`nearest` evaluates both frames over the same
   * partitioning: one exchange, two window sorts.)
@@ -50,17 +54,22 @@ object AsOf {
            toleranceTicks: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asof direction must be backward|forward|nearest, got '$direction'")
+    require(!rightPayload.exists(_._1 == "__rt"),
+      "payload column name __rt is reserved")
     val leftCols = left.columns.toSeq
-    // `nearest` carries the matched right TIME alongside the payload
-    // (the `__rt` column in the r select below) to compare distances;
-    // the plain directions drop it
+    // The payload columns AND the matched right time travel together
+    // in ONE struct (`__pay`, non-null exactly on right rows): the
+    // window picks the nearest right ROW, so a NULL payload value on
+    // that row is carried as NULL — never silently replaced by an
+    // older row's value that the tolerance check did not vet (the
+    // pandas merge_asof contract).
     val l = left.select(
       (Seq(leftKey.as("__k"), leftTime.as("__t"), lit(0).as("__r")) ++
         leftCols.map(left(_))): _*)
     val r = right.select(
-      (Seq(rightKey.as("__k"), rightTime.as("__t"), lit(1).as("__r")) ++
-        rightPayload.map { case (n, c) => c.as(n) } :+
-        rightTime.as("__rt")): _*)
+      Seq(rightKey.as("__k"), rightTime.as("__t"), lit(1).as("__r"),
+        struct(rightPayload.map { case (n, c) => c.as(n) } :+
+          rightTime.as("__rt"): _*).as("__pay")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     // backward: right rows sort BEFORE a left row at the same time
     // (equality is a match), scan looks back; forward mirrors it
@@ -70,8 +79,13 @@ object AsOf {
     val wF = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__r").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def back(n: String) = last(col(n), ignoreNulls = true).over(wB)
-    def fwd(n: String) = first(col(n), ignoreNulls = true).over(wF)
+    // one window value per side — every payload column is a field
+    // extraction from the same picked row (identical canonicalized
+    // window expressions evaluate once per Window operator)
+    val backRow = last(col("__pay"), ignoreNulls = true).over(wB)
+    val fwdRow = first(col("__pay"), ignoreNulls = true).over(wF)
+    def back(n: String) = backRow.getField(n)
+    def fwd(n: String) = fwdRow.getField(n)
     // Distances are compared in an EXACT integral unit chosen by the
     // time column's type — micros for timestamps (a bare long cast
     // truncates to whole seconds and mis-picks on sub-second gaps),

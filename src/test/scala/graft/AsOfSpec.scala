@@ -153,6 +153,49 @@ class AsOfSpec extends SparkSpec {
     assert(dGot === "jan12") // 2 days away beats 9 days away
   }
 
+  test("asof carries the nearest ROW's payload — NULL stays NULL, never an older value") {
+    // the nearest-in-time quote has a NULL price; tolerance admits it
+    // but NOT the older non-null quote. The match must carry NULL —
+    // carrying the older row's 100.0 would smuggle an out-of-tolerance
+    // value through a vetted-looking match.
+    val trades = Seq((1L, "A", ts("2024-01-01 10:10:00")))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0)), // 10 min back — beyond tol
+      ("A", ts("2024-01-01 10:09:30"), None)         // 30 s back — within tol
+    ).toDF("sym", "qt", "price")
+    for (dir <- Seq("backward", "nearest")) {
+      val res = AsOf.join(trades, col("sym"), col("t"),
+          quotes, col("sym"), col("qt"),
+          Seq("price" -> col("price")), direction = dir,
+          toleranceTicks = Some(60L * 1000000))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(res(1L) === None, s"direction=$dir")
+    }
+    // and WITHOUT tolerance: backward still reports the nearest row's
+    // NULL, not the older 100.0 (pandas merge_asof semantics)
+    val plain = AsOf.join(trades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(plain(1L) === None)
+    // forward mirror: nearest following row has NULL payload
+    val fTrades = Seq((1L, "A", ts("2024-01-01 09:00:00")))
+      .toDF("trade_id", "sym", "t")
+    val fRes = AsOf.join(fTrades, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")), direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(fRes(1L) === Some(100.0)) // 10:00 row IS the nearest forward row
+    val fTrades2 = Seq((1L, "A", ts("2024-01-01 10:05:00")))
+      .toDF("trade_id", "sym", "t")
+    val fRes2 = AsOf.join(fTrades2, col("sym"), col("t"),
+        quotes, col("sym"), col("qt"),
+        Seq("price" -> col("price")), direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(fRes2(1L) === None) // nearest forward row (10:09:30) has NULL price
+  }
+
   test("asof plan shuffles once on the key — no range-join explosion") {
     val trades = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("trade_id", "sym", "t")
     val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "price")
