@@ -58,6 +58,23 @@ object Knn {
       .orderBy("field", "value")
   }
 
+  /** Persisted weight table — the reference's build-once / query-many
+    * contract (ml/Knn.scala:113 builds `Knn(df, ...)` once, :71 then
+    * serves every `knn(k, v)` from the held weights). The weight
+    * table is tiny (one row per distinct (field,value)), so it rides
+    * as a snapshot-keyed parquet like the IVF centroids and PQ
+    * codebooks: the first call fits and saves, every later call is a
+    * driver-side `exists` + a small parquet scan — NO CoStats
+    * aggregation in the steady-state query plan.
+    *
+    * `dir` should carry the source table's snapshot key (see
+    * [[graft.core.Artifacts.tableSnapshotKey]]) so a regenerated
+    * dataset rebuilds instead of serving stale weights.
+    */
+  def haveWeights(spark: org.apache.spark.sql.SparkSession, dir: String)
+                 (build: => DataFrame): DataFrame =
+    graft.core.Artifacts.haveParquet(spark, dir)(build)
+
   /** top-k rows by weighted feature distance for a query item given
     * as (field -> value) pairs. `idCol` must be a unique row key.
     * `rowFilter` is the reference's candidate filter
@@ -70,8 +87,9 @@ object Knn {
            rowFilter: Column = lit(true)): DataFrame = {
     val base = df.where(rowFilter)
     // the weight table feeds two plan branches (scoring join and the
-    // baseline scalar). No cache: both branches contain the identical
-    // groupBy(field,value) shuffle from keyValueWeights, so Catalyst's
+    // baseline scalar). No cache: with persisted weights ([[haveWeights]])
+    // both branches are tiny parquet scans; with fresh weights both
+    // contain the identical groupBy(field,value) shuffle, so Catalyst's
     // ReuseExchange computes the weight scan once — the post-exchange
     // agg that "recomputes" is a few hundred rows. (The r2 persist()
     // here leaked CacheManager blocks for the session lifetime.)

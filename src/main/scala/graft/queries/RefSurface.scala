@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Analyzers, IndexSpec, IndexedFrame, Store, Tables}
+import graft.core.{Analyzers, Artifacts, IndexSpec, IndexedFrame, Store, Tables}
 import graft.ops.{Knn, Merge}
 
 /** SURVEY §2a — the reference's own surface re-expressed Spark-first.
@@ -13,6 +13,18 @@ object RefSurface {
   /** lineitem index spec used across the index family */
   private val liSpec = IndexSpec(Seq("l_returnflag", "l_linestatus", "l_linenumber"))
   private val docSpec = IndexSpec(Seq("text"), Map("text" -> Analyzers.whitespace))
+
+  /** Knn weight table served from its snapshot-keyed Store artifact —
+    * the reference's build-once / query-many contract (ml/Knn.scala:
+    * 113 then :71). First call per dataset snapshot fits + saves; the
+    * knn_topk / knn_topk_filtered steady state is a tiny parquet scan
+    * with NO CoStats aggregation in the plan (asserted in KnnSpec).
+    */
+  private def knnWeightsPersisted(s: SparkSession, d: String): DataFrame =
+    Knn.haveWeights(s, s"${Artifacts.datasetCacheDir(d)}/knn_weights_" +
+        Artifacts.tableSnapshotKey(s, s"$d/part.parquet"))(
+      Knn.keyValueWeights(Tables.part(s, d), Seq("p_brand", "p_size"),
+        col("p_type") === "ECONOMY"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -196,12 +208,11 @@ object RefSurface {
         col("p_type") === "ECONOMY")),
 
     // §2a.14 — Knn.knn: top-k parts nearest to a query item by
-    // weighted feature distance
+    // weighted feature distance. Weights come from the persisted
+    // build-once artifact, not a per-query CoStats pass.
     "knn_topk" -> ((s, d) => {
       val part = Tables.part(s, d)
-      val w = Knn.keyValueWeights(part, Seq("p_brand", "p_size"),
-        col("p_type") === "ECONOMY")
-      Knn.topK(part, w, Seq("p_brand", "p_size"),
+      Knn.topK(part, knnWeightsPersisted(s, d), Seq("p_brand", "p_size"),
         Map("p_brand" -> "Brand#13", "p_size" -> "10"), "p_partkey", 10)
     }),
 
@@ -219,9 +230,7 @@ object RefSurface {
     // for the k slots; the filter pushes into the scan.
     "knn_topk_filtered" -> ((s, d) => {
       val part = Tables.part(s, d)
-      val w = Knn.keyValueWeights(part, Seq("p_brand", "p_size"),
-        col("p_type") === "ECONOMY")
-      Knn.topK(part, w, Seq("p_brand", "p_size"),
+      Knn.topK(part, knnWeightsPersisted(s, d), Seq("p_brand", "p_size"),
         Map("p_brand" -> "Brand#13", "p_size" -> "10"), "p_partkey", 10,
         rowFilter = col("p_size") >= 25)
     })

@@ -68,6 +68,33 @@ class KnnSpec extends SparkSpec {
     assert(masked !== unmasked)
   }
 
+  test("persisted weights: build once, serve every query from the artifact") {
+    val dir = s"/tmp/graft_knnspec_w_${System.nanoTime()}"
+    try {
+      var builds = 0
+      def build = { builds += 1
+        Knn.keyValueWeights(animals, fields, col("is_duck") === true) }
+      val w1 = Knn.haveWeights(spark, dir)(build)
+      val w2 = Knn.haveWeights(spark, dir)(build)
+      assert(builds === 1) // second call never evaluates the fit
+      // the served plan is a tiny parquet scan — NO CoStats aggregation
+      val plan = w2.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"))
+      // and topK over the artifact matches topK over fresh weights
+      val q = Map("legs" -> "2", "has_flies" -> "true",
+        "has_swims" -> "true", "has_moo" -> "false")
+      val fromArtifact = Knn.topK(animals, w1, fields, q, "id", 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fresh = Knn.topK(animals,
+          Knn.keyValueWeights(animals, fields, col("is_duck") === true),
+          fields, q, "id", 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fromArtifact === fresh)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("candidate filter restricts which rows compete for the k slots") {
     val w = Knn.keyValueWeights(animals, fields, col("is_duck") === true)
     val top = Knn.topK(animals, w, fields,
