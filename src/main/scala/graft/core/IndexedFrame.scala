@@ -198,28 +198,67 @@ final case class IndexedFrame(df: DataFrame, spec: IndexSpec) {
   /** (field, value, idx) for one field, where idx is the entry's
     * GLOBAL ordinal in the full sorted index — the reference's
     * colNameValuesWithIndex (IndexedDf.scala:57: positions address
-    * bitmaps inside the mmap'd index). Scale shape: the ordinal is a
-    * per-field ranked window (partitioned — no single-partition
-    * global sort) plus each field's broadcast cumulative offset.
+    * bitmaps inside the mmap'd index).
+    *
+    * Scale shape — two data-sized shuffles, no single-partition sort:
+    *  1. only fields at or before `field` in the index's field order
+    *    are exploded at all (later fields can never shift the
+    *    ordinal), aggregated to entries — shuffle 1;
+    *  2. entries range-repartition on the typed entry order (numeric
+    *    fields count 1,2,…,10 — not "1","10","2" — matching
+    *    indexColIdOrdering) and sort WITHIN partitions; the local
+    *    rank is read straight off `monotonically_increasing_id`
+    *    (pid·2³³ + in-partition row index, assigned in sorted order)
+    *    — no Window, so no pid re-shuffle of the data — shuffle 2;
+    *  3. exclusive per-partition offsets (≤ numShufflePartitions
+    *    rows) broadcast back; range partitions are contiguous
+    *    ascending (AQE coalesces only ADJACENT ranges), so
+    *    local rank + partition offset IS the global ordinal — and
+    *    the target field's cross-field offset falls out for free
+    *    because the preceding fields' entries were ranked in the
+    *    same pass. The final sort matches the range partitioning, so
+    *    it adds no exchange.
     */
   def colNameValuesWithIndex(field: String): DataFrame = {
-    // ordinal order = the typed entry order (numeric fields count
-    // 1,2,…,10 — not "1","10","2" — matching indexColIdOrdering)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("field").orderBy(valueSortKey, col("value"))
-    val perFieldCounts = entries.groupBy("field").agg(count(lit(1)).as("n"))
-    val offsets = perFieldCounts
-      .withColumn("offset",
-        coalesce(sum("n").over(org.apache.spark.sql.expressions.Window
-          .orderBy("field").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select("field", "offset")
-    entries
-      .withColumn("ford", row_number().over(w).cast("long") - 1)
-      .join(broadcast(offsets), "field")
+    // an absent field (nothing sorts at or before it) still needs an
+    // analyzable plan: keep one spec field so the explode is typed;
+    // the field filter below empties the frame with the right schema
+    val contributing = {
+      val c = spec.fields.filter(_ <= field).distinct
+      if (c.nonEmpty) c else spec.fields.take(1)
+    }
+    val pairs = contributing.map { f =>
+      val ts = if (spec.analyzers.contains(f)) array_distinct(tokens(f))
+               else tokens(f)
+      struct(lit(f).as("field"), ts.as("ts"))
+    }
+    val e = df.select(explode(array(pairs: _*)).as("fv"))
+      .select(col("fv.field").as("field"), explode(col("fv.ts")).as("value"))
+      .groupBy("field", "value").agg(count(lit(1)).as("f"))
+      .withColumn("sk", valueSortKey)
+    val ranked = e
+      .repartitionByRange(col("field"), col("sk"), col("value"))
+      .sortWithinPartitions(col("field"), col("sk"), col("value"))
+      .select(col("field"), col("value"), col("sk"),
+        spark_partition_id().as("pid"),
+        // local row index in sorted order; nondeterministic to
+        // Catalyst, which is load-bearing: the field filter below
+        // must NOT push past the ranking into the scan
+        (monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("ln"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("pid")
+      .rowsBetween(Long.MinValue, -1)
+    val offs = ranked.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("pid", "off")
+    ranked.join(broadcast(offs), "pid")
       .where(col("field") === field)
-      .select(col("field"), col("value"),
-        (col("ford") + col("offset")).as("idx"))
-      .orderBy("idx")
+      .select(col("field"), col("value"), col("sk"),
+        (col("ln") + col("off") - 1).as("idx"))
+      // same expressions as the range partitioning → sort-only, no
+      // exchange; equals idx order since field is constant here
+      .orderBy(col("field"), col("sk"), col("value"))
+      .drop("sk")
   }
 
   /** global ordinal of one (field, value) entry in the sorted index —

@@ -212,19 +212,29 @@ object Curation {
     * global hash order and positions stay exact.
     */
   def shufflePositions(df: DataFrame, id: Column): DataFrame = {
-    val keyed = df.select(id.as("doc_id"), hashKey(id).as("hk"))
+    // local rank = monotonically_increasing_id's in-partition row
+    // index (assigned in sorted order after the in-partition sort):
+    // a Window.partitionBy(pid) would plan a SECOND full-data hash
+    // exchange on pid — this reads the rank off the sorted stream
+    // for free
+    val local = df.select(id.as("doc_id"), hashKey(id).as("hk"))
       .repartitionByRange(col("hk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wP = Window.partitionBy("pid").orderBy(col("hk"), col("doc_id"))
-    val local = keyed.withColumn("ln", row_number().over(wP).cast("long"))
+      .sortWithinPartitions(col("hk"), col("doc_id"))
+      .select(col("doc_id"), col("hk"),
+        spark_partition_id().as("pid"),
+        (monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1)) + 1L).as("ln"))
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("off",
         coalesce(sum("n").over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "off")
     local.join(broadcast(offsets), "pid")
-      .select(col("doc_id"), (col("ln") + col("off") - 1).as("pos"))
-      .orderBy("pos")
+      .select(col("doc_id"), col("hk"), (col("ln") + col("off") - 1).as("pos"))
+      // same expressions as the range partitioning → sort-only, no
+      // exchange; (hk, doc_id) order IS pos order by construction
+      .orderBy(col("hk"), col("doc_id"))
+      .drop("hk")
   }
 
   /** Deterministic stratified sampling (§2c.37): keep at most `cap`
