@@ -46,14 +46,31 @@ object AsOf {
     *                       PICK: if the closer side is out of
     *                       tolerance but the farther side is within,
     *                       the within side wins.
+    * @param bucketTicks skew guard: sub-partition each key's window
+    *                       by time buckets of this width (same unit
+    *                       as toleranceTicks). The per-task sort
+    *                       bound drops from O(rows-per-key) to
+    *                       O(rows-per-key-per-bucket); bucket
+    *                       boundaries are patched with a carried
+    *                       last/first right row from neighbouring
+    *                       buckets (a window over bucket COUNTS per
+    *                       key, never over data rows), so results are
+    *                       IDENTICAL to the plain path for every
+    *                       direction and tolerance (AsOfSpec asserts
+    *                       equality; planted-hot-key numbers in
+    *                       SURVEY §5). Pick a width so a hot key's
+    *                       densest bucket fits a task — e.g. one hour
+    *                       for a key with 100M events/year.
     */
   def join(left: DataFrame, leftKey: Column, leftTime: Column,
            right: DataFrame, rightKey: Column, rightTime: Column,
            rightPayload: Seq[(String, Column)],
            direction: String = "backward",
-           toleranceTicks: Option[Long] = None): DataFrame = {
+           toleranceTicks: Option[Long] = None,
+           bucketTicks: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asof direction must be backward|forward|nearest, got '$direction'")
+    require(bucketTicks.forall(_ > 0), "bucketTicks must be positive")
     require(!rightPayload.exists(_._1 == "__rt"),
       "payload column name __rt is reserved")
     val leftCols = left.columns.toSeq
@@ -71,32 +88,83 @@ object AsOf {
         struct(rightPayload.map { case (n, c) => c.as(n) } :+
           rightTime.as("__rt"): _*).as("__pay")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    // backward: right rows sort BEFORE a left row at the same time
-    // (equality is a match), scan looks back; forward mirrors it
-    val wB = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__r").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__r").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // one window value per side — every payload column is a field
-    // extraction from the same picked row (identical canonicalized
-    // window expressions evaluate once per Window operator)
-    val backRow = last(col("__pay"), ignoreNulls = true).over(wB)
-    val fwdRow = first(col("__pay"), ignoreNulls = true).over(wF)
-    def back(n: String) = backRow.getField(n)
-    def fwd(n: String) = fwdRow.getField(n)
     // Distances are compared in an EXACT integral unit chosen by the
     // time column's type — micros for timestamps (a bare long cast
     // truncates to whole seconds and mis-picks on sub-second gaps),
     // days for dates (which cannot cast to long at all), the value
-    // itself for integral types. `toleranceTicks` shares this unit.
+    // itself for integral types. `toleranceTicks`/`bucketTicks` share
+    // this unit.
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     lazy val toTicks: Column => Column = u.schema("__t").dataType match {
       case TimestampType | TimestampNTZType => c => unix_micros(c.cast("timestamp"))
       case DateType => c => datediff(c, lit("1970-01-01")).cast("long")
       case _ => c => c.cast("long")
     }
+    // per-direction "picked right row" struct + the frame it lives
+    // over: the plain path windows on the key alone; the bucketed
+    // path (the skew guard — see class doc) sub-partitions on
+    // (key, time bucket) and patches bucket boundaries with a
+    // carried struct from neighbouring buckets.
+    val (uu, backRow, fwdRow): (DataFrame, Column, Column) =
+      bucketTicks match {
+        case None =>
+          // backward: right rows sort BEFORE a left row at the same
+          // time (equality is a match), scan looks back; forward
+          // mirrors it
+          val wB = Window.partitionBy("__k")
+            .orderBy(col("__t").asc, col("__r").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wF = Window.partitionBy("__k")
+            .orderBy(col("__t").asc, col("__r").asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          (u, last(col("__pay"), ignoreNulls = true).over(wB),
+            first(col("__pay"), ignoreNulls = true).over(wF))
+        case Some(width) =>
+          // floor division in exact long arithmetic (a double divide
+          // drifts near 2^53); a NULL time yields a NULL bucket,
+          // which sorts first and never feeds the carry (max_by
+          // ignores NULL orderings), matching the plain path's
+          // nulls-first window semantics
+          val tk = toTicks(col("__t"))
+          // (tk - floorMod) is an exact multiple of width, so the
+          // double divide is exact below 2^53; cast back to long
+          val ub = u.withColumn("__b",
+            ((tk - ((tk % width + width) % width)) / width).cast("long"))
+          // per (key, bucket): the latest/earliest right ROW of the
+          // bucket, then the cross-bucket carry — a window over
+          // BUCKET COUNTS per key, never over data rows
+          val perB = ub.groupBy("__k", "__b").agg(
+            max_by(col("__pay"), when(col("__r") === 1, col("__t")))
+              .as("__bp"),
+            min_by(col("__pay"), when(col("__r") === 1, col("__t")))
+              .as("__fp"))
+          val wCb = Window.partitionBy("__k").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wCf = Window.partitionBy("__k").orderBy("__b")
+            .rowsBetween(1, Window.unboundedFollowing)
+          val carry = perB.select(col("__k"), col("__b"),
+            last(col("__bp"), ignoreNulls = true).over(wCb).as("__cb"),
+            first(col("__fp"), ignoreNulls = true).over(wCf).as("__cf"))
+          // the (k,b) join reuses the window's (k,b) clustering on
+          // the data side; the carry side is bucket-count-sized
+          val joined = ub.join(carry, Seq("__k", "__b"), "left")
+          val wBb = Window.partitionBy("__k", "__b")
+            .orderBy(col("__t").asc, col("__r").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wFb = Window.partitionBy("__k", "__b")
+            .orderBy(col("__t").asc, col("__r").asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          (joined,
+            coalesce(
+              last(col("__pay"), ignoreNulls = true).over(wBb), col("__cb")),
+            coalesce(
+              first(col("__pay"), ignoreNulls = true).over(wFb), col("__cf")))
+      }
+    // one window value per side — every payload column is a field
+    // extraction from the same picked row (identical canonicalized
+    // window expressions evaluate once per Window operator)
+    def back(n: String) = backRow.getField(n)
+    def fwd(n: String) = fwdRow.getField(n)
     lazy val t = toTicks(col("__t"))
     lazy val bt = toTicks(back("__rt"))
     lazy val ft = toTicks(fwd("__rt"))
@@ -125,7 +193,7 @@ object AsOf {
             .when(fValid, fwd(n)).as(n)
         }
     }
-    u.select((Seq(col("__r")) ++ leftCols.map(col) ++ carried): _*)
+    uu.select((Seq(col("__r")) ++ leftCols.map(col) ++ carried): _*)
       .where(col("__r") === 0)
       .drop("__r")
   }

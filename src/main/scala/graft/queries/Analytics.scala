@@ -180,6 +180,28 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // §2b.22l5 — the SKEW-GUARDED spelling of asof_join: the same
+    // backward join with each key's window sub-partitioned into
+    // 7-day time buckets (boundaries patched by the carried
+    // neighbouring-bucket row). Shares asof_join's oracle — the
+    // bucketed plan must be bit-identical to the plain one; the
+    // planted-hot-key straggler numbers live in SURVEY §5.
+    "asof_join_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsOf.join(
+          ev, col("user_id"), col("ts"),
+          ord, col("o_custkey"), col("o_orderdate"),
+          Seq("o_orderkey" -> col("o_orderkey"),
+            "o_orderdate" -> col("o_orderdate")),
+          bucketTicks = Some(7L * 86400 * 1000000)) // 7 days in micros
+        .where(col("o_orderkey").isNotNull)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }),
+
     // §2b.22l4 — backward as-of with a TOLERANCE (pandas merge_asof
     // contract): matches farther than 30 days carry NULL payload, the
     // left row is kept. Nulls are sentinel-coalesced (-1 / epoch) so

@@ -381,6 +381,18 @@ object Oracles {
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
+    // the skew-guarded bucketed spelling must produce EXACTLY the
+    // plain asof result — same oracle
+    "asof_join_bucketed" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
     // nearest = ASOF both directions, pick the closer side per row
     // (ties → backward) — mirrors AsOf.scala's takeBack predicate
     "asof_join_nearest" ->

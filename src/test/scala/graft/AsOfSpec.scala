@@ -196,6 +196,37 @@ class AsOfSpec extends SparkSpec {
     assert(fRes2(1L) === None) // nearest forward row (10:09:30) has NULL price
   }
 
+  test("bucketed asof == plain asof for every direction/tolerance/width") {
+    // deterministic pseudo-random fixture: clustered timestamps so
+    // buckets are sometimes empty, sometimes dense, and matches
+    // regularly cross bucket boundaries
+    def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val rnd = lcg(42).map(s => math.abs(s % 100000L))
+    val lefts = (0 until 300).map(i =>
+      (i.toLong, s"k${rnd(i) % 5}", rnd(i + 300))).toDF("id", "k", "t")
+    val rights = (0 until 120).map(i =>
+      (s"k${rnd(i + 600) % 5}", rnd(i + 720),
+        if (i % 7 == 0) None else Some(i.toDouble))).toDF("k", "rt", "v")
+      // right rows unique per (key, time) — the operator's precondition
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    for {
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(None, Some(500L), Some(20000L))
+      width <- Seq(1L, 97L, 5000L, 1000000L) // incl. one-tick and one-bucket-fits-all
+    } {
+      val plain = AsOf.join(lefts, col("k"), col("t"),
+          rights, col("k"), col("rt"), Seq("v" -> col("v")),
+          direction = dir, toleranceTicks = tol)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val bucketed = AsOf.join(lefts, col("k"), col("t"),
+          rights, col("k"), col("rt"), Seq("v" -> col("v")),
+          direction = dir, toleranceTicks = tol, bucketTicks = Some(width))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(bucketed === plain, s"dir=$dir tol=$tol width=$width")
+    }
+  }
+
   test("asof plan shuffles once on the key — no range-join explosion") {
     val trades = Seq((1L, "A", ts("2024-01-01 10:00:05"))).toDF("trade_id", "sym", "t")
     val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "price")
