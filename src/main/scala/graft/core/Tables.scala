@@ -113,4 +113,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** STREAMING face of [[documents]] — the ingest feed the streaming
+    * dedup/curation faces consume. Explicit schema from one batch
+    * footer read (streaming sources cannot infer); same
+    * bare-file-vs-directory handling as [[eventsStream]].
+    */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val physical = documents(s, d).schema
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      s.readStream.schema(physical).parquet(p.toString)
+    else
+      s.readStream.schema(physical)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
 }

@@ -306,6 +306,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-corpus dedup over the REAL documents parquet: stream == batch") {
+    import spark.implicits._
+    // the eventsStream precedent applied to the ingest-dedup face:
+    // drive crossDedupStream from a file-source stream over the live
+    // documents table (Tables.documentsStream), not a MemoryStream
+    // fixture. Corpus = the same docs with shifted ids, so every
+    // arriving doc with a non-null signature is an exact near-dup —
+    // the join must flag them all, and exactly as the batch face does.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val corpus = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val corpusBands = graft.ops.Dedup.bandedSignatures(corpus,
+      col("text"), col("doc_id"), k = 16, bands = 4)
+      .localCheckpoint(true) // fixed for the stream's lifetime
+    val arriving = graft.core.Tables.documentsStream(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        // offset from epoch: a ts of exactly 0 ties the INITIAL
+        // watermark and is discarded as late — doc_id 0 would vanish
+        timestamp_micros(col("doc_id") + 86400000000L)
+          .cast("timestamp").as("ts"))
+    val q = EventPipeline.crossDedupStream(arriving, "text", "doc_id", "ts",
+        corpusBands, k = 16, bands = 4)
+      .writeStream.format("memory").queryName("xdedup_real")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("xdedup_real").select("doc_id")
+        .as[Long].collect().toSet
+      val batch = graft.ops.Dedup.minhashLshCross(
+          docs, corpus, col("text"), col("doc_id"), k = 16, bands = 4)
+        .select("new_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming shard packing matches the batch assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
