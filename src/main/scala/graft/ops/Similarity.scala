@@ -246,6 +246,21 @@ object Similarity {
     loadCentroids(spark, dir)
   }
 
+  /** ENGINE-PORTABLE coarse centroids: the `nlist` corpus vectors
+    * with the smallest ids, verbatim — no k-means, no RNG, so an
+    * independent engine re-derives the IDENTICAL quantizer from the
+    * data itself (`SELECT embedding FROM embeddings ORDER BY vec_id
+    * LIMIT nlist`). Routing quality is whatever those vectors give
+    * (production uses [[ivfCentroids]]); the point is that the whole
+    * IVF route — assignment argmin, probe ranking, list scan, exact
+    * rerank — becomes recomputable outside Spark and hash-checkable
+    * end-to-end. Driver-bounded: nlist·dim floats, same class as the
+    * fitted centroids.
+    */
+  def leadingCentroids(emb: DataFrame, nlist: Int = 8): Array[Array[Float]] =
+    emb.orderBy("vec_id").limit(nlist).select("embedding")
+      .collect().map(_.getAs[Seq[Float]]("embedding").toArray)
+
   /** IVF (inverted-file) ANN — the cluster-routed scale path: a
     * coarse k-means quantizer (fit on a sample, [[ivfCentroids]])
     * assigns every corpus vector to its nearest of `nlist` centroids;
