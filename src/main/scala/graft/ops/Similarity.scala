@@ -483,6 +483,33 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** ENGINE-PORTABLE PQ codebooks (the [[leadingCentroids]] posture
+    * applied to sub-quantizers): entry (j, c) is subspace j of the
+    * UNITIZED (c+1)-th corpus vector by id — no k-means, no RNG, so
+    * an independent engine re-derives the identical codebooks from
+    * the data. Unitization repeats [[unitized]]'s arithmetic exactly
+    * (ordered double dot → sqrt → max(·,1e-30) → double divide →
+    * float cast) so the driver-built books match what the engine
+    * would compute. Driver-bounded: ks·dim floats.
+    */
+  def leadingPqCodebooks(emb: DataFrame, m: Int = 16,
+                         ks: Int = 16): Array[Array[Array[Float]]] = {
+    val raw = emb.orderBy("vec_id").limit(ks).select("embedding")
+      .collect().map(_.getAs[Seq[Float]]("embedding").toArray)
+    val unit = raw.map { v =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.max(math.sqrt(s), 1e-30)
+      v.map(x => (x.toDouble / n).toFloat)
+    }
+    val dim = unit.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m)(j =>
+      Array.tabulate(ks)(c => unit(c).slice(j * sub, j * sub + sub)))
+  }
+
   /** persist/reopen/fit-once lifecycle for PQ codebooks — flat
     * (subspace, code, centroid) rows, the [[saveCentroids]] pattern.
     */
