@@ -492,17 +492,34 @@ object Similarity {
     * float cast) so the driver-built books match what the engine
     * would compute. Driver-bounded: ks·dim floats.
     */
+  /** driver-side twin of [[unitized]]'s per-vector arithmetic —
+    * ordered double dot → sqrt → max(·,1e-30) → double divide →
+    * float cast — so driver-built portable artifacts match what the
+    * engine computes bit-for-bit.
+    */
+  private def driverUnit(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.max(math.sqrt(s), 1e-30)
+    v.map(x => (x.toDouble / n).toFloat)
+  }
+
+  private def leadingUnitVectors(emb: DataFrame,
+                                 n: Int): Array[Array[Float]] =
+    emb.orderBy("vec_id").limit(n).select("embedding")
+      .collect().map(r => driverUnit(r.getAs[Seq[Float]]("embedding").toArray))
+
+  /** [[leadingCentroids]] in UNIT geometry — the portable coarse
+    * quantizer for the IVF-PQ composition, whose routing happens on
+    * unitized vectors ([[ivfPqCentroids]] posture).
+    */
+  def leadingUnitCentroids(emb: DataFrame, nlist: Int = 8): Array[Array[Float]] =
+    leadingUnitVectors(emb, nlist)
+
   def leadingPqCodebooks(emb: DataFrame, m: Int = 16,
                          ks: Int = 16): Array[Array[Array[Float]]] = {
-    val raw = emb.orderBy("vec_id").limit(ks).select("embedding")
-      .collect().map(_.getAs[Seq[Float]]("embedding").toArray)
-    val unit = raw.map { v =>
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      val n = math.max(math.sqrt(s), 1e-30)
-      v.map(x => (x.toDouble / n).toFloat)
-    }
+    val unit = leadingUnitVectors(emb, ks)
     val dim = unit.headOption.map(_.length).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m

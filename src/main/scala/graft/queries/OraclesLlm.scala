@@ -427,6 +427,89 @@ object OraclesLlm {
         |)
         |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
+    // the IVF-PQ composition mirror: the pq_topk_portable CTEs
+    // (unitize → codebooks → sub-space distances → encode) plus
+    // unit-geometry coarse routing (first 8 UNIT vectors as
+    // centroids, assignment argmin + nprobe=4 probe ranking — the
+    // ivf_topk_portable shape on unit vectors), ADC restricted to
+    // probed lists, top-80 shortlist, exact rerank top-5.
+    "ann_ivfpq_topk_portable" ->
+      s"""WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))),
+        |      1e-30) AS n
+        |  FROM embeddings
+        |), uall AS (
+        |  SELECT vec_id, list_transform(range(1, 65),
+        |    i -> CAST(CAST(embedding[i] AS DOUBLE) / n AS FLOAT)) AS u
+        |  FROM nrm
+        |), cbsrc AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, u
+        |  FROM (SELECT vec_id, u FROM uall ORDER BY vec_id LIMIT 16)
+        |), cb AS (
+        |  SELECT j.j AS j, s.c AS c,
+        |    list_transform(range(1, 5), t -> s.u[j.j * 4 + t]) AS cv,
+        |    list_sum(list_transform(range(1, 5),
+        |      t -> CAST(s.u[j.j * 4 + t] AS DOUBLE) * CAST(s.u[j.j * 4 + t] AS DOUBLE))) AS cc
+        |  FROM range(0, 16) j(j) CROSS JOIN cbsrc s
+        |), dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |    cb.cc - 2 * list_sum(list_transform(range(1, 5),
+        |      t -> CAST(e.u[cb.j * 4 + t] AS DOUBLE) * CAST(cb.cv[t] AS DOUBLE))) AS dd
+        |  FROM uall e CROSS JOIN cb
+        |), enc AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), ccents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, u AS cv,
+        |    list_sum(list_transform(range(1, 65),
+        |      t -> CAST(u[t] AS DOUBLE) * CAST(u[t] AS DOUBLE))) AS cc
+        |  FROM (SELECT vec_id, u FROM uall ORDER BY vec_id LIMIT 8)
+        |), cdist AS (
+        |  SELECT e.vec_id, c.list,
+        |    c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |      t -> CAST(e.u[t] AS DOUBLE) * CAST(c.cv[t] AS DOUBLE))) AS dd
+        |  FROM uall e CROSS JOIN ccents c
+        |), assign AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT vec_id, list,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, list) AS rn
+        |    FROM cdist) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS qid, list FROM (
+        |    SELECT vec_id, list,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, list) AS rn
+        |    FROM cdist WHERE vec_id < 10) WHERE rn <= 4
+        |), adc AS (
+        |  SELECT qd.vec_id AS qid, en.vec_id AS nbr,
+        |    list_sum(list(qd.dd ORDER BY en.j)) AS adc
+        |  FROM enc en
+        |  JOIN assign a ON a.vec_id = en.vec_id
+        |  JOIN dist qd ON qd.j = en.j AND qd.c = en.code
+        |  JOIN probes p ON p.qid = qd.vec_id AND p.list = a.list
+        |  WHERE en.vec_id <> qd.vec_id
+        |  GROUP BY qd.vec_id, en.vec_id
+        |), short AS (
+        |  SELECT qid, nbr FROM (
+        |    SELECT qid, nbr,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc, nbr) AS rn
+        |    FROM adc) WHERE rn <= 80
+        |), s AS (
+        |  SELECT short.qid, short.nbr,
+        |    round(${cos("eq.embedding", "ec.embedding")}, 6) AS cos
+        |  FROM short
+        |  JOIN embeddings eq ON eq.vec_id = short.qid
+        |  JOIN embeddings ec ON ec.vec_id = short.nbr
+        |), r AS (
+        |  SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
