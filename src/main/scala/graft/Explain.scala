@@ -22,9 +22,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      try {
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        // EXECUTE the plan first (toRdd.count — no driver row
+        // collection), so the printout is the FINAL adaptive plan:
+        // AQE's runtime exchange reuse (ReusedExchange/ReusedSubquery)
+        // and coalesced stages are part of the plan that actually ran,
+        // and the initial static plan over-counts duplicated subtrees
+        // that never execute twice
+        qe.toRdd.count()
+        println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
   }
