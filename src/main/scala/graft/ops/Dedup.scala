@@ -146,8 +146,26 @@ object Dedup {
                              k: Int = 16, sampleMod: Int = 16,
                              minShared: Int = 2,
                              maxHashFreq: Long = 1000L): DataFrame = {
-    val fps = df
-      .select(id.as("doc_id"), text.as("__text"))
+    val fps = portableKgramFps(df, text, id, k, sampleMod)
+    val capped = Skew.dropHotKeys(fps, Seq("h"), maxHashFreq)
+    capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
+  /** The portable families' shared k-gram fingerprint stream: per-doc
+    * DISTINCT 0-mod-`sampleMod` sampled md5-top-60-bit k-gram hashes
+    * (see [[substringPairsPortable]] for the selection-scheme
+    * tradeoff vs winnowing). Every stage is plain SQL, so consumers
+    * hash-oracle end-to-end in DuckDB.
+    */
+  private def portableKgramFps(df: DataFrame, text: Column, id: Column,
+                               k: Int, sampleMod: Int): DataFrame =
+    df.select(id.as("doc_id"), text.as("__text"))
       .where(col("__text").isNotNull && length(col("__text")) >= k)
       // PARALLELISM barrier, not a distribution need: a small corpus
       // file scans as few (here one) input splits, which would run
@@ -166,15 +184,6 @@ object Dedup {
           .cast("long").as("h"))
       .where(pmod(col("h"), lit(sampleMod.toLong)) === 0)
       .dropDuplicates("doc_id", "h")
-    val capped = Skew.dropHotKeys(fps, Seq("h"), maxHashFreq)
-    capped.as("x").join(capped.as("y"),
-        col("x.h") === col("y.h") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
-      .orderBy("a", "b")
-  }
 
   /** Per-doc duplicated-span FRACTION (curation signal): the share of
     * a doc's winnowed fingerprints that also appear in at least one
@@ -203,6 +212,34 @@ object Dedup {
         .as("h"))
     // winnowed hashes are distinct per doc, so a per-hash count > 1
     // means ">1 distinct doc carries this fingerprint"
+    val counts = fps.groupBy("h").agg(count(lit(1)).as("hc"))
+    fps.join(counts, "h")
+      .withColumn("shared", when(col("hc") > 1, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        round(sum(col("shared")).cast("double") / count(lit(1)), 6)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** ENGINE-PORTABLE twin of [[spanDupStats]]: the same no-join
+    * per-doc duplicated-span fraction over the portable 0-mod-s
+    * sampled md5 k-gram fingerprints ([[portableKgramFps]] — shared
+    * with [[substringPairsPortable]]) instead of the winnowing
+    * kernel, so the WHOLE signal — k-gram stream, sampling, per-hash
+    * corpus counts, per-doc fraction — hash-checks end-to-end against
+    * a DuckDB SQL mirror. Same plan shape as the production default:
+    * grouped per-hash counts + count join on the one fingerprint
+    * exchange (hot boilerplate fingerprints are KEPT — they are the
+    * signal — so grouped counts, never a count window that would sort
+    * a hot hash's stream in one task), then groupBy(doc_id). Docs
+    * whose sampled fingerprint set is empty (possible under mod-s
+    * sampling, unlike winnowing's per-window floor) simply have no
+    * row, identically in both engines.
+    */
+  def spanDupStatsPortable(df: DataFrame, text: Column, id: Column,
+                           k: Int = 16, sampleMod: Int = 16): DataFrame = {
+    val fps = portableKgramFps(df, text, id, k, sampleMod)
     val counts = fps.groupBy("h").agg(count(lit(1)).as("hc"))
     fps.join(counts, "h")
       .withColumn("shared", when(col("hc") > 1, 1L).otherwise(0L))

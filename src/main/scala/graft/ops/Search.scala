@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text retrieval over the tokenized corpus — the query side of the
+  * reference's inverted token index (IndexedDf.scala:15-34 builds the
+  * token→rows index; these operators RANK with it). A training-data
+  * pipeline uses retrieval constantly: nearest-document lookup for
+  * decontamination forensics, boilerplate hunting, corpus QA.
+  *
+  * Tokenization is the same `split(lower(text), ' ')` family as
+  * index_tokens / text_* so retrieval agrees with the index the corpus
+  * already has.
+  */
+object Search {
+
+  /** BM25 top-k (Robertson k1=1.2, b=0.75) for a fixed bag of query
+    * terms, EXACT-ARITHMETIC so it hash-oracles cross-engine:
+    *
+    *  - tf, dl, N, S (corpus token count) and df are exact longs from
+    *    two grouped passes;
+    *  - the tf-saturation factor is algebraically cleared of its
+    *    doubles: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    *    avgdl = S/N becomes 22·S·tf / (10·S·tf + 3·S + 9·N·dl) — a
+    *    ratio of exactly-computed longs, ONE IEEE division (exact
+    *    while 22·S·tf < 2⁶³, i.e. corpora to ~10¹⁷ token
+    *    occurrences — document-count territory far past 100 TB of
+    *    text; past that, pre-divide S/N on the driver);
+    *  - idf = ln((N−df+0.5)/(df+0.5) + 1) = ln((2N+2)/(2df+1)) — the
+    *    one genuinely transcendental step — is ROUNDED TO 6dp before
+    *    use: its argument is an exact rational, so both engines feed
+    *    ln the identical double and the rounding pins the ≤1-ulp
+    *    libm disagreement (the text_bigram_lm lesson: never SUM raw
+    *    cross-engine logs; here the rounded idf is a per-TERM
+    *    constant, not a per-token stream);
+    *  - per-doc score = Σ over terms in FIXED left-to-right term
+    *    order (exact products and adds of deterministic doubles).
+    *
+    * Plan shape at scale: one explode + groupBy(doc_id) builds
+    * (dl, tf…) — the same single shuffle the index build pays; N/S/df
+    * are a 1-row aggregate broadcast back (the scalar_subquery
+    * idiom); scoring is map-only; the top-k is
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column,
+               terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "1-8 query terms")
+    val toks = split(lower(text), " ")
+    val tok = docs.where(text.isNotNull)
+      .select(id.as("doc_id"), explode(toks).as("tok"))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    // N, S, df: one tiny aggregate row, broadcast (scalar_subquery idiom)
+    val globAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("s")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val glob = perDoc.agg(globAggs.head, globAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(glob))
+    // idf rounded to 6dp (see scaladoc); tf-saturation exact-rational
+    def termScore(i: Int): Column = {
+      val idf6 = round(
+        log((lit(2L) * col("n") + 2L).cast("double") /
+          (lit(2L) * col(s"df$i") + 1L).cast("double")), 6)
+      val num = (lit(22L) * col("s") * col(s"tf$i")).cast("double")
+      val den = (lit(10L) * col("s") * col(s"tf$i") +
+        lit(3L) * col("s") + lit(9L) * col("n") * col("dl")).cast("double")
+      when(col(s"tf$i") > 0, idf6 * (num / den)).otherwise(lit(0.0))
+    }
+    val score = terms.indices.map(termScore).reduceLeft(_ + _)
+    val top = scored
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    // rank the k survivors (k rows — the window is trivially bounded)
+    import org.apache.spark.sql.expressions.Window
+    top.select(col("doc_id"), col("score"),
+        row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))).cast("long").as("rnk"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy("rnk")
+  }
+
+  /** Exact phrase search over the POSITIONAL token index: docs where
+    * `phrase`'s tokens occur consecutively, with the match count — the
+    * reference's token index (token → rows bitmap) extended with the
+    * position payload every real inverted index carries (the same
+    * (field, value, row, pos) shape as the row-refs artifact, one
+    * column wider).
+    *
+    * Plan shape at scale: posexplode is map-only; the per-word
+    * streams join on (doc_id, pos−offset) — an equi-join that
+    * shuffles each word's (typically tiny) posting stream, never the
+    * corpus; the first word's stream is the probe side and each
+    * subsequent word only narrows. groupBy(doc_id) map-side combines.
+    */
+  def phraseSearch(docs: DataFrame, text: Column, id: Column,
+                   phrase: String): DataFrame = {
+    val words = phrase.toLowerCase.split(" ").toSeq
+    require(words.size >= 2, "phrase needs >= 2 words")
+    val toks = split(lower(text), " ")
+    val pos = docs.where(text.isNotNull)
+      .select(id.as("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val first = pos.where(col("tok") === words.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = words.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val nxt = pos.where(col("tok") === w)
+          .select(col("doc_id").as("d"), col("pos").as("p"))
+        acc.join(nxt, acc("doc_id") === col("d") &&
+            col("p") === acc("pos") + i)
+          .select(acc("doc_id"), acc("pos"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+}

@@ -105,11 +105,36 @@ object Similarity {
 
   def lshCosinePairs(emb: DataFrame, minCos: Double,
                      dim: Int = 64, nbits: Int = 64, bands: Int = 8,
-                     maxBucket: Long = 10000L): DataFrame = {
+                     maxBucket: Long = 10000L): DataFrame =
+    lshCosinePairsImpl(emb, minCos, nbits, bands, maxBucket,
+      hyperplaneSig(_, dim, nbits))
+
+  /** [[lshCosinePairs]] over the [[md5PlaneSign]] portable plane
+    * family — the ann_lsh_topk_portable posture applied to PAIR
+    * enumeration: identical pipeline shape and physical plan
+    * (map-only codegen'd signature, skew-capped (band,bucket)
+    * self-join, exact-cosine verify in-join), but the ±1 planes
+    * derive from md5("bit:i") parity so a DuckDB mirror re-derives
+    * them from its own md5 and the WHOLE near-dup pair route —
+    * signatures, banding, bucket cap, candidate join, verification —
+    * hash-checks end-to-end cross-engine. Production default remains
+    * [[lshCosinePairs]] (splitmix planes); pair with
+    * [[plantNearDupsPortable]] so the planted phenomenon is
+    * re-derivable too.
+    */
+  def lshCosinePairsPortable(emb: DataFrame, minCos: Double,
+                             dim: Int = 64, nbits: Int = 64, bands: Int = 8,
+                             maxBucket: Long = 10000L): DataFrame =
+    lshCosinePairsImpl(emb, minCos, nbits, bands, maxBucket,
+      md5HyperplaneSig(_, dim, nbits))
+
+  private def lshCosinePairsImpl(emb: DataFrame, minCos: Double,
+                                 nbits: Int, bands: Int, maxBucket: Long,
+                                 sig: Column => Column): DataFrame = {
     val r = bandWidth(nbits, bands)
     val v = emb.select(col("vec_id"), col("embedding"),
       vecNorm(col("embedding")).as("nrm"),
-      hyperplaneSig(col("embedding"), dim, nbits).as("sig"))
+      sig(col("embedding")).as("sig"))
     val bandKeys = array((0 until bands).map(b =>
       bandKey(col("sig"), b, r)): _*)
     // bucket skew cap via [[Skew.dropHotKeys]] (exchange default /
@@ -162,6 +187,29 @@ object Similarity {
           .otherwise(lit(-eps))).cast("float"))
     // withColumn (not select) so any side columns the table carries
     // (e.g. the synthetic table's `label`) ride along unchanged
+    emb.unionByName(
+      emb.where(col("vec_id") % every === 0)
+        .withColumn("vec_id", col("vec_id") + offset)
+        .withColumn("embedding", jittered))
+  }
+
+  /** ENGINE-PORTABLE twin of [[plantNearDups]]: jitter sign from md5
+    * parity of "vec_id:dim" (1-based dim) instead of xxhash64, so a
+    * DuckDB mirror re-derives the IDENTICAL planted vectors from its
+    * own md5 — ±eps is an exact double add onto the exact
+    * float→double widening, and the float cast rounds identically in
+    * both engines, so the augmented frame is bit-equal cross-engine.
+    */
+  def plantNearDupsPortable(emb: DataFrame, every: Int = 10,
+                            offset: Long = 1000000L,
+                            eps: Double = 0.03): DataFrame = {
+    val jittered = transform(col("embedding"), (x, i) => {
+      val par = pmod(
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+          (i + 1).cast("string"))), 1, 15), 16, 10).cast("long"), lit(2L))
+      (x.cast("double") +
+        when(par === 0, lit(eps)).otherwise(lit(-eps))).cast("float")
+    })
     emb.unionByName(
       emb.where(col("vec_id") % every === 0)
         .withColumn("vec_id", col("vec_id") + offset)

@@ -355,6 +355,58 @@ object Analytics {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
         .orderBy("user_id")
+    }),
+
+    // §2b.22n — ordered funnel (view → click-after-first-view →
+    // purchase-after-that-click) per user, counted per stage with the
+    // conversion rate vs stage 1. The three stage times chain as
+    // window minima over ONE partitioning (user_id) — one exchange,
+    // no self-joins (the three-join spelling re-shuffles events per
+    // stage; the oracle uses it, proving the window chain exact).
+    "events_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+        .select("user_id", "t1", "t2", "t3").distinct()
+      val counts = perUser.agg(
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("v"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("c"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("p"))
+      counts
+        .select(col("v"), explode(array(
+          struct(lit("1_view").as("stage"), col("v").as("users")),
+          struct(lit("2_click").as("stage"), col("c").as("users")),
+          struct(lit("3_purchase").as("stage"), col("p").as("users"))))
+          .as("x"))
+        .select(col("x.stage").as("stage"), col("x.users").as("users"),
+          round(col("x.users").cast("double") / col("v"), 6).as("rate"))
+        .orderBy("stage")
+    }),
+
+    // §2b.22o — cohort retention: users grouped by first-seen day,
+    // distinct-user counts per (cohort_day, day offset). One groupBy
+    // for the cohort map (user_id — natural key), joined back
+    // (broadcast at dim-sized user counts, shuffle-on-user at scale —
+    // declarative, AQE picks), then a partial-aggregated distinct
+    // count per (cohort, offset).
+    "events_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_no"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_day", "day_no")
     })
   )
 }

@@ -511,7 +511,52 @@ object Oracles {
         |  SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events
-        |) GROUP BY user_id ORDER BY user_id""".stripMargin
+        |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // mirror of events_funnel via the THREE-JOIN spelling (min stage
+    // time per user, re-filtered per stage) — deliberately a different
+    // formulation than Spark's chained window minima, proving the
+    // window chain computes the textbook funnel.
+    "events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND t1.t1 IS NOT NULL AND e.ts > t1.t1
+        |  GROUP BY e.user_id
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |  GROUP BY e.user_id
+        |), c AS (
+        |  SELECT (SELECT count(*) FROM t1 WHERE t1 IS NOT NULL) AS v,
+        |         (SELECT count(*) FROM t2) AS c,
+        |         (SELECT count(*) FROM t3) AS p
+        |)
+        |SELECT stage, users, round(CAST(users AS DOUBLE) / v, 6) AS rate
+        |FROM (
+        |  SELECT '1_view' AS stage, v AS users, v FROM c
+        |  UNION ALL SELECT '2_click', c, v FROM c
+        |  UNION ALL SELECT '3_purchase', p, v FROM c
+        |) ORDER BY stage""".stripMargin,
+
+    // mirror of events_retention: first-seen-day cohorts × day offset
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT f.cohort_day,
+        |       CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS day_no,
+        |       count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_day, day_no
+        |ORDER BY f.cohort_day, day_no""".stripMargin
   )
 
   def all: Map[String, String] = refSurface ++ knn ++ analytics

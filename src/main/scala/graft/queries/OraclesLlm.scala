@@ -18,6 +18,65 @@ object OraclesLlm {
   private val stopEn = "'the','and','of','to','a','in','is','that'"
 
   val all: Map[String, String] = Map(
+    // mirror of Search.bm25TopK (terms spark/merge/window, k=10):
+    // identical exact-long tf/dl/N/S/df, the SAME cleared-rational
+    // tf-saturation 22·S·tf/(10·S·tf+3·S+9·N·dl), idf rounded to 6dp
+    // before use on BOTH engines (pins the ≤1-ulp libm ln drift), and
+    // the same left-to-right 3-term sum.
+    "search_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf0,
+        |         sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf1,
+        |         sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS tf2
+        |  FROM tok GROUP BY doc_id
+        |), gl0 AS (
+        |  SELECT count(*) AS n, sum(dl) AS s,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM perdoc
+        |), gl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf0 > 0 THEN
+        |       round(ln(CAST(2*n + 2 AS DOUBLE) / CAST(2*df0 + 1 AS DOUBLE)), 6)
+        |       * (CAST(22*s*tf0 AS DOUBLE) / CAST(10*s*tf0 + 3*s + 9*n*dl AS DOUBLE))
+        |     ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN tf1 > 0 THEN
+        |       round(ln(CAST(2*n + 2 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)), 6)
+        |       * (CAST(22*s*tf1 AS DOUBLE) / CAST(10*s*tf1 + 3*s + 9*n*dl AS DOUBLE))
+        |     ELSE CAST(0 AS DOUBLE) END
+        |     + CASE WHEN tf2 > 0 THEN
+        |       round(ln(CAST(2*n + 2 AS DOUBLE) / CAST(2*df2 + 1 AS DOUBLE)), 6)
+        |       * (CAST(22*s*tf2 AS DOUBLE) / CAST(10*s*tf2 + 3*s + 9*n*dl AS DOUBLE))
+        |     ELSE CAST(0 AS DOUBLE) END) AS score
+        |  FROM perdoc CROSS JOIN gl0
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+        |            AS BIGINT) AS rnk,
+        |       doc_id, round(score, 6) AS score
+        |FROM gl ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+
+    // mirror of Search.phraseSearch("merge sort"): 1-based positional
+    // posting lists joined on consecutive positions, counts per doc.
+    "search_phrase" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, toks[i] AS tok, i
+        |  FROM base CROSS JOIN LATERAL
+        |    unnest(range(1, len(toks) + 1)) t(i)
+        |)
+        |SELECT a.doc_id, count(*) AS n_matches
+        |FROM pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |WHERE a.tok = 'merge' AND b.tok = 'sort'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
@@ -196,6 +255,38 @@ object OraclesLlm {
         |)
         |SELECT a, b, shared FROM p WHERE shared >= 2 ORDER BY a, b""".stripMargin,
 
+    // end-to-end mirror of Dedup.spanDupStatsPortable over the same
+    // plantSpanDups corpus as dedup_substring_mod: identical planted
+    // docs, k-gram stream, 0-mod-16 sampling and per-doc distinct,
+    // then per-hash corpus counts (NO cap — hot fingerprints ARE the
+    // signal) and the per-doc duplicated-span fraction.
+    "text_spandup_mod" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           || substr(text, 1, 240) || ' '
+        |           || repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT AS h
+        |  FROM aug CROSS JOIN LATERAL
+        |    unnest(range(1, greatest(len(text) - 15, 0) + 1)) t(i)
+        |  WHERE len(text) >= 16
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, h FROM g WHERE h % 16 = 0
+        |), cnt AS (
+        |  SELECT h, count(*) AS hc FROM sel GROUP BY h
+        |)
+        |SELECT sel.doc_id, count(*) AS n_fps,
+        |       round(CAST(sum(CASE WHEN cnt.hc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_fraction
+        |FROM sel JOIN cnt ON sel.h = cnt.h
+        |GROUP BY sel.doc_id ORDER BY sel.doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
@@ -265,6 +356,57 @@ object OraclesLlm {
         |  FROM embeddings x, embeddings y WHERE x.vec_id < y.vec_id
         |)
         |SELECT a, b, cos FROM c WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+
+    // end-to-end mirror of Similarity.lshCosinePairsPortable over
+    // plantNearDupsPortable: the aug CTE re-derives the planted
+    // near-dups (±0.03 jitter by md5("(vec_id+1000000):dim") parity,
+    // float-cast like the Spark side), the pl/sb CTEs re-derive the
+    // 64 md5-parity hyperplanes and 64 sign bits per vector via the
+    // order-preserving double fold, then width-8 band buckets, the
+    // 10000-bucket cap (QUALIFY — mirroring Skew.dropHotKeys), the
+    // bucket self-join and the exact-cosine ≥ 0.8 verify.
+    "dedup_embedding_banded" ->
+      s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(1, 65), i -> CAST(
+        |           CAST(embedding[i] AS DOUBLE) +
+        |           CASE WHEN ('0x' || substr(md5(CAST(vec_id + 1000000 AS VARCHAR)
+        |                        || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |                THEN 0.03 ELSE -0.03 END AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), pl AS (
+        |  SELECT b.b AS bit,
+        |         list(CASE WHEN ('0x' || substr(md5(b.b::VARCHAR || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+        |              ORDER BY i.i) AS ps
+        |  FROM range(0, 64) b(b) CROSS JOIN range(1, 65) i(i)
+        |  GROUP BY b.b
+        |), sb AS (
+        |  SELECT e.vec_id, pl.bit,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.ps[i])) >= 0
+        |              THEN 1 ELSE 0 END AS bit_on
+        |  FROM aug e CROSS JOIN pl
+        |), cb AS (
+        |  SELECT vec_id, bit // 8 AS bd,
+        |         CAST(sum(bit_on << (bit % 8)) AS BIGINT) AS bucket
+        |  FROM sb GROUP BY vec_id, bit // 8
+        |), capped AS (
+        |  SELECT vec_id, bd, bucket FROM cb
+        |  QUALIFY count(*) OVER (PARTITION BY bd, bucket) <= 10000
+        |), pairs AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM capped x JOIN capped y
+        |    ON x.bd = y.bd AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |)
+        |SELECT p.a, p.b, round(${cos("ea.embedding", "eb.embedding")}, 6) AS cos
+        |FROM pairs p
+        |JOIN aug ea ON ea.vec_id = p.a
+        |JOIN aug eb ON eb.vec_id = p.b
+        |WHERE round(${cos("ea.embedding", "eb.embedding")}, 6) >= 0.8
+        |ORDER BY a, b""".stripMargin,
 
     // end-to-end mirror of Similarity.lshTopKPortable: the ±1
     // hyperplanes are RE-DERIVED here from DuckDB's own md5 (parity

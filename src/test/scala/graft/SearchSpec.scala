@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Search
+
+/** Hand-computed fixtures for the retrieval operators (§2c.40/40b) and
+  * the funnel/retention analytics rows (§2b.22n/22o get their exactness
+  * from the DuckDB oracle; here the semantics are pinned on fixtures a
+  * human can verify by eye).
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: tf saturation, idf ordering, dl normalization by hand") {
+    // corpus: 4 docs. N=4, S=2+2+2+6=12, avgdl=3.
+    val docs = Seq(
+      (1L, "cat dog"),   // tf(cat)=1, dl=2
+      (2L, "cat cat"),   // tf(cat)=2, dl=2
+      (3L, "dog dog"),   // cat absent
+      (4L, "cat mouse mouse mouse mouse mouse") // tf=1 but dl=6
+    ).toDF("doc_id", "text")
+    val r = Search.bm25TopK(docs, col("text"), col("doc_id"), Seq("cat"), 4)
+      .collect().map(x => (x.getLong(1), x.getDouble(2))).toMap
+
+    // df(cat)=3; idf = round(ln((2*4+2)/(2*3+1)), 6) = round(ln(10/7), 6)
+    val idf = BigDecimal(math.log(10.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def tfsat(tf: Long, dl: Long): Double =
+      (22.0 * 12 * tf) / (10.0 * 12 * tf + 3 * 12 + 9 * 4 * dl)
+    def exp(tf: Long, dl: Long): Double =
+      BigDecimal(idf * tfsat(tf, dl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(r(1L) === exp(1, 2))
+    assert(r(2L) === exp(2, 2))
+    assert(r(4L) === exp(1, 6))
+    assert(r(3L) === 0.0)
+    // semantics: doubled tf scores higher but sub-2x (saturation);
+    // same tf in a longer doc scores lower (length normalization)
+    assert(r(2L) > r(1L) && r(2L) < 2 * r(1L))
+    assert(r(4L) < r(1L))
+  }
+
+  test("bm25: multi-term sum is fixed-order and absent terms contribute 0") {
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat dog fish")).toDF("doc_id", "text")
+    val both = Search.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("cat", "fish"), 2).collect().map(x => (x.getLong(1), x.getDouble(2))).toMap
+    val catOnly = Search.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("cat"), 2).collect().map(x => (x.getLong(1), x.getDouble(2))).toMap
+    // doc 1 has no 'fish': its two-term score equals its cat-only score
+    assert(math.abs(both(1L) - catOnly(1L)) < 2e-6)
+    assert(both(2L) > catOnly(2L))
+  }
+
+  test("phrase search: consecutive positions only, with counts") {
+    val docs = Seq(
+      (1L, "merge sort is merge sort"), // 2 matches
+      (2L, "sort merge"),               // reversed — no match
+      (3L, "merge fast sort"),          // gap — no match
+      (4L, "a merge sort b")            // 1 match
+    ).toDF("doc_id", "text")
+    val r = Search.phraseSearch(docs, col("text"), col("doc_id"), "merge sort")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("phrase search: 3-word phrases and overlapping self-matches") {
+    val docs = Seq(
+      (1L, "go go go go"),   // "go go go" matches at pos 0,1 → 2
+      (2L, "go go stop go")
+    ).toDF("doc_id", "text")
+    val r = Search.phraseSearch(docs, col("text"), col("doc_id"), "go go go")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 2L))
+  }
+
+  test("funnel window chain equals the three-join spelling on a fixture") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 completes; u2 clicks before viewing (click must not count);
+    // u3 views only; u4 purchases before clicking (no stage 3)
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "click"),
+      (3L, ts(1), "view"),
+      (4L, ts(1), "view"), (4L, ts(2), "purchase"), (4L, ts(3), "click")
+    ).toDF("user_id", "ts", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("event_id", col("user_id"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val perUser = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      .select("user_id", "t1", "t2", "t3").distinct()
+      .collect().map(r => (r.getLong(0), (r.get(1) != null, r.get(2) != null, r.get(3) != null))).toMap
+    assert(perUser(1L) === ((true, true, true)))
+    assert(perUser(2L) === ((true, true, false)))
+    assert(perUser(3L) === ((true, false, false)))
+    assert(perUser(4L) === ((true, true, false)))
+  }
+}
