@@ -308,4 +308,86 @@ object Curation {
       regexp_replace(
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
+
+  /** Per-stratum TOP-FRACTION quality gate (§2c.37b): keep the best
+    * keepNum/keepDen of each stratum's docs by quality score — the
+    * "keep the top 30% by classifier" curation step, EXACT: the cut
+    * is the integer comparison rnk·keepDen ≤ keepNum·n (no float
+    * percentile), rank ties broken by doc_id. One exchange on the
+    * stratum; both windows (rank + stratum count) share it.
+    *
+    * Scale note: exact per-stratum ranking sorts each stratum — fine
+    * while strata are language/source-sized (bounded count, each
+    * internally parallel via range partitioning of the sort). For a
+    * quantile-threshold variant that never sorts, cut on
+    * approx_percentile (the quantiles_approx sketch path) and accept
+    * an ε-approximate boundary.
+    */
+  def qualityTopPercent(df: DataFrame, text: Column, id: Column,
+                        stratum: Column,
+                        keepNum: Int = 3, keepDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(stratum.as("stratum"), id.as("doc_id"),
+      graft.ops.TextAnalysis.qualityCol(text).as("quality"))
+    val w = Window.partitionBy("stratum")
+      .orderBy(desc_nulls_last("quality"), asc("doc_id"))
+    scored
+      .select(col("stratum"), col("doc_id"), col("quality"),
+        row_number().over(w).cast("long").as("rnk"),
+        count(lit(1)).over(Window.partitionBy("stratum")).as("n"))
+      .where(col("rnk") * keepDen <= lit(keepNum.toLong) * col("n"))
+      .select("stratum", "doc_id", "quality", "rnk")
+      .orderBy("stratum", "rnk")
+  }
+
+  /** DSIR-shaped importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-likelihood ratio between a TARGET slice (`isTarget`, e.g.
+    * lang = 'en') and the whole corpus over HASHED word-bigram
+    * features — the score importance resampling ranks on. Docs whose
+    * bigram distribution looks target-like score > 0.
+    *
+    * EXACT-ARITHMETIC protocol (the search_bm25 discipline): bucket
+    * counts t_b, c_b and totals T, C are exact longs; the smoothed
+    * ratio (t_b+½)/(T+½K) ÷ (c_b+½)/(C+½K) clears to the long
+    * rational (2t+1)(2C+K) / ((2T+K)(2c+1)) — ONE exact-input IEEE
+    * division; its ln is pinned per BUCKET to integer MICRO-units
+    * (round(ln·10⁶) as long), so the per-doc score is an exact long
+    * sum — order-free — divided once by 10⁶ at the end. (Summing raw
+    * per-token doubles would drift cross-engine — the text_bigram_lm
+    * lesson.) Products stay exact while (2T+K)·max(2c+1) < 2⁵³
+    * (~10¹⁵ corpus bigrams); past that, pre-divide the totals on the
+    * driver.
+    *
+    * Plan shape at scale: bigram hashing is map-only; bucket counts
+    * collapse map-side to ≤ nBuckets rows per partition (bounded
+    * alphabet — the text_bpe_pairs posture); the weight table is
+    * nBuckets rows crossJoin-broadcast; the only data-sized shuffle
+    * is the per-doc reassembly groupBy.
+    */
+  def dsirScores(df: DataFrame, text: Column, id: Column,
+                 isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    val toks = split(lower(text), " ")
+    val bg = df.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(graft.functions.TokenOps.wordShingles(toks, 2,
+          distinct = false)).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("b"))
+    val counts = bg.groupBy("b").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+    val tot = counts.agg(sum("c").as("ctot"), sum("t").as("ttot"))
+    val k = lit(nBuckets.toLong)
+    val lw = counts.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(
+        ((lit(2L) * col("t") + 1L) * (lit(2L) * col("ctot") + k)).cast("double") /
+        ((lit(2L) * col("ttot") + k) * (lit(2L) * col("c") + 1L)).cast("double")
+      ) * 1e6, 0).cast("long").as("lw"))
+    bg.join(broadcast(lw), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lw").cast("double") / 1e6, 6).as("logratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -76,6 +76,57 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Shingle-CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): containment(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold —
+    * the asymmetric signal Jaccard structurally dilutes: a short doc
+    * fully contained in a much longer one has Jaccard ≈ |A|/|B| ≈ 0
+    * but containment 1.0 (truncated re-crawls, quote-then-extend
+    * posts, excerpt pages — all invisible to §2c.24 at any
+    * threshold). Same plan as [[ngramJaccard]] verbatim — map-only
+    * per-doc sizes, capped shingle equi-join, inclusion-exclusion-free
+    * numerator — only the final ratio differs; `contained_id` names
+    * the smaller-set doc (ties → a).
+    */
+  def containmentPairs(df: DataFrame, text: Column, id: Column,
+                       w: Int = 3, minContainment: Double = 0.9,
+                       maxShingleFreq: Long = 1000L): DataFrame = {
+    val toks = split(lower(text), " ")
+    val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
+    val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
+    val capped = Skew.dropHotKeys(
+      shingles(df, text, id, w), Seq("shingle"), maxShingleFreq)
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .select(col("a"), col("b"),
+        round(col("common").cast("double") / least(col("sza"), col("szb")), 6)
+          .as("containment"),
+        when(col("sza") <= col("szb"), col("a")).otherwise(col("b"))
+          .as("contained_id"))
+      .where(col("containment") >= minContainment)
+      .orderBy("a", "b")
+  }
+
+  /** Deterministically plant CONTAINED docs: for every doc with
+    * `id % every == 0`, append a doc at `id + offset` whose text is
+    * the doc's first `prefixChars` characters — a truncated re-crawl,
+    * the containment-not-Jaccard phenomenon ([[containmentPairs]]).
+    * The cut lands mid-word, so the trailing partial shingles differ
+    * — realistic, and containment stays ≥ ~0.93 for typical docs.
+    */
+  def plantContainedDocs(df: DataFrame, every: Int = 25,
+                         offset: Long = 3000000L,
+                         prefixChars: Int = 200): DataFrame =
+    df.unionByName(
+      df.where(col("doc_id") % every === 0)
+        .withColumn("text", substring(col("text"), 1, prefixChars))
+        .withColumn("doc_id", col("doc_id") + offset))
+
   // ------------------------------------------- duplicated spans (winnowing)
 
   /** Cross-document duplicated-SPAN pairs (winnowing fingerprints —

@@ -287,6 +287,98 @@ object OraclesLlm {
         |FROM sel JOIN cnt ON sel.h = cnt.h
         |GROUP BY sel.doc_id ORDER BY sel.doc_id""".stripMargin,
 
+    // mirror of Dedup.containmentPairs over plantContainedDocs: the
+    // aug CTE re-derives the planted truncated re-crawls (200-char
+    // prefixes at doc_id+3000000), then the ngram_jaccard machinery
+    // verbatim with the asymmetric |A∩B|/min(|A|,|B|) ratio and the
+    // smaller-set doc as contained_id (ties → a).
+    "dedup_containment" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, substr(text, 1, 200) AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM aug
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+        |  FROM base
+        |), capped AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM capped x JOIN capped y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY a, b
+        |)
+        |SELECT a, b,
+        |  round(CAST(common AS DOUBLE) / least(za.sz, zb.sz), 6) AS containment,
+        |  CASE WHEN za.sz <= zb.sz THEN a ELSE b END AS contained_id
+        |FROM pairs p JOIN sz za ON p.a = za.doc_id JOIN sz zb ON p.b = zb.doc_id
+        |WHERE round(CAST(common AS DOUBLE) / least(za.sz, zb.sz), 6) >= 0.9
+        |ORDER BY a, b""".stripMargin,
+
+    // mirror of Curation.qualityTopPercent (per-lang top 30%): the
+    // text_quality score expression verbatim, ranked per language
+    // with the exact integer cut rnk*10 <= 3*n.
+    "sample_quality_top" ->
+      s"""WITH q AS (
+        |  SELECT lang AS stratum, doc_id,
+        |    round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0) * 0.5
+        |          + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |              t -> t IN ($stopEn))) AS DOUBLE)
+        |              / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6)
+        |      AS quality
+        |  FROM documents
+        |), r AS (
+        |  SELECT stratum, doc_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY stratum
+        |           ORDER BY quality DESC NULLS LAST, doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY stratum) AS n
+        |  FROM q
+        |)
+        |SELECT stratum, doc_id, quality, rnk FROM r
+        |WHERE rnk * 10 <= 3 * n ORDER BY stratum, rnk""".stripMargin,
+
+    // mirror of Curation.dsirScores (target = lang 'en', K=1024
+    // hashed-bigram buckets): exact long bucket counts, the cleared
+    // rational (2t+1)(2C+K)/((2T+K)(2c+1)), per-bucket ln pinned to
+    // integer micro-units, exact long per-doc sum, one final divide.
+    "score_importance" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(
+        |      [array_to_string(toks[i:i+1], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 0)+2)]) AS g
+        |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |          FROM documents)
+        |  )
+        |), cnt AS (
+        |  SELECT b, count(*) AS c,
+        |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
+        |  FROM bg GROUP BY b
+        |), tot AS (
+        |  SELECT sum(c) AS ctot, sum(t) AS ttot FROM cnt
+        |), lw AS (
+        |  SELECT b, CAST(round(ln(
+        |      CAST((2*t + 1) * (2*ctot + 1024) AS DOUBLE) /
+        |      CAST((2*ttot + 1024) * (2*c + 1) AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lw
+        |  FROM cnt CROSS JOIN tot
+        |)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(lw.lw) AS DOUBLE) / 1000000, 6) AS logratio
+        |FROM bg JOIN lw ON bg.b = lw.b
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents

@@ -200,4 +200,36 @@ class CurationSpec extends SparkSpec {
     val (n2, h2, r2, c2) = got(2L)
     assert(n2 === 3L && h2 === 0L && r2 === 0.0 && !c2)
   }
+
+  test("qualityTopPercent: exact integer cut per stratum, ties by id") {
+    // stratum A: 10 docs, distinct qualities -> exactly 3 kept (30%);
+    // stratum B: 3 docs -> floor? rnk*10 <= 3*3=9 -> none? rnk=1 -> 10<=9
+    // false -> ZERO kept: the exact cut never rounds up
+    val good = "the and of to a in is that the and" // all stopwords+alpha
+    val docs =
+      (1 to 10).map(i => (i.toLong, ("z " * i) + good, "A")) ++
+      (11 to 13).map(i => (i.toLong, ("z " * i) + good, "B"))
+    val d = docs.toDF("doc_id", "text", "lang")
+    val kept = Curation.qualityTopPercent(d, col("text"), col("doc_id"),
+        col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(kept.count(_._1 == "A") === 3)
+    assert(kept.count(_._1 == "B") === 0)
+    // more z-padding dilutes stopword density -> lowest ids best
+    assert(kept.filter(_._1 == "A").map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("dsirScores: target-only features score positive, anti-target negative") {
+    // target docs (is_t) share bigram vocab "aa bb"; non-target "cc dd".
+    // a doc made of target-typical bigrams must outscore one of
+    // corpus-but-not-target bigrams.
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "aa bb aa bb aa bb", true)) ++
+      (21 to 40).map(i => (i.toLong, "cc dd cc dd cc dd", false))
+    ).toDF("doc_id", "text", "is_t")
+    val r = Curation.dsirScores(docs, col("text"), col("doc_id"), col("is_t"))
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toMap
+    assert(r(1L) > 0.0 && r(21L) < 0.0)
+    assert(math.abs(r(1L) - r(20L)) < 1e-9) // identical text, identical score
+  }
 }

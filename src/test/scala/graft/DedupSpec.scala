@@ -216,6 +216,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("native") > 0).count() > 0) // non-degenerate
   }
 
+  test("containment catches short-inside-long pairs Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ") // pure prefix
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val d = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, col("text"), col("doc_id"),
+        minContainment = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    // prefix shingles are a strict subset → containment exactly 1.0,
+    // and the CONTAINED doc is the short one
+    assert(cont === Map((1L, 2L) -> ((1.0, 2L))))
+    // the same pair is invisible to Jaccard at θ=0.5: 10/58 ≈ 0.17
+    val jac = Dedup.ngramJaccard(d, col("text"), col("doc_id"))
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("simhash is deterministic and groups exact dups") {
     val a = Dedup.simhash(docs, col("text"), col("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
