@@ -168,6 +168,40 @@ object TextAnalysis {
     *    ~|tokens| rows, the same scale class as the shingle family.
     * Docs with fewer than 2 tokens have no bigrams: frac 0.
     */
+  /** Per-doc token SHANNON ENTROPY (nats) — the information-density
+    * quality signal beside [[repetition]]'s duplicate-fraction: spam
+    * and boilerplate have low entropy (few tokens dominate), natural
+    * prose sits near ln(n_distinct). Computed as
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over the doc's token histogram.
+    *
+    * EXACT-ARITHMETIC protocol (the score_importance discipline):
+    * counts cᵢ and n are exact longs; every ln is of an INTEGER and
+    * pinned to micro-units (round(ln·10⁶) as long), so the numerator
+    * n·lnμ(n) − Σ cᵢ·lnμ(cᵢ) is an exact long sum — order-free — and
+    * ONE final division by n·10⁶ makes the double. Hash-oracles
+    * cross-engine where raw −Σ p·ln p would drift.
+    *
+    * Plan: explode → (doc,token) count → per-doc aggregate; two
+    * shuffles on the uniform doc_id key (the [[repetition]] scale
+    * class), both map-side combined.
+    */
+  def tokenEntropy(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = split(lower(text), " ")
+    val tok = df.where(text.isNotNull)
+      .select(id.as("doc_id"), explode(toks).as("tok"))
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * lnMicro(col("c"))).as("sum_clnc"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round((col("n") * lnMicro(col("n")) - col("sum_clnc")).cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   def repetition(df: DataFrame, text: Column, id: Column): DataFrame = {
     val toks = tokensOf(text)
     val nTok = size(toks)

@@ -790,6 +790,28 @@ object OraclesLlm {
         |            / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.tokenEntropy: exact-long token counts,
+    // integer micro-ln weights, one final division.
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        |), agg AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n,
+        |         count(*) AS n_distinct,
+        |         CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0)
+        |                           AS BIGINT)) AS BIGINT) AS sum_clnc
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n, n_distinct,
+        |  round(CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |             - sum_clnc AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * 1000000), 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id,

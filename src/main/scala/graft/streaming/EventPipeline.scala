@@ -296,6 +296,54 @@ object EventPipeline {
     }.toDF("part", "doc_id", "ntok", "tok_start", "start_chunk", "end_chunk")
   }
 
+  /** streaming funnel progression — the streaming face of
+    * `events_funnel` (§2b.22n): per-user view → click-after-view →
+    * purchase-after-click stage tracking over a live event stream.
+    * Window chains cannot run in streaming (the stage times must
+    * survive micro-batches), so this is the third genuinely STATEFUL
+    * face beside shard/chunk packing: three longs of state per user
+    * (the stage timestamps, −1 = unreached), `flatMapGroupsWithState`
+    * emitting one row per stage ADVANCEMENT — the append-mode event a
+    * live funnel dashboard consumes.
+    *
+    * Semantics match the batch window chain when events arrive in ts
+    * order (the shardStream contract: micro-batch groups are sorted,
+    * cross-batch order is the stream's responsibility): the batch
+    * t2 = min click strictly after t1 is exactly the first qualifying
+    * click seen in order, and so on. Null/uncastable user ids are
+    * dropped (stated, not crashed into — the typed state key decodes
+    * non-nullable), matching the packing faces.
+    */
+  def funnelStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").try_cast("long").isNotNull)
+      .select(col("user_id").try_cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        col("event_type").cast("string").as("et"))
+      .where(col("tsu").isNotNull)
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, et) =>
+            if (t1 < 0 && et == "view") { t1 = ts; out += ((user, 1, ts)) }
+            else if (t1 >= 0 && t2 < 0 && et == "click" && ts > t1) {
+              t2 = ts; out += ((user, 2, ts))
+            } else if (t2 >= 0 && t3 < 0 && et == "purchase" && ts > t2) {
+              t3 = ts; out += ((user, 3, ts))
+            }
+          }
+          state.update((t1, t2, t3))
+          out.iterator
+        })
+      .toDF("user_id", "stage", "ts_micros")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

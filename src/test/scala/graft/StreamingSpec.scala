@@ -478,4 +478,54 @@ class StreamingSpec extends SparkSpec {
 
     assert(sw === lagBased)
   }
+
+  test("stateful streaming funnel matches the batch window chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 completes ACROSS the batch break (purchase arrives later);
+    // u2's click precedes its view (must not count); u3 views only;
+    // u4 purchases before clicking (stage 3 unreachable)
+    val batch1 = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(1), "view"),
+      (4L, ts(1), "view"), (4L, ts(2), "purchase"))
+    val batch2 = Seq(
+      (1L, ts(3), "purchase"),
+      (2L, ts(3), "click"),
+      (4L, ts(3), "click"))
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val events = stream.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventPipeline.funnelStream(events)
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val maxStage = spark.table("sfunnel")
+        .groupBy("user_id").agg(max("stage").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      // batch twin: the window-chain funnel over the full event set
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val batchStages = (batch1 ++ batch2).toDF("user_id", "ts", "event_type")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+        .select("user_id", "t1", "t2", "t3").distinct()
+        .collect().map(r => r.getLong(0) ->
+          (if (r.get(3) != null) 3 else if (r.get(2) != null) 2
+           else if (r.get(1) != null) 1 else 0)).toMap
+
+      assert(maxStage === batchStages.filter(_._2 > 0))
+      // the cross-batch boundary did its job: u1's purchase in batch 2
+      // advanced the state built in batch 1
+      assert(maxStage(1L) === 3)
+    } finally q.stop()
+  }
 }

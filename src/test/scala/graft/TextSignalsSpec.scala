@@ -81,4 +81,21 @@ class TextSignalsSpec extends SparkSpec {
     assert(got(0L) === (("0,1,0,2", 4L, 0L)))
     assert(got(1L) === (("1,0,-1", 3L, 1L)))
   }
+
+  test("token entropy: uniform = ln(k), repetition collapses it") {
+    val docs = Seq(
+      (0L, "a b c d"),        // uniform over 4 -> ln(4)
+      (1L, "a a a a"),        // one token -> 0
+      (2L, "a a a b")         // skewed -> strictly between
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // micro-ln protocol: H(uniform 4) = (4·lnμ4 − 4·lnμ1)/(4·10⁶)
+    val lnu4 = math.round(math.log(4.0) * 1e6)
+    assert(got(0L) === r6(4.0 * lnu4 / (4.0 * 1e6)))
+    assert(got(1L) === 0.0)
+    assert(got(2L) > 0.0 && got(2L) < got(0L))
+  }
 }
