@@ -392,6 +392,53 @@ object Analytics {
         .orderBy("stage")
     }),
 
+    // §2b.22p — top event PATHS: the 20 most common consecutive
+    // 3-step event sequences (per-user lead-window chains over the
+    // one user_id exchange), count + distinct-user support per path.
+    // Deterministic top-k: (n DESC, path ASC) with the exact integer
+    // tie-break; TakeOrderedAndProject, no global sort.
+    "events_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"),
+          lead("event_type", 1).over(w).as("e2"),
+          lead("event_type", 2).over(w).as("e3"))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy(desc("n"), asc("path"))
+        .limit(20)
+    }),
+
+    // §2b.22q — hourly volume anomaly scores: per (hour, event_type)
+    // event counts z-scored against that event_type's hourly mean and
+    // population stddev. EXACT-ARITHMETIC: counts/sums are longs, the
+    // variance clears to the long rational (H·Σc²−(Σc)²)/H², and
+    // sqrt/divisions are exactly-rounded IEEE ops — no libm-drift
+    // surface at all (unlike ln), so the z-scores hash-oracle with
+    // one final 6dp rounding. Two grouped passes + a broadcast join
+    // on the tiny per-type stats row.
+    "events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("h"), sum("n").as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+      hourly.join(broadcast(stats), "event_type")
+        .select(col("hour"), col("event_type"), col("n"),
+          round(
+            (col("n").cast("double") - col("sn").cast("double") / col("h")) /
+            sqrt((col("h") * col("snn") - col("sn") * col("sn")).cast("double") /
+              (col("h") * col("h")).cast("double")), 6).as("z"))
+        .where(abs(col("z")) >= 2.0)
+        .orderBy("hour", "event_type")
+    }),
+
     // §2b.22o — cohort retention: users grouped by first-seen day,
     // distinct-user counts per (cohort_day, day offset). One groupBy
     // for the cohort map (user_id — natural key), joined back

@@ -544,6 +544,38 @@ object Oracles {
         |  UNION ALL SELECT '3_purchase', p, v FROM c
         |) ORDER BY stage""".stripMargin,
 
+    // mirror of events_paths: per-user lead chains, top-20 by
+    // (n DESC, path ASC)
+    "events_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n,
+        |       count(DISTINCT user_id) AS users
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // mirror of events_anomaly: exact-long hourly counts, variance as
+    // the cleared rational (H·Σn²−(Σn)²)/H², exactly-rounded IEEE
+    // sqrt/divides, 6dp rounding — filter on the ROUNDED z both sides
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, count(*) AS h, sum(n) AS sn, sum(n*n) AS snn
+        |  FROM hourly GROUP BY event_type
+        |), z AS (
+        |  SELECT hour, ho.event_type AS event_type, n,
+        |    round((CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / h) /
+        |          sqrt(CAST(h*snn - sn*sn AS DOUBLE) / CAST(h*h AS DOUBLE)), 6) AS z
+        |  FROM hourly ho JOIN stats st ON ho.event_type = st.event_type
+        |)
+        |SELECT * FROM z WHERE abs(z) >= 2.0 ORDER BY hour, event_type""".stripMargin,
+
     // mirror of events_retention: first-seen-day cohorts × day offset
     "events_retention" ->
       """WITH e AS (
