@@ -84,6 +84,86 @@ object Search {
       .orderBy("rnk")
   }
 
+  /** The persisted BM25 POSTINGS artifact — the reference's
+    * build-once / query-many index lifecycle (Dfs.scala:489-554)
+    * applied to retrieval: one (tok, doc_id, tf, dl) row per posting,
+    * range-clustered on tok so parquet min/max stats prune a term's
+    * postings to the files that hold them. Built once per corpus
+    * snapshot (pair with [[graft.core.Artifacts.haveParquet]] and a
+    * snapshot-keyed dir); dl rides denormalized so scoring never
+    * rejoins a doc-stats table.
+    */
+  def bm25Postings(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = split(lower(text), " ")
+    docs.where(text.isNotNull)
+      .select(id.as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok", "doc_id")
+  }
+
+  /** The 1-row corpus totals beside [[bm25Postings]]: N (docs) and
+    * S (token occurrences) — the only global state BM25 needs.
+    */
+  def bm25Totals(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = split(lower(text), " ")
+    docs.where(text.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(size(toks).cast("long")).as("s"))
+  }
+
+  /** BM25 top-k SERVED FROM THE PERSISTED INDEX — the steady-state
+    * query plan of a real inverted index: read ONLY the query terms'
+    * postings (the `tok IN (...)` predicate pushes into the pruned
+    * postings scan — never the corpus), derive each term's df from
+    * the loaded postings (a tiny grouped count, broadcast back), and
+    * score candidate docs with the SAME exact-arithmetic formula as
+    * [[bm25TopK]] — same oracle, hash-identical results.
+    *
+    * Equivalence contract: docs containing no query term score
+    * exactly 0 under [[bm25TopK]] and idf > 0 always (df ≤ N ⇒ the
+    * ln argument > 1), so the two spellings agree whenever ≥ k docs
+    * contain at least one term; with fewer, only the zero-score
+    * doc_id-order tail differs — query terms that rare should route
+    * to [[phraseSearch]]-style existence anyway. The per-doc sum is
+    * the same FIXED left-to-right term order (conditional max per
+    * term, coalesce to 0), so the cross-engine determinism argument
+    * is unchanged.
+    */
+  def bm25TopKIndexed(postings: DataFrame, totals: DataFrame,
+                      terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "1-8 query terms")
+    val p = postings.where(col("tok").isin(terms: _*))
+    val dfs = p.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = p.join(broadcast(dfs), "tok").crossJoin(broadcast(totals))
+    def termScore: Column = {
+      val idf6 = round(
+        log((lit(2L) * col("n") + 2L).cast("double") /
+          (lit(2L) * col("df") + 1L).cast("double")), 6)
+      val num = (lit(22L) * col("s") * col("tf")).cast("double")
+      val den = (lit(10L) * col("s") * col("tf") +
+        lit(3L) * col("s") + lit(9L) * col("n") * col("dl")).cast("double")
+      idf6 * (num / den)
+    }
+    val perTermAggs = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("tok") === t, termScore)).as(s"s$i")
+    }
+    val perDoc = scored.groupBy("doc_id")
+      .agg(perTermAggs.head, perTermAggs.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0))).reduceLeft(_ + _)
+    val top = perDoc
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    import org.apache.spark.sql.expressions.Window
+    top.select(col("doc_id"), col("score"),
+        row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))).cast("long").as("rnk"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy("rnk")
+  }
+
   /** Exact phrase search over the POSITIONAL token index: docs where
     * `phrase`'s tokens occur consecutively, with the match count — the
     * reference's token index (token → rows bitmap) extended with the

@@ -17,13 +17,14 @@ object OraclesLlm {
 
   private val stopEn = "'the','and','of','to','a','in','is','that'"
 
-  val all: Map[String, String] = Map(
-    // mirror of Search.bm25TopK (terms spark/merge/window, k=10):
-    // identical exact-long tf/dl/N/S/df, the SAME cleared-rational
-    // tf-saturation 22·S·tf/(10·S·tf+3·S+9·N·dl), idf rounded to 6dp
-    // before use on BOTH engines (pins the ≤1-ulp libm ln drift), and
-    // the same left-to-right 3-term sum.
-    "search_bm25" ->
+  // mirror of Search.bm25TopK (terms spark/merge/window, k=10):
+  // identical exact-long tf/dl/N/S/df, the SAME cleared-rational
+  // tf-saturation 22·S·tf/(10·S·tf+3·S+9·N·dl), idf rounded to 6dp
+  // before use on BOTH engines (pins the ≤1-ulp libm ln drift), and
+  // the same left-to-right 3-term sum. Shared verbatim by
+  // search_bm25_indexed — the persisted-postings spelling must be
+  // hash-IDENTICAL to the from-scratch one.
+  private val bm25Sql =
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         |  FROM documents WHERE text IS NOT NULL
@@ -58,7 +59,14 @@ object OraclesLlm {
         |SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
         |            AS BIGINT) AS rnk,
         |       doc_id, round(score, 6) AS score
-        |FROM gl ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin,
+        |FROM gl ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "search_bm25" -> bm25Sql,
+    // the persisted-postings spelling serves the IDENTICAL result —
+    // same mirror, so any drift between the from-scratch and indexed
+    // plans is a hash mismatch
+    "search_bm25_indexed" -> bm25Sql,
 
     // mirror of Search.phraseSearch("merge sort"): 1-based positional
     // posting lists joined on consecutive positions, counts per doc.

@@ -52,6 +52,40 @@ class SearchSpec extends SparkSpec {
     assert(both(2L) > catOnly(2L))
   }
 
+  test("indexed bm25 serves from postings only and matches from-scratch") {
+    val docs = Seq(
+      (1L, "cat dog bird"), (2L, "cat cat dog"), (3L, "dog dog dog"),
+      (4L, "cat mouse mouse mouse"), (5L, "bird bird cat dog cat")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    Search.bm25Postings(docs, col("text"), col("doc_id"))
+      .write.parquet(s"$dir/postings")
+    Search.bm25Totals(docs, col("text"), col("doc_id"))
+      .write.parquet(s"$dir/totals")
+    val post = spark.read.parquet(s"$dir/postings")
+    val tot = spark.read.parquet(s"$dir/totals")
+    val served = Search.bm25TopKIndexed(post, tot, Seq("cat", "dog"), 5)
+    // steady-state plan never touches the corpus: every relation the
+    // optimized plan reads is rooted under the artifact dirs (the
+    // rowsOf index-only contract applied to retrieval; the physical
+    // leaves hide behind AdaptiveSparkPlanExec, so assert on the
+    // optimized logical plan's relations)
+    val roots = served.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains(dir)), roots)
+    // and the result is hash-identical to the from-scratch spelling
+    val scratch = Search.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq("cat", "dog"), 5)
+    assert(served.collect().map(_.toSeq).toSeq ===
+      scratch.collect().map(_.toSeq).toSeq)
+  }
+
   test("phrase search: consecutive positions only, with counts") {
     val docs = Seq(
       (1L, "merge sort is merge sort"), // 2 matches
