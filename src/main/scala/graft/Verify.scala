@@ -25,7 +25,15 @@ object Verify {
     // driver's full run — oracle_sql.json is filtered in lockstep so
     // tools/selfcheck.py compares exactly the dumped subset
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd subset name would otherwise run ZERO queries and exit
+    // 0 — a false-green verification; unknown names fail loudly
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.mkString(", ")}")
+    }
     def included(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => included(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

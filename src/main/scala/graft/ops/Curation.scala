@@ -329,6 +329,10 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val scored = df.select(stratum.as("stratum"), id.as("doc_id"),
       graft.ops.TextAnalysis.qualityCol(text).as("quality"))
+      // unscorable docs (empty text → null ratios) are not "top
+      // quality": without this, a stratum that is mostly unscorable
+      // would pass nulls through the rank cut as keepers
+      .where(col("quality").isNotNull)
     val w = Window.partitionBy("stratum")
       .orderBy(desc_nulls_last("quality"), asc("doc_id"))
     scored

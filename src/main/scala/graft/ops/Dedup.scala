@@ -44,21 +44,27 @@ object Dedup {
     * by k docs creates k² pair rows; stop-shingles are dropped the
     * same way stop-words are in search engines).
     */
-  def ngramJaccard(df: DataFrame, text: Column, id: Column,
-                   w: Int = 3, minJaccard: Double = 0.5,
-                   maxShingleFreq: Long = 1000L): DataFrame = {
-    // per-doc distinct-shingle count computed MAP-ONLY from the source
-    // (size of the distinct shingle array) — no explode, no shuffle,
-    // no shared subtree to cache
+  /** shared machinery behind [[ngramJaccard]] and [[containmentPairs]]
+    * — ONE definition of the per-doc sizes, the stop-shingle cap and
+    * the pair-count join, so the two resemblance measures can never
+    * diverge in cap or join shape:
+    *  - per-doc distinct-shingle count computed MAP-ONLY from the
+    *    source (size of the distinct shingle array) — no explode, no
+    *    shuffle, no shared subtree to cache;
+    *  - stop-shingle cap via [[Skew.dropHotKeys]] (exchange default:
+    *    one shuffle of the shingle stream feeds both the over-cap
+    *    count and the anti-join probe; grouped/window are the conf
+    *    alternatives — see Skew's tradeoff note). A mega-hot
+    *    boilerplate shingle streams through a hash-agg entry instead
+    *    of external-sorting in one window partition.
+    * Returns (pairs(a, b, common), sizes(doc_id, sz)).
+    */
+  private def shinglePairCounts(df: DataFrame, text: Column, id: Column,
+                                w: Int, maxShingleFreq: Long)
+      : (DataFrame, DataFrame) = {
     val toks = split(lower(text), " ")
     val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
     val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
-    // stop-shingle cap via [[Skew.dropHotKeys]] (exchange default:
-    // one shuffle of the shingle stream feeds both the over-cap
-    // count and the anti-join probe; grouped/window are the conf
-    // alternatives — see Skew's tradeoff note). A mega-hot
-    // boilerplate shingle streams through a hash-agg entry instead
-    // of external-sorting in one window partition.
     val capped = Skew.dropHotKeys(
       shingles(df, text, id, w), Seq("shingle"), maxShingleFreq)
     val pairs = capped.as("x").join(capped.as("y"),
@@ -66,6 +72,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
+    (pairs, sizes)
+  }
+
+  def ngramJaccard(df: DataFrame, text: Column, id: Column,
+                   w: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleFreq: Long = 1000L): DataFrame = {
+    val (pairs, sizes) = shinglePairCounts(df, text, id, w, maxShingleFreq)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
@@ -90,16 +103,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, text: Column, id: Column,
                        w: Int = 3, minContainment: Double = 0.9,
                        maxShingleFreq: Long = 1000L): DataFrame = {
-    val toks = split(lower(text), " ")
-    val shArr = graft.functions.TokenOps.wordShingles(toks, w, distinct = true)
-    val sizes = df.select(id.as("doc_id"), size(shArr).cast("long").as("sz"))
-    val capped = Skew.dropHotKeys(
-      shingles(df, text, id, w), Seq("shingle"), maxShingleFreq)
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
+    val (pairs, sizes) = shinglePairCounts(df, text, id, w, maxShingleFreq)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")

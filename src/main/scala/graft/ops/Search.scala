@@ -15,6 +15,52 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** idf = ln((2N+2)/(2df+1)) rounded to 6dp (pins the ≤1-ulp libm ln
+    * drift; the argument is an exact rational of longs). Always > 0:
+    * df ≤ N makes the argument > 1.
+    */
+  private def idf6(n: Column, dfC: Column): Column =
+    round(log((lit(2L) * n + 2L).cast("double") /
+      (lit(2L) * dfC + 1L).cast("double")), 6)
+
+  /** tf-saturation cleared of its doubles: 22·S·tf/(10·S·tf+3·S+9·N·dl)
+    * — one IEEE division of exactly-computed longs.
+    */
+  private def tfSat(tf: Column, dl: Column, n: Column, s: Column): Column = {
+    val num = (lit(22L) * s * tf).cast("double")
+    val den = (lit(10L) * s * tf + lit(3L) * s +
+      lit(9L) * n * dl).cast("double")
+    num / den
+  }
+
+  /** ONE definition of the per-term BM25 score, shared by the
+    * from-scratch and indexed spellings — they are documented
+    * hash-identical under a shared oracle, so the formula must be
+    * impossible to fix in one and not the other.
+    */
+  private def bm25TermScore(tf: Column, dl: Column, n: Column, s: Column,
+                            dfC: Column): Column =
+    idf6(n, dfC) * tfSat(tf, dl, n, s)
+
+  /** shared rank/limit suffix: keep POSITIVE rounded scores only (a
+    * doc containing no query term scores exactly 0 — and only docs
+    * containing a term can appear at all in the index-served
+    * spelling, so the positive filter is what makes the two
+    * spellings agree for EVERY corpus/term combination, not just
+    * when ≥ k docs match), top-k by (score DESC, doc_id), ranked.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = scored.where(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    top.select(col("doc_id"), col("score"),
+        row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))).cast("long").as("rnk"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy("rnk")
+  }
+
   /** BM25 top-k (Robertson k1=1.2, b=0.75) for a fixed bag of query
     * terms, EXACT-ARITHMETIC so it hash-oracles cross-engine:
     *
@@ -60,28 +106,13 @@ object Search {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val glob = perDoc.agg(globAggs.head, globAggs.tail: _*)
     val scored = perDoc.crossJoin(broadcast(glob))
-    // idf rounded to 6dp (see scaladoc); tf-saturation exact-rational
-    def termScore(i: Int): Column = {
-      val idf6 = round(
-        log((lit(2L) * col("n") + 2L).cast("double") /
-          (lit(2L) * col(s"df$i") + 1L).cast("double")), 6)
-      val num = (lit(22L) * col("s") * col(s"tf$i")).cast("double")
-      val den = (lit(10L) * col("s") * col(s"tf$i") +
-        lit(3L) * col("s") + lit(9L) * col("n") * col("dl")).cast("double")
-      when(col(s"tf$i") > 0, idf6 * (num / den)).otherwise(lit(0.0))
-    }
+    // shared formula (bm25TermScore); absent terms contribute exact 0
+    def termScore(i: Int): Column =
+      when(col(s"tf$i") > 0,
+        bm25TermScore(col(s"tf$i"), col("dl"), col("n"), col("s"),
+          col(s"df$i"))).otherwise(lit(0.0))
     val score = terms.indices.map(termScore).reduceLeft(_ + _)
-    val top = scored
-      .select(col("doc_id"), round(score, 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
-    // rank the k survivors (k rows — the window is trivially bounded)
-    import org.apache.spark.sql.expressions.Window
-    top.select(col("doc_id"), col("score"),
-        row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))).cast("long").as("rnk"))
-      .select(col("rnk"), col("doc_id"), col("score"))
-      .orderBy("rnk")
+    rankTopK(scored.select(col("doc_id"), round(score, 6).as("score")), k)
   }
 
   /** The persisted BM25 POSTINGS artifact — the reference's
@@ -120,15 +151,15 @@ object Search {
     * score candidate docs with the SAME exact-arithmetic formula as
     * [[bm25TopK]] — same oracle, hash-identical results.
     *
-    * Equivalence contract: docs containing no query term score
-    * exactly 0 under [[bm25TopK]] and idf > 0 always (df ≤ N ⇒ the
-    * ln argument > 1), so the two spellings agree whenever ≥ k docs
-    * contain at least one term; with fewer, only the zero-score
-    * doc_id-order tail differs — query terms that rare should route
-    * to [[phraseSearch]]-style existence anyway. The per-doc sum is
-    * the same FIXED left-to-right term order (conditional max per
-    * term, coalesce to 0), so the cross-engine determinism argument
-    * is unchanged.
+    * Equivalence contract: both spellings keep only POSITIVE rounded
+    * scores (the [[rankTopK]] suffix). A doc containing no query term
+    * scores exactly 0 under [[bm25TopK]] and cannot appear here at
+    * all, and idf > 0 always (df ≤ N ⇒ the ln argument > 1), so the
+    * two result sets are identical for EVERY corpus/term combination
+    * — including queries where fewer than k docs match. The per-doc
+    * sum is the same FIXED left-to-right term order (conditional max
+    * per term, coalesce to 0), so the cross-engine determinism
+    * argument is unchanged.
     */
   def bm25TopKIndexed(postings: DataFrame, totals: DataFrame,
                       terms: Seq[String], k: Int = 10): DataFrame = {
@@ -136,32 +167,16 @@ object Search {
     val p = postings.where(col("tok").isin(terms: _*))
     val dfs = p.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = p.join(broadcast(dfs), "tok").crossJoin(broadcast(totals))
-    def termScore: Column = {
-      val idf6 = round(
-        log((lit(2L) * col("n") + 2L).cast("double") /
-          (lit(2L) * col("df") + 1L).cast("double")), 6)
-      val num = (lit(22L) * col("s") * col("tf")).cast("double")
-      val den = (lit(10L) * col("s") * col("tf") +
-        lit(3L) * col("s") + lit(9L) * col("n") * col("dl")).cast("double")
-      idf6 * (num / den)
-    }
     val perTermAggs = terms.zipWithIndex.map { case (t, i) =>
-      max(when(col("tok") === t, termScore)).as(s"s$i")
+      max(when(col("tok") === t,
+        bm25TermScore(col("tf"), col("dl"), col("n"), col("s"),
+          col("df")))).as(s"s$i")
     }
     val perDoc = scored.groupBy("doc_id")
       .agg(perTermAggs.head, perTermAggs.tail: _*)
     val score = terms.indices
       .map(i => coalesce(col(s"s$i"), lit(0.0))).reduceLeft(_ + _)
-    val top = perDoc
-      .select(col("doc_id"), round(score, 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
-    import org.apache.spark.sql.expressions.Window
-    top.select(col("doc_id"), col("score"),
-        row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))).cast("long").as("rnk"))
-      .select(col("rnk"), col("doc_id"), col("score"))
-      .orderBy("rnk")
+    rankTopK(perDoc.select(col("doc_id"), round(score, 6).as("score")), k)
   }
 
   /** Exact phrase search over the POSITIONAL token index: docs where

@@ -154,20 +154,6 @@ object TextAnalysis {
       best._2.as("score"))
   }
 
-  /** document fingerprint: md5 over the sorted distinct token set
-    * (§2c.33) — order-invariant content identity, the join-key analog
-    * of the reference's index tokens.
-    */
-  /** Repetition quality signals (Gopher-style filters, Rae et al.
-    * 2021 §A1.1: "repetitious documents are low quality"):
-    *  - dup_word_frac: fraction of tokens that are repeats of an
-    *    earlier token — MAP-ONLY (array expressions, no shuffle);
-    *  - top_bigram_frac: frequency share of the most common bigram —
-    *    explode → (doc,bigram) count → per-doc max/sum. Two shuffles
-    *    on the uniform doc_id key; at 100 TB the bigram stream is
-    *    ~|tokens| rows, the same scale class as the shingle family.
-    * Docs with fewer than 2 tokens have no bigrams: frac 0.
-    */
   /** Per-doc token SHANNON ENTROPY (nats) — the information-density
     * quality signal beside [[repetition]]'s duplicate-fraction: spam
     * and boilerplate have low entropy (few tokens dominate), natural
@@ -186,7 +172,7 @@ object TextAnalysis {
     * class), both map-side combined.
     */
   def tokenEntropy(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val toks = split(lower(text), " ")
+    val toks = tokensOf(text)
     val tok = df.where(text.isNotNull)
       .select(id.as("doc_id"), explode(toks).as("tok"))
     def lnMicro(x: Column): Column =
@@ -202,6 +188,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (Gopher-style filters, Rae et al.
+    * 2021 §A1.1: "repetitious documents are low quality"):
+    *  - dup_word_frac: fraction of tokens that are repeats of an
+    *    earlier token — MAP-ONLY (array expressions, no shuffle);
+    *  - top_bigram_frac: frequency share of the most common bigram —
+    *    explode → (doc,bigram) count → per-doc max/sum. Two shuffles
+    *    on the uniform doc_id key; at 100 TB the bigram stream is
+    *    ~|tokens| rows, the same scale class as the shingle family.
+    * Docs with fewer than 2 tokens have no bigrams: frac 0.
+    */
   def repetition(df: DataFrame, text: Column, id: Column): DataFrame = {
     val toks = tokensOf(text)
     val nTok = size(toks)
@@ -279,6 +275,10 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** document fingerprint: md5 over the sorted distinct token set
+    * (§2c.33) — order-invariant content identity, the join-key analog
+    * of the reference's index tokens.
+    */
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(
       id.as("doc_id"),

@@ -430,6 +430,12 @@ object Analytics {
         .agg(count(lit(1)).as("h"), sum("n").as("sn"),
           sum(col("n") * col("n")).as("snn"))
       hourly.join(broadcast(stats), "event_type")
+        // zero-variance guard: an event_type with one bucket or
+        // constant hourly counts has no anomaly signal — without this
+        // the z-score is 0/0 = NaN, which Spark's NaN-greatest
+        // ordering would pass through abs(z) >= 2 while DuckDB's
+        // NULL division would drop it (cross-engine divergence)
+        .where(col("h") * col("snn") > col("sn") * col("sn"))
         .select(col("hour"), col("event_type"), col("n"),
           round(
             (col("n").cast("double") - col("sn").cast("double") / col("h")) /

@@ -573,6 +573,7 @@ object Oracles {
         |    round((CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / h) /
         |          sqrt(CAST(h*snn - sn*sn AS DOUBLE) / CAST(h*h AS DOUBLE)), 6) AS z
         |  FROM hourly ho JOIN stats st ON ho.event_type = st.event_type
+        |  WHERE h*snn > sn*sn
         |)
         |SELECT * FROM z WHERE abs(z) >= 2.0 ORDER BY hour, event_type""".stripMargin,
 

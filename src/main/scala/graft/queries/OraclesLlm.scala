@@ -59,7 +59,8 @@ object OraclesLlm {
         |SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
         |            AS BIGINT) AS rnk,
         |       doc_id, round(score, 6) AS score
-        |FROM gl ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+        |FROM gl WHERE round(score, 6) > 0
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
 
   val all: Map[String, String] = Map(
     "search_bm25" -> bm25Sql,
@@ -344,12 +345,14 @@ object OraclesLlm {
         |              / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6)
         |      AS quality
         |  FROM documents
+        |), qq AS (
+        |  SELECT * FROM q WHERE quality IS NOT NULL
         |), r AS (
         |  SELECT stratum, doc_id, quality,
         |    CAST(row_number() OVER (PARTITION BY stratum
         |           ORDER BY quality DESC NULLS LAST, doc_id) AS BIGINT) AS rnk,
         |    count(*) OVER (PARTITION BY stratum) AS n
-        |  FROM q
+        |  FROM qq
         |)
         |SELECT stratum, doc_id, quality, rnk FROM r
         |WHERE rnk * 10 <= 3 * n ORDER BY stratum, rnk""".stripMargin,

@@ -34,7 +34,9 @@ class SearchSpec extends SparkSpec {
     assert(r(1L) === exp(1, 2))
     assert(r(2L) === exp(2, 2))
     assert(r(4L) === exp(1, 6))
-    assert(r(3L) === 0.0)
+    // docs containing no query term are NOT results (the positive-
+    // score contract both bm25 spellings share)
+    assert(!r.contains(3L))
     // semantics: doubled tf scores higher but sub-2x (saturation);
     // same tf in a longer doc scores lower (length normalization)
     assert(r(2L) > r(1L) && r(2L) < 2 * r(1L))
