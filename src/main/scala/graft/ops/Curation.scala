@@ -370,28 +370,64 @@ object Curation {
     * is the per-doc reassembly groupBy.
     */
   def dsirScores(df: DataFrame, text: Column, id: Column,
-                 isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+                 isTarget: Column, nBuckets: Int = 1024): DataFrame =
+    dsirScoreWithWeights(df, text, id,
+      dsirWeights(df, text, id, isTarget, nBuckets), nBuckets)
+
+  /** hashed-bigram bucket stream shared by the weight FIT and the
+    * scoring pass — one definition, so the two can never drift on
+    * tokenization or bucket hashing
+    */
+  private def dsirBuckets(df: DataFrame, text: Column, id: Column,
+                          isTarget: Column, nBuckets: Int): DataFrame = {
     val toks = split(lower(text), " ")
-    val bg = df.select(id.as("doc_id"), isTarget.as("is_t"),
+    df.select(id.as("doc_id"), isTarget.as("is_t"),
         explode(graft.functions.TokenOps.wordShingles(toks, 2,
           distinct = false)).as("bg"))
       .select(col("doc_id"), col("is_t"),
         pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
           lit(nBuckets.toLong)).as("b"))
-    val counts = bg.groupBy("b").agg(
-      count(lit(1)).as("c"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
+  }
+
+  /** the FITTED HALF of [[dsirScores]]: the (bucket → pinned-ln
+    * micro-unit weight) table, ≤ nBuckets rows. This is the DSIR
+    * artifact a production pipeline fits ONCE per (corpus snapshot,
+    * target definition) and serves from storage — the IVF-centroid /
+    * Knn-weight build-once lifecycle ([[graft.core.Artifacts]]):
+    * at 100 TB the corpus-wide bigram count pass is the expensive
+    * step, and re-fitting it per scoring run (what the from-scratch
+    * spelling does) is pure waste since the weights only change when
+    * the corpus or the target slice does.
+    */
+  def dsirWeights(df: DataFrame, text: Column, id: Column,
+                  isTarget: Column, nBuckets: Int = 1024): DataFrame = {
+    val counts = dsirBuckets(df, text, id, isTarget, nBuckets)
+      .groupBy("b").agg(
+        count(lit(1)).as("c"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("t"))
     val tot = counts.agg(sum("c").as("ctot"), sum("t").as("ttot"))
     val k = lit(nBuckets.toLong)
-    val lw = counts.crossJoin(broadcast(tot)).select(col("b"),
+    counts.crossJoin(broadcast(tot)).select(col("b"),
       round(log(
         ((lit(2L) * col("t") + 1L) * (lit(2L) * col("ctot") + k)).cast("double") /
         ((lit(2L) * col("ttot") + k) * (lit(2L) * col("c") + 1L)).cast("double")
       ) * 1e6, 0).cast("long").as("lw"))
-    bg.join(broadcast(lw), "b")
+  }
+
+  /** the SCORING HALF of [[dsirScores]]: stream the corpus bigrams
+    * through a broadcast of an (already fitted) weight table and
+    * reassemble per doc — map-only into the one data-sized shuffle
+    * (the per-doc groupBy). With persisted weights this is the whole
+    * steady-state plan: no corpus-wide count pass, no totals
+    * aggregate — the same split as bm25TopKIndexed vs bm25TopK.
+    */
+  def dsirScoreWithWeights(df: DataFrame, text: Column, id: Column,
+                           weights: DataFrame,
+                           nBuckets: Int = 1024): DataFrame =
+    dsirBuckets(df, text, id, lit(false), nBuckets)
+      .join(broadcast(weights), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("lw").cast("double") / 1e6, 6).as("logratio"))
       .orderBy("doc_id")
-  }
 }

@@ -62,6 +62,40 @@ object OraclesLlm {
         |FROM gl WHERE round(score, 6) > 0
         |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
 
+  // mirror of Curation.dsirScores (target = lang 'en', K=1024
+  // hashed-bigram buckets): exact long bucket counts, the cleared
+  // rational (2t+1)(2C+K)/((2T+K)(2c+1)), per-bucket ln pinned to
+  // integer micro-units, exact long per-doc sum, one final divide.
+  // Shared verbatim by score_importance and score_importance_indexed.
+  private val dsirSql =
+      """WITH bg AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(
+        |      [array_to_string(toks[i:i+1], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 0)+2)]) AS g
+        |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |          FROM documents)
+        |  )
+        |), cnt AS (
+        |  SELECT b, count(*) AS c,
+        |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
+        |  FROM bg GROUP BY b
+        |), tot AS (
+        |  SELECT sum(c) AS ctot, sum(t) AS ttot FROM cnt
+        |), lw AS (
+        |  SELECT b, CAST(round(ln(
+        |      CAST((2*t + 1) * (2*ctot + 1024) AS DOUBLE) /
+        |      CAST((2*ttot + 1024) * (2*c + 1) AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT) AS lw
+        |  FROM cnt CROSS JOIN tot
+        |)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(lw.lw) AS DOUBLE) / 1000000, 6) AS logratio
+        |FROM bg JOIN lw ON bg.b = lw.b
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "search_bm25" -> bm25Sql,
     // the persisted-postings spelling serves the IDENTICAL result —
@@ -357,38 +391,12 @@ object OraclesLlm {
         |SELECT stratum, doc_id, quality, rnk FROM r
         |WHERE rnk * 10 <= 3 * n ORDER BY stratum, rnk""".stripMargin,
 
-    // mirror of Curation.dsirScores (target = lang 'en', K=1024
-    // hashed-bigram buckets): exact long bucket counts, the cleared
-    // rational (2t+1)(2C+K)/((2T+K)(2c+1)), per-bucket ln pinned to
-    // integer micro-units, exact long per-doc sum, one final divide.
-    "score_importance" ->
-      """WITH bg AS (
-        |  SELECT doc_id, lang = 'en' AS is_t,
-        |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
-        |  FROM (
-        |    SELECT doc_id, lang, unnest(
-        |      [array_to_string(toks[i:i+1], ' ')
-        |       FOR i IN range(1, greatest(len(toks)-2, 0)+2)]) AS g
-        |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
-        |          FROM documents)
-        |  )
-        |), cnt AS (
-        |  SELECT b, count(*) AS c,
-        |         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
-        |  FROM bg GROUP BY b
-        |), tot AS (
-        |  SELECT sum(c) AS ctot, sum(t) AS ttot FROM cnt
-        |), lw AS (
-        |  SELECT b, CAST(round(ln(
-        |      CAST((2*t + 1) * (2*ctot + 1024) AS DOUBLE) /
-        |      CAST((2*ttot + 1024) * (2*c + 1) AS DOUBLE)) * 1000000, 0)
-        |      AS BIGINT) AS lw
-        |  FROM cnt CROSS JOIN tot
-        |)
-        |SELECT bg.doc_id, count(*) AS n_bigrams,
-        |       round(CAST(sum(lw.lw) AS DOUBLE) / 1000000, 6) AS logratio
-        |FROM bg JOIN lw ON bg.b = lw.b
-        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    "score_importance" -> dsirSql,
+    // the persisted-weights spelling serves the IDENTICAL result —
+    // same mirror (the search_bm25_indexed precedent), so any drift
+    // between the indexed and from-scratch DSIR plans is a hash
+    // mismatch
+    "score_importance_indexed" -> dsirSql,
 
     "dedup_ngram_jaccard" ->
       """WITH base AS (

@@ -232,4 +232,26 @@ class CurationSpec extends SparkSpec {
     assert(r(1L) > 0.0 && r(21L) < 0.0)
     assert(math.abs(r(1L) - r(20L)) < 1e-9) // identical text, identical score
   }
+
+  test("dsir indexed: persisted weights serve the identical scores, one Aggregate") {
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "aa bb aa bb aa bb", true)) ++
+      (21 to 40).map(i => (i.toLong, "cc dd cc dd cc dd", false))
+    ).toDF("doc_id", "text", "is_t")
+    val dir = java.nio.file.Files.createTempDirectory("dsirw").toString
+    Curation.dsirWeights(docs, col("text"), col("doc_id"), col("is_t"))
+      .write.parquet(s"$dir/w")
+    val w = spark.read.parquet(s"$dir/w")
+    val served = Curation.dsirScoreWithWeights(docs, col("text"), col("doc_id"), w)
+    // build-once contract: the steady-state plan has NO corpus-wide
+    // fit — its only Aggregate is the per-doc reassembly (the
+    // from-scratch spelling plans three: bucket counts, totals, docs)
+    val nAgg = served.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg === 1, served.queryExecution.optimizedPlan.toString)
+    val scratch = Curation.dsirScores(docs, col("text"), col("doc_id"), col("is_t"))
+    assert(served.collect().map(_.toSeq).toSeq ===
+      scratch.collect().map(_.toSeq).toSeq)
+  }
 }
