@@ -131,6 +131,79 @@ object Dedup {
         .withColumn("text", substring(col("text"), 1, prefixChars))
         .withColumn("doc_id", col("doc_id") + offset))
 
+  // ------------------------------------------- line-level dedup (boilerplate)
+
+  /** Deterministically re-shape the corpus into MULTI-LINE docs with
+    * planted boilerplate — the input shape for [[lineDedup]]. The
+    * synthetic corpus is one long line per doc, so (like
+    * [[plantContainedDocs]] / the pii_scrub augmentation) the
+    * phenomenon is planted, mirrored verbatim in the oracle SQL:
+    * every doc's token stream is folded into `tokensPerLine`-token
+    * lines, then docs at `id % 5 == 0` gain a shared footer line and
+    * docs at `id % 7 == 0` a second one — the nav/footer boilerplate
+    * a crawl carries on a fifth of its pages.
+    */
+  def plantLinedDocs(df: DataFrame, text: Column, id: Column,
+                     tokensPerLine: Int = 12): DataFrame = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val nLines = ceil(n.cast("double") / tokensPerLine).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " "))
+    val withFooters = concat(lines,
+      when(id % 5 === 0, array(lit("subscribe to our newsletter for updates")))
+        .otherwise(array().cast("array<string>")),
+      when(id % 7 === 0, array(lit("all rights reserved copyright notice")))
+        .otherwise(array().cast("array<string>")))
+    df.withColumn("text", array_join(withFooters, "\n"))
+  }
+
+  /** Cross-document LINE-level dedup (§2c.23b) — the boilerplate-
+    * removal pass of the published web-curation recipes (CCNet splits
+    * on lines and drops those duplicated across documents; RefinedWeb
+    * and C4 do the same for nav/footer/cookie-notice lines): a line
+    * occurring in ≥ `minDocs` DISTINCT docs is boilerplate; each doc
+    * reports its line counts, duplicated-line fraction, and the md5
+    * of its SCRUBBED text (kept lines re-joined in original order) —
+    * the gate signal plus the rewrite, one pass.
+    *
+    * This is the between-docs complement of [[graft.ops.TextAnalysis]]
+    * repetition (within-doc) and the line-granularity sibling of the
+    * span family (27c/27e): a shared 8-word footer is too short for
+    * winnowing's ≥ w+k−1-byte span floor and too small a fraction for
+    * whole-doc Jaccard, but is exactly one duplicated line.
+    *
+    * Scale shape: explode to (doc, line_no, md5(line)) — map-only;
+    * ONE exchange on the 16-byte line hash for the distinct-doc
+    * count (two-phase partial count_distinct); the count table joins
+    * back on the same hash (1 row per distinct line on the build
+    * side, so a mega-hot boilerplate line skews only the stream side
+    * — AQE skew-split territory, never a straggling sort); then the
+    * per-doc reassembly groupBy. Line text never shuffles twice: the
+    * join carries the hash, the reassembly carries the line only to
+    * its own doc's group.
+    */
+  def lineDedup(df: DataFrame, text: Column, id: Column,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", md5(col("line")))
+    val counts = lines.groupBy("lh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    lines.join(counts, "lh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_lines"),
+        round(sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_frac"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("nd") < minDocs,
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), "\n")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- duplicated spans (winnowing)
 
   /** Cross-document duplicated-SPAN pairs (winnowing fingerprints —

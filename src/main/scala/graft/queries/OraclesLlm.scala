@@ -398,6 +398,41 @@ object OraclesLlm {
     // mismatch
     "score_importance_indexed" -> dsirSql,
 
+    // mirror of Dedup.plantLinedDocs + Dedup.lineDedup: 12-token line
+    // folds + planted footer lines (doc_id%5 / %7), distinct-doc
+    // count per md5(line), per-doc stats + md5 of the kept lines
+    // re-joined in original order (empty keep-set pinned to md5('')).
+    "dedup_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[(i-1)*12+1 : (i-1)*12+12], ' ')
+        |     FOR i IN range(1, CAST(ceil(len(toks) / 12.0) AS BIGINT) + 1)]
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ['subscribe to our newsletter for updates']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ['all rights reserved copyright notice']
+        |            ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM base
+        |), ln AS (
+        |  SELECT doc_id, i - 1 AS line_no, lines[i] AS line,
+        |         md5(lines[i]) AS lh
+        |  FROM lined, unnest(range(1, len(lines) + 1)) t(i)
+        |), cnt AS (
+        |  SELECT lh, count(DISTINCT doc_id) AS nd FROM ln GROUP BY lh
+        |)
+        |SELECT ln.doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+        |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS dup_frac,
+        |  md5(coalesce(
+        |    string_agg(line, chr(10) ORDER BY line_no)
+        |      FILTER (WHERE nd < 2), '')) AS kept_md5
+        |FROM ln JOIN cnt USING (lh)
+        |GROUP BY ln.doc_id ORDER BY ln.doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents

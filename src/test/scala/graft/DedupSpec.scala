@@ -243,4 +243,54 @@ class DedupSpec extends SparkSpec {
     assert(a(0L) === a(2L)) // identical text → identical fingerprint
     assert(a(0L) !== a(3L))
   }
+
+  test("lineDedup drops cross-doc boilerplate lines, keeps unique ones in order") {
+    val footer = "all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta\n$footer"),
+      (2L, s"gamma delta\n$footer\nepsilon"),
+      (3L, s"zeta eta\n$footer"),
+      (4L, "solo unique lines only\nanother one")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the footer (3 distinct docs) is boilerplate; everything else kept
+    assert(r(1L) === ((2L, 1L, md5hex("alpha beta"))))
+    assert(r(2L) === ((3L, 1L, md5hex("gamma delta\nepsilon")))) // order kept
+    assert(r(4L) === ((2L, 0L, md5hex("solo unique lines only\nanother one"))))
+  }
+
+  test("lineDedup: a doc of ONLY boilerplate scrubs to the empty-text hash") {
+    val docs = Seq(
+      (1L, "dup line"), (2L, "dup line"), (3L, "dup line\nnovel")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    // md5("") — the pinned empty-keep sentinel, same constant in DuckDB
+    assert(r(1L) === "d41d8cd98f00b204e9800998ecf8427e")
+    // within-doc line_no order survives the scrub
+    assert(r(3L) === java.security.MessageDigest.getInstance("MD5")
+      .digest("novel".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("plantLinedDocs folds 12-token lines and appends footers at %5/%7") {
+    val docs = Seq(
+      (35L, (1 to 25).map(i => s"w$i").mkString(" ")), // %5 and %7
+      (11L, (1 to 12).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val planted = Dedup.plantLinedDocs(docs, col("text"), col("doc_id"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val l35 = planted(35L).split("\n")
+    assert(l35.length === 5) // 3 fold lines (12+12+1 tokens) + 2 footers
+    assert(l35(0) === (1 to 12).map(i => s"w$i").mkString(" "))
+    assert(l35(2) === "w25")
+    assert(l35(3) === "subscribe to our newsletter for updates")
+    assert(l35(4) === "all rights reserved copyright notice")
+    assert(planted(11L).split("\n").toSeq ===
+      Seq((1 to 12).map(i => s"w$i").mkString(" ")))
+  }
 }
