@@ -29,6 +29,8 @@ case class DecodedAudio(doc_id: Long, sample_rate: Long, n_samples: Long,
 /** one non-empty histogram bucket of a decoded image channel */
 case class ImageFeature(doc_id: Long, channel: String, bin: Int, n_px: Long)
 
+case class ImagePhash(doc_id: Long, phash: String)
+
 /** decoded frame: (doc, frame) key + true dimensions and pixel means */
 case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Int, height: Int,
                         mean_r: Double, mean_g: Double, mean_b: Double)
@@ -206,6 +208,108 @@ object Multimodal {
         ImagePayload(docId, bos.toByteArray)
       }
     }.toDF()
+  }
+
+  /** Deterministic 9×8 grayscale-gradient PNG payloads — the input
+    * shape for [[dHashes]]. Pixel gray g(x,y) = (x·a + y·b) mod 200
+    * + jitter, where the gradient slopes (a, b) are functions of the
+    * STYLE key doc_id % 16 and the jitter is a per-doc GLOBAL
+    * brightness shift (doc_id·31 mod 16). Docs sharing a style key
+    * render the same gradient at different brightness — the
+    * "re-encoded / brightness-tweaked copy" phenomenon perceptual
+    * image dedup exists for, and every pixel is a closed-form
+    * function of doc_id, so the dHash route is SQL-mirrorable
+    * end-to-end (the solid-colour-payload precedent, §2c.34b).
+    */
+  def syntheticGradientPayload(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long")).as[Long].mapPartitions { it =>
+      imageIoNoDiskCache
+      it.map { docId =>
+        val k = (docId % 16).toInt
+        // steep slopes: several mod-200 wraps per row, so each style
+        // key's wrap positions give it a DISTINCT comparison pattern
+        // (shallow slopes make every gradient monotone → one hash)
+        val a = 29 + (k * 37) % 151
+        val b = 11 + (k * 53) % 97
+        // derived from docId/16 so it varies WITHIN a style group
+        // (style has period 16; a jitter with the same period would
+        // give every style-mate identical bytes, not just identical
+        // hashes)
+        val jit = (((docId / 16) * 7) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val g = (x * a + y * b) % 200 + jit
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImagePayload(docId, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Perceptual difference-hash (dHash) over REAL decoded images
+    * (§2c.34g): for each of 8 rows, compare the 8 adjacent pixel
+    * pairs of a 9-column grayscale raster — bit = left < right —
+    * packing each row into one byte, the hash into 16 lowercase hex
+    * chars. dHash is invariant to global brightness shifts by
+    * construction (only pairwise COMPARISONS survive), which is the
+    * perceptual property: a re-encoded or exposure-tweaked copy
+    * collides with its original while any re-composition does not.
+    * Payloads are decoded through the real `javax.imageio` codec
+    * (batch-shaped mapPartitions, same contract as [[decodeImages]]);
+    * images not already 9×8 would be downscaled first in a general
+    * deployment — the synthetic payloads arrive at hash size, keeping
+    * every bit SQL-derivable. Undecodable payloads are quarantined
+    * (no hash row), the [[histogramFeatures]] convention.
+    */
+  def dHashes(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoDiskCache
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 2) Iterator.empty
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sb = new java.lang.StringBuilder(2 * h)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var byteAcc = 0
+              var x = 0
+              while (x < w - 1 && x < 8) {
+                // gray = blue channel: payloads are written r=g=b
+                if ((row(x) & 0xff) < (row(x + 1) & 0xff))
+                  byteAcc |= 1 << x
+                x += 1
+              }
+              sb.append(f"$byteAcc%02x")
+              y += 1
+            }
+            Iterator.single(ImagePhash(id, sb.toString))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** REAL image decode over a (doc_id, payload binary) frame via

@@ -1018,6 +1018,35 @@ object OraclesLlm {
     // pure functions of doc_id: a Nyquist square wave's |sample| is
     // its amplitude everywhere, so peak == RMS == amp exactly (sqrt
     // of a perfect square is exact in IEEE for amp < 2^26)
+    // mirror of Multimodal.syntheticGradientPayload + dHashes: the
+    // 9x8 gradient's pixels are closed-form in doc_id, so the decode→
+    // dHash→group route is re-derived arithmetically — the global
+    // brightness jitter term drops out of the comparisons exactly as
+    // it does in the decoded raster.
+    "multimodal_phash" ->
+      """WITH par AS (
+        |  SELECT doc_id,
+        |         29 + ((doc_id % 16) * 37) % 151 AS a,
+        |         11 + ((doc_id % 16) * 53) % 97 AS b
+        |  FROM documents
+        |), bits AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN (x*a + y*b) % 200 < ((x+1)*a + y*b) % 200
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM par, range(0, 8) t1(y), range(0, 8) t2(x)
+        |), rowbytes AS (
+        |  SELECT doc_id, y, CAST(sum(bit * (1 << x)) AS INT) AS rb
+        |  FROM bits GROUP BY doc_id, y
+        |), hashes AS (
+        |  SELECT doc_id, string_agg(printf('%02x', rb), '' ORDER BY y) AS phash
+        |  FROM rowbytes GROUP BY doc_id
+        |), grp AS (
+        |  SELECT phash, count(*) AS n_docs, min(doc_id) AS rep
+        |  FROM hashes GROUP BY phash
+        |)
+        |SELECT h.doc_id, h.phash, n_docs, rep
+        |FROM hashes h JOIN grp USING (phash) ORDER BY h.doc_id""".stripMargin,
+
     "multimodal_audio" ->
       """SELECT doc_id,
         |  CAST(8000 AS BIGINT) AS sample_rate,

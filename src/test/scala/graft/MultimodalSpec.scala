@@ -154,4 +154,36 @@ class MultimodalSpec extends SparkSpec {
     val q = Multimodal.decodeAudio(junk).collect().head
     assert(q.getLong(1) === -1L && q.getLong(4) === -1L)
   }
+
+  test("dHash: brightness-shifted copies collide, different styles do not") {
+    // 1 and 17 share a style key (id % 16) but carry different
+    // brightness jitter (id/16-derived): different payload BYTES,
+    // identical perceptual hash
+    val ids = Seq(1L, 17L, 2L).toDF("doc_id")
+    val pay = Multimodal.syntheticGradientPayload(ids, col("doc_id"))
+    val payloads = pay.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(17L)))
+    val h = Multimodal.dHashes(pay).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) === h(17L))
+    assert(h(1L) !== h(2L)) // different style key
+    // the PERCEPTUAL property: +40 global brightness on the decoded
+    // raster, re-encoded, hashes identically though every byte moved
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(1L)))
+    val bright = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = (img.getRGB(x, y) & 0xff) + 40
+      bright.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bright, "png", bos)
+    assert(!java.util.Arrays.equals(bos.toByteArray, payloads(1L)))
+    val h2 = Multimodal.dHashes(
+        Seq((99L, bos.toByteArray)).toDF("doc_id", "payload"))
+      .collect().head.getString(1)
+    assert(h2 === h(1L))
+    // undecodable payloads quarantine (no hash row)
+    val junk = Seq((7L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.dHashes(junk).count() === 0L)
+  }
 }
