@@ -344,6 +344,44 @@ object Curation {
       .orderBy("stratum", "rnk")
   }
 
+  /** CCNet-style quality BUCKETS (Wenzek et al. 2020): partition each
+    * language's docs into head / middle / tail thirds by how
+    * corpus-typical their word transitions are — CCNet's
+    * LM-perplexity tertiles with the library's deterministic
+    * perplexity analog ([[graft.ops.TextAnalysis.bigramNovelty]]:
+    * integer-exact mean corpus bigram frequency; an actual LM
+    * perplexity would sum per-token double logs in engine-dependent
+    * order — unoracleable). High avg frequency = fluent/typical =
+    * head, exactly as low perplexity is CCNet's head.
+    *
+    * The cuts are EXACT integer comparisons (rnk·3 ≤ n, rnk·3 ≤ 2n —
+    * the qualityTopPercent protocol; no float percentile), ties by
+    * doc_id. Docs with < 2 tokens have no transitions and no bucket
+    * (CCNet likewise scores only tokenizable text).
+    *
+    * Scale shape: the novelty signal's one corpus-count exchange +
+    * per-doc reassembly (ReusedExchange, see bigramNovelty), then one
+    * stratum exchange shared by the rank and count windows.
+    */
+  def ccnetBuckets(df: DataFrame, text: Column, id: Column,
+                   stratum: Column): DataFrame = {
+    val nov = graft.ops.TextAnalysis.bigramNovelty(df, text, id)
+      .select("doc_id", "avg_bigram_freq")
+    val strat = df.select(id.as("doc_id"), stratum.as("stratum"))
+    val w = Window.partitionBy("stratum")
+      .orderBy(desc("avg_bigram_freq"), asc("doc_id"))
+    nov.join(strat, "doc_id")
+      .select(col("stratum"), col("doc_id"), col("avg_bigram_freq"),
+        row_number().over(w).cast("long").as("rnk"),
+        count(lit(1)).over(Window.partitionBy("stratum")).as("n"))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select("stratum", "doc_id", "avg_bigram_freq", "rnk", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** DSIR-shaped importance scores (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-doc
     * log-likelihood ratio between a TARGET slice (`isTarget`, e.g.

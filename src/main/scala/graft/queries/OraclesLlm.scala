@@ -1222,6 +1222,35 @@ object OraclesLlm {
         |        / count(*), 6) AS novel_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirror of Curation.ccnetBuckets: the text_bigram_lm signal CTEs
+    // + per-lang rank/count windows + the exact tertile cuts
+    "sample_ccnet_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+1], ' ')
+        |            FOR i IN range(1, len(toks))]) AS bg
+        |  FROM base WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY bg) AS c FROM bg
+        |), nov AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_bigram_freq
+        |  FROM c GROUP BY doc_id
+        |), j AS (
+        |  SELECT d.lang AS stratum, n.doc_id, n.avg_bigram_freq,
+        |    CAST(row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY n.avg_bigram_freq DESC, n.doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM nov n JOIN documents d ON n.doc_id = d.doc_id
+        |)
+        |SELECT stratum, doc_id, avg_bigram_freq, rnk,
+        |  CASE WHEN rnk * 3 <= n THEN 'head'
+        |       WHEN rnk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // lexicographic order on fixed-width lowercase md5 hex == numeric
     // hash order, identical in both engines
     "sample_stratified" ->

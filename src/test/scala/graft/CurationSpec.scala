@@ -233,6 +233,29 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r(1L) - r(20L)) < 1e-9) // identical text, identical score
   }
 
+  test("ccnetBuckets: typical-transition docs head, unique ones tail, thirds exact") {
+    // 6 docs in one stratum: 2 made of the corpus-dominant bigram,
+    // 2 mixed, 2 of globally-unique transitions → 2/2/2 tertiles
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb", "en"),
+      (2L, "aa bb aa bb aa bb", "en"),
+      (3L, "aa bb cc dd ee ff", "en"),
+      (4L, "aa bb gg hh ii jj", "en"),
+      (5L, "k1 k2 k3 k4 k5 k6", "en"),
+      (6L, "m1 m2 m3 m4 m5 m6", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Curation.ccnetBuckets(docs, col("text"), col("doc_id"), col("lang"))
+      .collect().map(x => x.getLong(1) -> x.getString(4)).toMap
+    assert(r(1L) === "head" && r(2L) === "head")
+    assert(r(3L) === "middle" && r(4L) === "middle")
+    assert(r(5L) === "tail" && r(6L) === "tail")
+    // a sub-2-token doc has no transitions and no bucket
+    val withShort = docs.unionByName(Seq((7L, "solo", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val r2 = Curation.ccnetBuckets(withShort, col("text"), col("doc_id"), col("lang"))
+    assert(!r2.collect().map(_.getLong(1)).contains(7L))
+  }
+
   test("dsir indexed: persisted weights serve the identical scores, one Aggregate") {
     val docs = (
       (1 to 20).map(i => (i.toLong, "aa bb aa bb aa bb", true)) ++
