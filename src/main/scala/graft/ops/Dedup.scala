@@ -204,6 +204,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** the corpus's boilerplate-line set — md5 keys of lines occurring
+    * in ≥ `minDocs` distinct docs, the static artifact the streaming
+    * face ([[graft.streaming.EventPipeline.lineScrubStream]]) joins
+    * arriving docs against (the bandedSignatures-at-ingest pattern:
+    * fit once over the corpus, persist, serve every micro-batch).
+    * Shares [[lineDedup]]'s exact line key (md5 of the raw line), so
+    * the two faces can never drift on line identity.
+    */
+  def boilerplateLines(df: DataFrame, text: Column, id: Column,
+                       minDocs: Int = 2): DataFrame =
+    df.select(id.as("doc_id"), explode(split(text, "\n")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("lh"))
+      .groupBy("lh").agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("lh")
+
   // ------------------------------------------- duplicated spans (winnowing)
 
   /** Cross-document duplicated-SPAN pairs (winnowing fingerprints —

@@ -138,6 +138,34 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** streaming boilerplate-line flagging — the streaming face of
+    * [[graft.ops.Dedup.lineDedup]] (§2c.23b), incremental contract:
+    * arriving docs are flagged when any of their lines is in the
+    * CORPUS's boilerplate-line set
+    * ([[graft.ops.Dedup.boilerplateLines]], fitted/persisted at
+    * ingest — the bandedSignatures precedent), never arriving-vs-
+    * arriving. The line explode + md5 projection is STATELESS and
+    * uses the batch face's exact line key; the stream-static join is
+    * stateless per Spark's semantics; the only state is the
+    * watermark-bounded per-doc dedup. SIZE-ROUTED static side like
+    * every stream-static face: counted once at stream construction.
+    */
+  def lineScrubStream(docs: DataFrame, textCol: String, idCol: String,
+                      tsCol: String, boilerLines: DataFrame,
+                      broadcastLineLimit: Long = 5_000_000L): DataFrame = {
+    val bl =
+      if (boilerLines.count() <= broadcastLineLimit) broadcast(boilerLines)
+      else boilerLines
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("doc_id"), col("ts"), md5(col("line")).as("lh"))
+      .join(bl, "lh")
+      .select("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** streaming incremental cross-corpus dedup — the streaming face of
     * [[graft.ops.Dedup.minhashLshCross]] (§2c.25d): arriving docs get
     * the map-only MinHash signature plus per-band bucket keys (one

@@ -237,6 +237,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming line scrub flags arriving docs carrying corpus boilerplate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val footer = "subscribe to our newsletter"
+    val corpus = Seq(
+      (100L, s"corpus page one\n$footer"),
+      (101L, s"corpus page two\n$footer"),
+      (102L, "a corpus page without any footer at all"))
+      .toDF("doc_id", "text")
+    val boiler = graft.ops.Dedup.boilerplateLines(corpus,
+      col("text"), col("doc_id"))
+    // exactly the footer (2 distinct corpus docs) is boilerplate
+    assert(boiler.count() === 1L)
+
+    val arriving = Seq(
+      (0L, s"fresh arriving page\n$footer"), // carries corpus boilerplate
+      (1L, "an entirely novel arriving page"),
+      (2L, s"$footer\nanother carrier, footer first"))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.lineScrubStream(docs, "text", "doc_id", "ts", boiler)
+      .writeStream.format("memory").queryName("linescrub")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(arriving.map { case (i, s) => (i, s, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("linescrub").select("doc_id")
+        .as[Long].collect().toSet
+      // the batch spelling of the same incremental contract agrees
+      val batch = arriving.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+        .select(col("doc_id"), md5(col("line")).as("lh"))
+        .join(boiler, "lh").select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming cross-corpus dedup flags the same docs as the batch face") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
