@@ -294,4 +294,100 @@ object TextAnalysis {
     df.select(
       id.as("doc_id"),
       graft.functions.TextHash.rollingMinHash(text, window).as("rfp"))
+
+  // ---------------------------------------------- Gopher quality rules (30e)
+
+  /** Deterministically re-shape the corpus into the multi-line,
+    * artifact-bearing docs the Gopher rule set was written for — the
+    * [[graft.ops.Dedup.plantLinedDocs]] protocol (fold the token
+    * stream into `tokensPerLine`-token lines, then plant the
+    * phenomena so every rule has both passing and failing docs,
+    * mirrored verbatim in the oracle SQL): docs at `id % 4 == 0`
+    * gain a bullet-list line, `id % 6 == 0` an ellipsis-terminated
+    * teaser line, `id % 9 == 0` a symbol-heavy sponsor line.
+    */
+  def plantGopherDocs(df: DataFrame, text: Column, id: Column,
+                      tokensPerLine: Int = 12): DataFrame = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val nLines = ceil(n.cast("double") / tokensPerLine).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " "))
+    val planted = concat(lines,
+      when(id % 4 === 0, array(lit("- subscribe - follow - share")))
+        .otherwise(array().cast("array<string>")),
+      when(id % 6 === 0, array(lit("click here to read more ...")))
+        .otherwise(array().cast("array<string>")),
+      when(id % 9 === 0, array(lit("### sponsored ###")))
+        .otherwise(array().cast("array<string>")))
+    df.withColumn("text", array_join(planted, "\n"))
+  }
+
+  /** Gopher stopwords (Rae et al. 2021, A1.1): a doc must contain ≥2
+    * of these to pass the stop-word rule.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher quality-filter RULE SET (Rae et al. 2021,
+    * appendix A1.1) as one map-only pass — the named-rules
+    * complement of [[quality]]'s generic score and [[repetition]]'s
+    * duplicate fractions; the filter recipe MassiveText, and the
+    * pipelines that copied it (RefinedWeb, Dolma), actually shipped:
+    *
+    *   1. word count in [50, 100 000]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ('#' + '…'-as-'...') ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet ("- ")
+    *   5. ≤ 30% of lines end with an ellipsis ("...")
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 of the 8 [[gopherStopwords]] present
+    *
+    * EXACT-ARITHMETIC protocol: every COMPARISON is integer-only
+    * (3·n ≤ sumLen ≤ 10·n, 10·sym ≤ n, 10·bullets ≤ 9·lines, …) so
+    * `pass` can never drift on a float boundary; the reported ratio
+    * columns are display-only `round(long/long, 6)` — one
+    * exactly-rounded IEEE division each. Word lengths never touch a
+    * per-word fold: with single-char separators, Σ len(word) =
+    * len(text) − (n_words − 1) identically in any engine.
+    *
+    * Scale shape: pure column expressions over one scan — map-only,
+    * embarrassingly parallel, codegen'd end-to-end; the only
+    * wide stage is the final presentational ORDER BY.
+    */
+  def gopherRules(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = lower(text)
+    val words = split(t, "[ \\n]")
+    val lines = split(t, "\n")
+    val nW = size(words).cast("long")
+    val nL = size(lines).cast("long")
+    val sumLen = (length(t) - (nW - 1L)).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEll = floor((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val nBullet = size(filter(lines, l => l.startsWith("- "))).cast("long")
+    val nEllLine = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = gopherStopwords
+      .map(w => array_contains(words, w).cast("long"))
+      .reduce(_ + _)
+    val pass = (nW >= 50L) && (nW <= 100000L) &&
+      (sumLen >= nW * 3L) && (sumLen <= nW * 10L) &&
+      ((nHash + nEll) * 10L <= nW) &&
+      (nBullet * 10L <= nL * 9L) &&
+      (nEllLine * 10L <= nL * 3L) &&
+      (nAlpha * 5L >= nW * 4L) &&
+      (stopHits >= 2L)
+    df.select(
+        id.as("doc_id"),
+        nW.as("n_words"), nL.as("n_lines"),
+        round(sumLen.cast("double") / nW, 6).as("mean_word_len"),
+        round((nHash + nEll).cast("double") / nW, 6).as("symbol_ratio"),
+        round(nBullet.cast("double") / nL, 6).as("bullet_frac"),
+        round(nEllLine.cast("double") / nL, 6).as("ellipsis_frac"),
+        round(nAlpha.cast("double") / nW, 6).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        pass.as("pass"))
+      .orderBy("doc_id")
+  }
 }

@@ -844,6 +844,72 @@ object OraclesLlm {
         |            / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.gopherRules over plantGopherDocs: the
+    // planting (12-token folds, bullet/ellipsis/symbol lines at
+    // id%4/%6/%9) is re-derived, then every counter and the
+    // integer-only pass comparisons are restated 1:1. sum_len uses
+    // the same separator identity (len − (n_words − 1)); '...'
+    // counting shares replace()'s left-to-right non-overlap scan.
+    "quality_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[(i-1)*12+1 : (i-1)*12+12], ' ')
+        |     FOR i IN range(1, CAST(ceil(len(toks) / 12.0) AS BIGINT) + 1)]
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ['- subscribe - follow - share']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 6 = 0
+        |            THEN ['click here to read more ...']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 9 = 0
+        |            THEN ['### sponsored ###']
+        |            ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM base
+        |), doc AS (
+        |  SELECT doc_id, lower(array_to_string(lines, chr(10))) AS t FROM lined
+        |), m AS (
+        |  SELECT doc_id, t,
+        |    string_split_regex(t, '[ \n]') AS words,
+        |    string_split(t, chr(10)) AS lns
+        |  FROM doc
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(t) - (len(words) - 1) AS BIGINT) AS sum_len,
+        |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(lns, l -> starts_with(l, '- '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellline,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(list_contains(words, 'the') AS BIGINT)
+        |      + CAST(list_contains(words, 'be') AS BIGINT)
+        |      + CAST(list_contains(words, 'to') AS BIGINT)
+        |      + CAST(list_contains(words, 'of') AS BIGINT)
+        |      + CAST(list_contains(words, 'and') AS BIGINT)
+        |      + CAST(list_contains(words, 'that') AS BIGINT)
+        |      + CAST(list_contains(words, 'have') AS BIGINT)
+        |      + CAST(list_contains(words, 'with') AS BIGINT) AS stop_hits
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, n_lines,
+        |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(n_hash + n_ell AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+        |  round(CAST(n_ellline AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+        |  round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+        |  stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |   AND 10 * (n_hash + n_ell) <= n_words
+        |   AND 10 * n_bullet <= 9 * n_lines
+        |   AND 10 * n_ellline <= 3 * n_lines
+        |   AND 5 * n_alpha >= 4 * n_words
+        |   AND stop_hits >= 2) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.tokenEntropy: exact-long token counts,
     // integer micro-ln weights, one final division.
     "text_entropy" ->

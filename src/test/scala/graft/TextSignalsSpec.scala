@@ -98,4 +98,49 @@ class TextSignalsSpec extends SparkSpec {
     assert(got(1L) === 0.0)
     assert(got(2L) > 0.0 && got(2L) < got(0L))
   }
+
+  test("gopher rules: hand-checked counters and the integer pass logic") {
+    val passing = Seq.fill(6)("the quick brown fox jumps over lazy dogs to be")
+      .mkString(" ") // 60 words, mean len 3.7, stopwords the/to/be
+    val docs = Seq(
+      (1L, "the cat sat with the dog\n- first\n- second"),
+      (2L, passing)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val a = rows(1L)
+    assert(a.getLong(1) === 10L)                     // n_words
+    assert(a.getLong(2) === 3L)                      // n_lines
+    assert(a.getDouble(3) === 3.2)                   // mean_word_len 32/10
+    assert(a.getDouble(5) === 0.666667)              // bullet_frac 2/3
+    assert(a.getDouble(7) === 0.8)                   // alpha_frac 8/10
+    assert(a.getLong(8) === 2L)                      // the + with
+    assert(!a.getBoolean(9))                         // fails word-count rule
+
+    val b = rows(2L)
+    assert(b.getLong(1) === 60L)
+    assert(b.getDouble(3) === 3.7)
+    assert(b.getLong(8) === 3L)                      // the, to, be
+    assert(b.getBoolean(9))                          // passes all rules
+  }
+
+  test("gopher rules: planted corpus phenomena land on the right docs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextAnalysis.gopherRules(
+        TextAnalysis.plantGopherDocs(corpus, col("text"), col("doc_id")),
+        col("text"), col("doc_id"))
+      .collect()
+    assert(got.length === corpus.count())
+    got.foreach { r =>
+      val id = r.getLong(0)
+      Seq(4, 5, 6, 7).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+      if (id % 4 == 0) assert(r.getDouble(5) > 0.0, s"doc $id bullet_frac")
+      if (id % 6 == 0) assert(r.getDouble(6) > 0.0, s"doc $id ellipsis_frac")
+      if (id % 9 == 0) assert(r.getDouble(4) > 0.0, s"doc $id symbol_ratio")
+    }
+    // the gate discriminates: both outcomes occur on the real corpus
+    assert(got.exists(_.getBoolean(9)) && got.exists(!_.getBoolean(9)))
+  }
 }
