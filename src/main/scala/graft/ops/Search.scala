@@ -212,4 +212,52 @@ object Search {
     matched.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
       .orderBy("doc_id")
   }
+
+  /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al.
+    * SIGIR'09 — the fusion every lexical+vector RAG stack ships):
+    * fuse the BM25 ranking ([[bm25TopK]]) with an embedding-cosine
+    * ranking ([[graft.ops.Similarity.bruteTopK]] for the query
+    * vector) by rrf = Σ_lists 1/(rrfK + rank). RRF needs no score
+    * calibration between the lists — only the RANKS cross the fusion
+    * boundary, which is also what makes it hash-oracle-able: each
+    * 1/(60+rank) is ONE exactly-rounded IEEE division of exact
+    * integers and the two-term sum is exactly determined, where
+    * fusing raw BM25 scores with raw cosines would inherit every
+    * cross-engine float quirk of both.
+    *
+    * The corpus↔embedding correspondence is positional by contract
+    * (doc_id == vec_id — TESTDATA's documents and embeddings tables
+    * are separate faces of one corpus); docs absent from a list
+    * contribute 0 to the fusion and report rank 0 in that list.
+    *
+    * Scale shape: both legs are already-bounded top-kList lists
+    * (≤ kList rows each), so the fusion's full-outer join and final
+    * sort touch ≤ 2·kList rows — driver-trivial no matter the corpus
+    * size; the heavy lifting stays inside the two legs' own
+    * scale-shaped plans.
+    */
+  def hybridRrf(docs: DataFrame, text: Column, id: Column,
+                emb: DataFrame, terms: Seq[String], qid: Long,
+                kList: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, text, id, terms, kList)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val sem = graft.ops.Similarity
+      .bruteTopK(emb, emb.where(col("vec_id") === qid), kList)
+      .select(col("nbr").as("doc_id"), col("rnk").as("sem_rnk"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"),
+        coalesce(col("sem_rnk"), lit(0L)).as("sem_rnk"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rnk")), lit(0.0)), 9)
+          .as("rrf"))
+    val top = fused.orderBy(desc("rrf"), asc("doc_id")).limit(k)
+    top.select(
+        row_number().over(Window.orderBy(desc("rrf"), asc("doc_id")))
+          .cast("long").as("rnk"),
+        col("doc_id"), col("lex_rnk"), col("sem_rnk"), col("rrf"))
+      .orderBy("rnk")
+  }
 }

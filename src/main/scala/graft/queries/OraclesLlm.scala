@@ -24,8 +24,8 @@ object OraclesLlm {
   // the same left-to-right 3-term sum. Shared verbatim by
   // search_bm25_indexed — the persisted-postings spelling must be
   // hash-IDENTICAL to the from-scratch one.
-  private val bm25Sql =
-      """WITH tok AS (
+  private def bm25SqlK(limit: Int) =
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         |  FROM documents WHERE text IS NOT NULL
         |), perdoc AS (
@@ -60,7 +60,9 @@ object OraclesLlm {
         |            AS BIGINT) AS rnk,
         |       doc_id, round(score, 6) AS score
         |FROM gl WHERE round(score, 6) > 0
-        |ORDER BY round(score, 6) DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT $limit""".stripMargin
+
+  private val bm25Sql = bm25SqlK(10)
 
   // mirror of Curation.dsirScores (target = lang 'en', K=1024
   // hashed-bigram buckets): exact long bucket counts, the cleared
@@ -102,6 +104,40 @@ object OraclesLlm {
     // same mirror, so any drift between the from-scratch and indexed
     // plans is a hash mismatch
     "search_bm25_indexed" -> bm25Sql,
+
+    // mirror of Search.hybridRrf: the bm25SqlK(50) leg verbatim, the
+    // ann_cosine leg for qid=7 (same order-preserving dot fold),
+    // RRF fusion 1/(60+rank) as CAST(1 AS DOUBLE)/(60+r) — one IEEE
+    // division of exact ints per leg, absent legs contribute 0 and
+    // report rank 0.
+    "search_hybrid_rrf" ->
+      s"""WITH lex AS (
+        |  SELECT doc_id, rnk AS lex_rnk FROM (${bm25SqlK(50)}) t
+        |), sem AS (
+        |  SELECT doc_id, sem_rnk FROM (
+        |    SELECT c.vec_id AS doc_id,
+        |      CAST(row_number() OVER (
+        |        ORDER BY round(${cos("qv", "c.embedding")}, 6) DESC,
+        |                 c.vec_id ASC) AS BIGINT) AS sem_rnk
+        |    FROM embeddings c,
+        |         (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7) q
+        |    WHERE c.vec_id <> 7
+        |  ) WHERE sem_rnk <= 50
+        |), fused AS (
+        |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(l.lex_rnk, 0) AS lex_rnk,
+        |    coalesce(s.sem_rnk, 0) AS sem_rnk,
+        |    round(CASE WHEN l.doc_id IS NOT NULL
+        |            THEN CAST(1 AS DOUBLE) / (60 + l.lex_rnk) ELSE 0 END
+        |        + CASE WHEN s.doc_id IS NOT NULL
+        |            THEN CAST(1 AS DOUBLE) / (60 + s.sem_rnk) ELSE 0 END,
+        |        9) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+        |            AS BIGINT) AS rnk,
+        |       doc_id, lex_rnk, sem_rnk, rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // mirror of Search.phraseSearch("merge sort"): 1-based positional
     // posting lists joined on consecutive positions, counts per doc.

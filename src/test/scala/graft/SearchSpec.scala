@@ -136,4 +136,32 @@ class SearchSpec extends SparkSpec {
     assert(perUser(3L) === ((true, false, false)))
     assert(perUser(4L) === ((true, true, false)))
   }
+
+  test("hybrid rrf: fusion recomputed exactly from the two legs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val terms = Seq("spark", "merge", "window")
+
+    val lex = Search.bm25TopK(docs, col("text"), col("doc_id"), terms, 50)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    val sem = graft.ops.Similarity
+      .bruteTopK(emb, emb.where(col("vec_id") === 7L), 50)
+      .select("nbr", "rnk").as[(Long, Long)].collect().toMap
+
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.getOrElse(id, 0L), sem.getOrElse(id, 0L), r9(s))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+
+    val got = Search.hybridRrf(docs, col("text"), col("doc_id"), emb,
+        terms, qid = 7L)
+      .select("doc_id", "lex_rnk", "sem_rnk", "rrf")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // both legs actually contribute docs to the fused top-20
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
 }
