@@ -813,4 +813,48 @@ object Similarity {
         round(avg(col("x")), 6).as("mean"),
         round(avg(col("x") * col("x")), 6).as("mean_sq"))
       .orderBy("grp", "dim")
+
+  /** SemDeDup (Abbas et al. 2023) — CLUSTER-SCOPED semantic dedup,
+    * the embedding-space analog of the minhash keep/drop pass: assign
+    * every vector to its nearest coarse centroid (the IVF map-only
+    * argmin, [[ivfTopK]]'s corpus half), then WITHIN each cluster
+    * drop any vector whose cosine to an earlier-id clustermate is
+    * ≥ `minCos` (keep-lowest-id — the deterministic spelling of the
+    * paper's keep-one-per-ε-ball; `dup_of` names the earliest such
+    * mate, −1 for kept rows).
+    *
+    * This is the published SCALE recipe for semantic dedup — the
+    * clustering exists precisely to bound the pair space: pairs form
+    * only within a list (per-list quadratic, never corpus-quadratic),
+    * and nlist grows with the corpus to hold list sizes constant.
+    * The price, as published: near-dups straddling a cluster
+    * boundary are missed (the spec measures planted-pair recall).
+    *
+    * Plan shape: assignment is map-only (centroids are literals — no
+    * shuffle); ONE shuffle on `list` feeds the within-list self-join
+    * (u < v) with the codegen'd exact-cosine verify in-join; the
+    * dropped set groupBy's on v (min dup_of) and left-joins back.
+    */
+  def semDedup(emb: DataFrame, minCos: Double = 0.9, nlist: Int = 8,
+               centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(leadingCentroids(emb, nlist))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      vecNorm(col("embedding")).as("nn"),
+      array_min(coarseDistStructs(cents)(col("embedding")))
+        .getField("list").as("list"))
+    val a = assigned.select(col("list"), col("vec_id").as("u"),
+      col("embedding").as("uv"), col("nn").as("un"))
+    val b = assigned.select(col("list"), col("vec_id").as("v"),
+      col("embedding").as("vv"), col("nn").as("vn"))
+    val dups = a.join(b, Seq("list"))
+      .where(col("u") < col("v") &&
+        round(vecDot(col("uv"), col("vv")) / (col("un") * col("vn")), 6)
+          >= minCos)
+      .groupBy(col("v")).agg(min(col("u")).as("dup_of"))
+    assigned.join(dups, assigned("vec_id") === dups("v"), "left")
+      .select(col("vec_id"), col("list"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
 }

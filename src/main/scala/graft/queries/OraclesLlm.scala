@@ -547,6 +547,53 @@ object OraclesLlm {
     // order-preserving double fold, then width-8 band buckets, the
     // 10000-bucket cap (QUALIFY — mirroring Skew.dropHotKeys), the
     // bucket self-join and the exact-cosine ≥ 0.8 verify.
+    // end-to-end mirror of Similarity.semDedup over the portable
+    // planted corpus: the aug CTE is plantNearDupsPortable verbatim,
+    // cents/dists/assign are the ann_ivf_topk_portable quantizer
+    // route (argmin of cc − 2·dot, ties → lowest list) over the
+    // AUGMENTED frame (leading 8 of aug == leading 8 of embeddings —
+    // planted ids sit at +1000000), then within-list earlier-id
+    // pairs with exact cosine ≥ 0.8 name each dropped row's dup_of.
+    "dedup_semantic" ->
+      s"""WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(range(1, 65), i -> CAST(
+        |           CAST(embedding[i] AS DOUBLE) +
+        |           CASE WHEN ('0x' || substr(md5(CAST(vec_id + 1000000 AS VARCHAR)
+        |                        || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |                THEN 0.03 ELSE -0.03 END AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list,
+        |         embedding AS cv,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cc
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        |), dists AS (
+        |  SELECT e.vec_id, c.list,
+        |         c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS dd
+        |  FROM aug e CROSS JOIN cents c
+        |), assign AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT vec_id, list,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, list) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), dup AS (
+        |  SELECT b.vec_id AS v, min(a.vec_id) AS dup_of
+        |  FROM assign a JOIN assign b ON a.list = b.list AND a.vec_id < b.vec_id
+        |  JOIN aug ea ON ea.vec_id = a.vec_id
+        |  JOIN aug eb ON eb.vec_id = b.vec_id
+        |  WHERE round(${cos("ea.embedding", "eb.embedding")}, 6) >= 0.8
+        |  GROUP BY b.vec_id
+        |)
+        |SELECT s.vec_id, s.list, d.v IS NULL AS kept,
+        |       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+        |FROM assign s LEFT JOIN dup d ON d.v = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
+
     "dedup_embedding_banded" ->
       s"""WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings

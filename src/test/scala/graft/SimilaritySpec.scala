@@ -207,4 +207,34 @@ class SimilaritySpec extends SparkSpec {
     val s2 = emb.select(Similarity.hyperplaneSig(col("embedding"), 64, 16)).collect()
     assert(s1.map(_.getLong(0)).sameElements(s2.map(_.getLong(0))))
   }
+
+  test("semDedup: planted recall within clusters, precision, dup_of naming") {
+    val aug = Similarity.plantNearDupsPortable(emb)
+    val rows = Similarity.semDedup(aug, minCos = 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(rows.size === aug.count())
+    val planted = rows.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    // precision: ONLY planted copies get dropped (original corpus is
+    // near-orthogonal at dim 64 — no accidental 0.8-cosine pairs)
+    rows.foreach { case (id, (_, kept, dupOf)) =>
+      if (id < 1000000L) assert(kept && dupOf === -1L, s"orig $id dropped")
+    }
+    // recall: within-cluster recall is EXACTLY 1.0 — a planted copy
+    // is missed if and only if the ±eps jitter flipped its argmin
+    // across a cluster boundary (the published SemDeDup miss); every
+    // same-cluster copy is dropped and names its source as dup_of
+    var sameCluster = 0
+    planted.foreach { id =>
+      val (list, kept, dupOf) = rows(id)
+      val (srcList, _, _) = rows(id - 1000000L)
+      if (list == srcList) {
+        sameCluster += 1
+        assert(!kept && dupOf === id - 1000000L, s"same-cluster $id kept")
+      } else assert(kept, s"cross-cluster $id dropped")
+    }
+    // the planting isn't degenerate: most copies stay in-cluster
+    assert(sameCluster.toDouble / planted.size >= 0.8)
+  }
 }
