@@ -295,6 +295,38 @@ object TextAnalysis {
       id.as("doc_id"),
       graft.functions.TextHash.rollingMinHash(text, window).as("rfp"))
 
+  /** corpus-wide top-k n-gram table (§2c.32d) — the corpus-statistics
+    * face of the n-gram machinery (the aggregation behind "top n-gram
+    * fraction" quality filters and corpus QA dashboards): every
+    * doc's token n-grams (non-distinct — counts weight by occurrence),
+    * counted corpus-wide with distinct-doc support, deterministic
+    * top-k (count DESC, ngram ASC).
+    *
+    * Scale shape: the n-gram kernel is the codegen'd WordShingles
+    * expression (map-only explode); the count groupBy partial-aggs
+    * map-side (duplicated n-grams collapse before the exchange — on
+    * web corpora the head is Zipf-heavy, exactly the distribution
+    * map-side combine eats); top-k is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def topNgrams(df: DataFrame, text: Column, id: Column,
+                n: Int = 3, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokensOf(text)
+    val grams = df.where(size(toks) >= n)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TokenOps.wordShingles(toks, n,
+          distinct = false)).as("ngram"))
+    val counts = grams.groupBy("ngram")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+    val top = counts.orderBy(desc("n"), asc("ngram")).limit(k)
+    top.select(
+        row_number().over(Window.orderBy(desc("n"), asc("ngram")))
+          .cast("long").as("rnk"),
+        col("ngram"), col("n"), col("n_docs"))
+      .orderBy("rnk")
+  }
+
   // ---------------------------------------------- Gopher quality rules (30e)
 
   /** Deterministically re-shape the corpus into the multi-line,

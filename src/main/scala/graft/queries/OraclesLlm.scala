@@ -927,6 +927,25 @@ object OraclesLlm {
         |            / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5, 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.topNgrams (trigrams, k=30): non-distinct
+    // trigram stream per doc (len−2 of them for len ≥ 3), corpus
+    // count + distinct-doc support, ties broken ngram ASC.
+    "text_ngrams_top" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ')
+        |            FOR i IN range(1, len(toks) - 1)]) AS ngram
+        |  FROM base WHERE len(toks) >= 3
+        |), c AS (
+        |  SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY ngram
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rnk,
+        |       ngram, n, n_docs
+        |FROM c ORDER BY n DESC, ngram LIMIT 30""".stripMargin,
+
     // mirror of TextAnalysis.gopherRules over plantGopherDocs: the
     // planting (12-token folds, bullet/ellipsis/symbol lines at
     // id%4/%6/%9) is re-derived, then every counter and the

@@ -99,6 +99,21 @@ class TextSignalsSpec extends SparkSpec {
     assert(got(2L) > 0.0 && got(2L) < got(0L))
   }
 
+  test("topNgrams: hand-checked counts, doc support, deterministic ties") {
+    val docs = Seq(
+      (0L, "a b c a b c"),   // "a b c"×2, "b c a", "c a b"
+      (1L, "a b c d"),       // "a b c", "b c d"
+      (2L, "x y")            // < 3 tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, col("text"), col("doc_id"), 3, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq(
+      (1L, "a b c", 3L, 2L),
+      (2L, "b c a", 1L, 1L),
+      (3L, "b c d", 1L, 1L),
+      (4L, "c a b", 1L, 1L)))
+  }
+
   test("gopher rules: hand-checked counters and the integer pass logic") {
     val passing = Seq.fill(6)("the quick brown fox jumps over lazy dogs to be")
       .mkString(" ") // 60 words, mean len 3.7, stopwords the/to/be
