@@ -413,6 +413,28 @@ object Analytics {
         .limit(20)
     }),
 
+    // §2b.22r — Markov TRANSITION MATRIX over per-user event streams:
+    // consecutive (src → dst) pairs via ONE lead window on the
+    // user_id exchange (the events_paths shape at length 2), counted
+    // with distinct-user support; p = n / Σn per src — one window
+    // over the already-aggregated |types|² table (tiny), rounded 6dp
+    // (one IEEE division of exact longs).
+    "events_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"),
+          col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"))
+        .where(col("dst").isNotNull)
+      val counts = pairs.groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      counts.select(col("src"), col("dst"), col("n"), col("users"),
+          round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("src")), 6).as("p"))
+        .orderBy("src", "dst")
+    }),
+
     // §2b.22q — hourly volume anomaly scores: per (hour, event_type)
     // event counts z-scored against that event_type's hourly mean and
     // population stddev. EXACT-ARITHMETIC: counts/sums are longs, the

@@ -558,6 +558,21 @@ object Oracles {
         |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
+    // mirror of events_transitions: one lead window, (src,dst) counts
+    // with distinct-user support, p = n/Σn per src rounded 6dp.
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), c AS (
+        |  SELECT src, dst, count(*) AS n, count(DISTINCT user_id) AS users
+        |  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        |)
+        |SELECT src, dst, n, users,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
+
     // mirror of events_anomaly: exact-long hourly counts, variance as
     // the cleared rational (H·Σn²−(Σn)²)/H², exactly-rounded IEEE
     // sqrt/divides, 6dp rounding — filter on the ROUNDED z both sides

@@ -110,6 +110,31 @@ class SearchSpec extends SparkSpec {
     assert(r === Map(1L -> 2L))
   }
 
+  test("event transitions: hand-checked markov counts and row-normalized p") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: a->b->a ; user 2: a->b ; transitions: a>b ×2, b>a ×1
+    val events = Seq(
+      (1L, t(1), 1L, "a"), (2L, t(2), 1L, "b"), (3L, t(3), 1L, "a"),
+      (4L, t(1), 2L, "a"), (5L, t(2), 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead("event_type", 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+    val counts = pairs.groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+    val got = counts.select(col("src"), col("dst"), col("n"), col("users"),
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("src")), 6).as("p"))
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got === Seq(("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
+  }
+
   test("funnel window chain equals the three-join spelling on a fixture") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
