@@ -372,6 +372,45 @@ object EventPipeline {
       .toDF("user_id", "stage", "ts_micros")
   }
 
+  /** Streaming face of §2b.22r (`events_transitions`): the lead
+    * window cannot run in streaming, so the PREVIOUS event per user
+    * IS the state — one string of `flatMapGroupsWithState` state per
+    * user key, emitting one (user_id, src, dst) row per arriving
+    * transition (append mode — the raw edge stream a live transition
+    * dashboard counts/normalizes downstream exactly like the batch
+    * query's groupBy).
+    *
+    * Ordering contract matches [[funnelStream]]: micro-batch groups
+    * are sorted by (ts, event_type); cross-batch order is the
+    * stream's responsibility. Null/uncastable user ids or timestamps
+    * are dropped, matching the other stateful faces.
+    */
+  def transitionStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").try_cast("long").isNotNull)
+      .select(col("user_id").try_cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        col("event_type").cast("string").as("et"))
+      .where(col("tsu").isNotNull)
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[String]) => {
+          var prev = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+          it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, _, et) =>
+            if (prev != null) out += ((user, prev, et))
+            prev = et
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+        })
+      .toDF("user_id", "src", "dst")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -518,6 +518,50 @@ class StreamingSpec extends SparkSpec {
     assert(sw === lagBased)
   }
 
+  test("stateful streaming transitions match the batch lead window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1's a->b->a chain SPANS the batch break (the b->a edge needs
+    // batch-1 state); u2 has a single event in each batch (one edge,
+    // purely cross-batch); u3 emits nothing (one event total)
+    val batch1 = Seq(
+      (1L, ts(1), "a"), (1L, ts(2), "b"),
+      (2L, ts(1), "x"),
+      (3L, ts(1), "solo"))
+    val batch2 = Seq(
+      (1L, ts(3), "a"),
+      (2L, ts(4), "y"))
+
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val events = stream.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventPipeline.transitionStream(events)
+      .writeStream.format("memory").queryName("strans")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("strans")
+        .as[(Long, String, String)].collect().sorted.toSeq
+
+      // batch twin: the lead-window pairing over the full event set
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+      val batchPairs = (batch1 ++ batch2).toDF("user_id", "ts", "event_type")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"))
+        .where(col("dst").isNotNull)
+        .as[(Long, String, String)].collect().sorted.toSeq
+
+      assert(streamed === batchPairs)
+      // the cross-batch boundary did its job on both users
+      assert(streamed.contains((1L, "b", "a")) &&
+        streamed.contains((2L, "x", "y")))
+    } finally q.stop()
+  }
+
   test("stateful streaming funnel matches the batch window chain") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
