@@ -482,6 +482,67 @@ object Analytics {
           datediff(col("day"), col("cohort_day")).cast("long").as("day_no"))
         .agg(countDistinct(col("user_id")).as("users"))
         .orderBy("cohort_day", "day_no")
-    })
+    }),
+
+    // §2b.22s — LAST-TOUCH ATTRIBUTION: each purchase credits the
+    // user's most recent strictly-prior non-purchase event. ONE window
+    // over the user_id exchange, frame [unbounded, −1); the three
+    // `last(…, ignoreNulls)` picks CANNOT split across rows (the
+    // ADVICE asof-NULL class) because one shared CASE nulls all three
+    // together and event_id/event_type/ts are never themselves null —
+    // all three come from the same qualifying row by construction.
+    // Gap is exact integer µs (unix_micros of both ends).
+    "events_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def prior(c: Column): Column =
+        last(when(col("event_type") =!= "purchase", c), ignoreNulls = true)
+          .over(w)
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"),
+          prior(col("event_id")).as("attr_event_id"),
+          prior(col("event_type")).as("attr_type"),
+          prior(col("ts")).as("attr_ts"))
+        .where(col("event_type") === "purchase" &&
+          col("attr_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("attr_event_id"),
+          col("attr_type"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("attr_ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // §2b.22t — ROLLING 7-DAY ACTIVE USERS (WAU per observed day).
+    // A range-window `count(distinct)` Spark doesn't support directly;
+    // spelled as bounded expansion instead of an inequality join: each
+    // distinct (day, user) pair contributes to report days d..d+6
+    // (explode ×7 — fixed, not data-dependent), semi-joined to the
+    // observed-day dim (broadcast; |days| is calendar-bounded at any
+    // corpus size), then one distinct-count per day.
+    "events_rolling_active" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = pairs.select(col("day")).distinct()
+      pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .join(broadcast(days), Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }),
+
+    // §2b.22u — bucketed RANGE JOIN: same-user event pairs within 10
+    // minutes, the non-equi join class Spark would otherwise plan as a
+    // per-key nested loop — here an equi-join on (user, time-bucket)
+    // with ×2 bounded duplication (ops/RangeJoin.scala scaladoc).
+    "events_range_join" -> ((s, d) =>
+      graft.ops.RangeJoin.selfWithin(Tables.events(s, d),
+          col("user_id"), col("ts"), col("event_id"),
+          tolUs = 600L * 1000000L)
+        .select(col("key").as("user_id"), col("id_a"), col("id_b"),
+          col("gap_us"))
+        .orderBy("id_a", "id_b"))
   )
 }

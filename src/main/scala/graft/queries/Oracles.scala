@@ -604,7 +604,53 @@ object Oracles {
         |       count(DISTINCT e.user_id) AS users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY f.cohort_day, day_no
-        |ORDER BY f.cohort_day, day_no""".stripMargin
+        |ORDER BY f.cohort_day, day_no""".stripMargin,
+
+    // mirror of events_attribution: last strictly-prior non-purchase
+    // row via IGNORE NULLS over the [unbounded, -1] frame — the three
+    // picks share one CASE so they come from the same row
+    "events_attribution" ->
+      """WITH a AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER w AS attr_event_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS attr_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS attr_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, attr_event_id, attr_type,
+        |       epoch_us(ts) - epoch_us(attr_ts) AS gap_us
+        |FROM a
+        |WHERE event_type = 'purchase' AND attr_event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // mirror of events_rolling_active: the inequality-join spelling of
+    // the 7-day rolling distinct (the Spark side uses bounded ×7
+    // expansion — same row set by construction)
+    "events_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM pairs
+        |)
+        |SELECT d.day, count(DISTINCT p.user_id) AS wau
+        |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    // mirror of events_range_join: the naive non-equi self-join the
+    // bucketed plan replaces — canonical (t, id) pair order, exact µs
+    "events_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 600000000
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   def all: Map[String, String] = refSurface ++ knn ++ analytics
