@@ -422,4 +422,97 @@ object TextAnalysis {
         pass.as("pass"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------- C4 quality rules (30f)
+
+  /** Deterministically re-shape the corpus into the line-structured
+    * docs the C4 rule set filters (the [[plantGopherDocs]] protocol):
+    * fold the token stream into `tokensPerLine`-token lines, give
+    * line i of doc id a terminal '.' when (id+i) % 3 == 0 and '?'
+    * when == 2 (so every doc has both kept and punct-dropped lines),
+    * then plant each doc-level phenomenon on its own residue class:
+    * id % 3 a javascript line, id % 4 a too-short line, id % 7 a
+    * lorem-ipsum line, id % 11 a curly-brace line — every rule gets
+    * passing AND failing docs, mirrored verbatim in the oracle SQL.
+    */
+  def plantC4Docs(df: DataFrame, text: Column, id: Column,
+                  tokensPerLine: Int = 10): DataFrame = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val nLines = ceil(n.cast("double") / tokensPerLine).cast("int")
+    val emptyArr = array().cast("array<string>")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(
+        array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " "),
+        when((id + i) % 3 === 0, lit("."))
+          .when((id + i) % 3 === 2, lit("?"))
+          .otherwise(lit(""))))
+    val planted = concat(lines,
+      when(id % 3 === 0,
+        array(lit("please enable javascript to view this page.")))
+        .otherwise(emptyArr),
+      when(id % 4 === 0, array(lit("terms of use."))).otherwise(emptyArr),
+      when(id % 7 === 0, array(lit("lorem ipsum dolor sit amet.")))
+        .otherwise(emptyArr),
+      when(id % 11 === 0, array(lit("function() { return 0; }")))
+        .otherwise(emptyArr))
+    df.withColumn("text", array_join(planted, "\n"))
+  }
+
+  /** The published C4 cleaning RULE SET (Raffel et al. 2020, §2.2 —
+    * the recipe behind C4 and its descendants) as one map-only pass,
+    * line rules and page rules together:
+    *
+    *   line kept iff: ends in terminal punctuation (. ! ? ")  AND
+    *                  has ≥ 5 words  AND  does not contain
+    *                  "javascript"
+    *   page dropped if: fewer than 3 sentences survive, or the page
+    *                    contains "lorem ipsum" or a curly bracket
+    *
+    * Per doc: total/kept line counts, the three drop reasons as
+    * DISJOINT counts (punct first, then length, then javascript — a
+    * line is counted once), surviving-sentence count (terminal-punct
+    * occurrences in the kept text), the page-rule flags, the verdict,
+    * and the md5 of the SCRUBBED text (kept lines re-joined in
+    * original order — the rewrite, like [[graft.ops.Dedup.lineDedup]]).
+    *
+    * EXACT-ARITHMETIC: every signal is an integer count or a byte
+    * comparison — `ends_with` on four literal chars (no regex
+    * dialect surface), word counts from single-space splits, char
+    * counts via the replace() length identity. Nothing can drift.
+    *
+    * Scale shape: pure array expressions over one scan — map-only,
+    * codegen'd; the only wide stage is the presentational ORDER BY.
+    */
+  def c4Rules(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = lower(text)
+    val lines = split(t, "\n")
+    def endsPunct(l: Column): Column =
+      l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")
+    def nWords(l: Column): Column = size(split(l, " "))
+    def isJs(l: Column): Column = l.contains("javascript")
+    val kept = filter(lines, l => endsPunct(l) && nWords(l) >= 5 && !isJs(l))
+    val keptText = array_join(kept, "\n")
+    def cnt(f: Column => Column): Column =
+      size(filter(lines, l => f(l))).cast("long")
+    def chCount(s: Column, ch: String): Column =
+      (length(s) - length(replace(s, lit(ch), lit("")))).cast("long")
+    val nSent = chCount(keptText, ".") + chCount(keptText, "!") +
+      chCount(keptText, "?")
+    val hasLorem = t.contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    df.select(
+        id.as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("kept_lines"),
+        cnt(l => !endsPunct(l)).as("drop_no_punct"),
+        cnt(l => endsPunct(l) && nWords(l) < 5).as("drop_short"),
+        cnt(l => endsPunct(l) && nWords(l) >= 5 && isJs(l)).as("drop_js"),
+        nSent.as("n_sentences"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        (nSent >= 3L && !hasLorem && !hasBrace).as("pass"),
+        md5(keptText).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -1012,6 +1012,81 @@ object OraclesLlm {
         |   AND stop_hits >= 2) AS pass
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // mirror of quality_c4: the planting (10-token lines, punct by
+    // (id+i)%3, four residue-class artifact lines) is restated 1:1,
+    // then the C4 line rules (ends_with on 4 literal chars, ≥5
+    // single-space words, no 'javascript') and page rules — the
+    // scrubbed text md5 proves the whole line-filter pipeline, not
+    // just the counts
+    "quality_c4" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[(i-1)*10+1 : (i-1)*10+10], ' ')
+        |       || CASE WHEN (doc_id + (i-1)) % 3 = 0 THEN '.'
+        |               WHEN (doc_id + (i-1)) % 3 = 2 THEN '?'
+        |               ELSE '' END
+        |     FOR i IN range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1)]
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ['please enable javascript to view this page.']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ['terms of use.'] ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ['lorem ipsum dolor sit amet.']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ['function() { return 0; }']
+        |            ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM base
+        |), doc AS (
+        |  SELECT doc_id, lower(array_to_string(lines, chr(10))) AS t FROM lined
+        |), m AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lns,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kept
+        |  FROM doc
+        |), c AS (
+        |  SELECT doc_id, t, lns, kept,
+        |    -- array_to_string([]) is NULL in DuckDB; Spark's
+        |    -- array_join([]) is '' — coalesce to match
+        |    coalesce(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM m
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS kept_lines,
+        |    CAST(len(list_filter(lns, l ->
+        |      NOT (ends_with(l, '.') OR ends_with(l, '!')
+        |           OR ends_with(l, '?') OR ends_with(l, '"'))))
+        |      AS BIGINT) AS drop_no_punct,
+        |    CAST(len(list_filter(lns, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) < 5)) AS BIGINT) AS drop_short,
+        |    CAST(len(list_filter(lns, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND contains(l, 'javascript'))) AS BIGINT) AS drop_js,
+        |    CAST(len(kt) - len(replace(kt, '.', ''))
+        |       + len(kt) - len(replace(kt, '!', ''))
+        |       + len(kt) - len(replace(kt, '?', '')) AS BIGINT) AS n_sentences,
+        |    contains(t, 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace,
+        |    md5(kt) AS scrub_md5
+        |  FROM c
+        |)
+        |SELECT doc_id, n_lines, kept_lines, drop_no_punct, drop_short,
+        |  drop_js, n_sentences, has_lorem, has_brace,
+        |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS pass,
+        |  scrub_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.tokenEntropy: exact-long token counts,
     // integer micro-ln weights, one final division.
     "text_entropy" ->

@@ -158,4 +158,59 @@ class TextSignalsSpec extends SparkSpec {
     // the gate discriminates: both outcomes occur on the real corpus
     assert(got.exists(_.getBoolean(9)) && got.exists(!_.getBoolean(9)))
   }
+
+  test("c4 rules: hand-checked line filter, drop reasons, and page rules") {
+    val docs = Seq(
+      // 4 lines: kept (5 words, '.'), dropped-no-punct, dropped-short
+      // ('.' but 3 words), dropped-js ('.' + 5 words + javascript)
+      (1L, "one two three four five.\nsix seven eight nine ten\n" +
+        "terms of use.\nplease enable javascript to view this."),
+      // page rules: enough sentences but lorem ipsum present
+      (2L, "one two three four five.\nsix seven eight nine ten.\n" +
+        "alpha beta gamma delta epsilon.\nlorem ipsum dolor sit amet"),
+      // page rules: curly brace
+      (3L, "one two three four five.\nsix seven eight nine ten.\n" +
+        "alpha beta gamma delta { brace }.\nmore words to fill here."),
+      // passes everything: 3 kept sentences, no lorem, no brace
+      (4L, "one two three four five.\nsix seven eight nine ten!\n" +
+        "alpha beta gamma delta epsilon?")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.c4Rules(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val a = rows(1L)
+    assert(a.getLong(1) === 4L)      // n_lines
+    assert(a.getLong(2) === 1L)      // kept_lines
+    assert(a.getLong(3) === 1L)      // drop_no_punct
+    assert(a.getLong(4) === 1L)      // drop_short
+    assert(a.getLong(5) === 1L)      // drop_js
+    assert(a.getLong(6) === 1L)      // n_sentences (the one kept '.')
+    assert(!a.getBoolean(9))         // < 3 sentences → fail
+
+    assert(!rows(2L).getBoolean(9) && rows(2L).getBoolean(7))  // lorem
+    assert(!rows(3L).getBoolean(9) && rows(3L).getBoolean(8))  // brace
+    val d = rows(4L)
+    assert(d.getLong(2) === 3L && d.getLong(6) === 3L && d.getBoolean(9))
+    // drop reasons are disjoint and complete
+    rows.values.foreach(r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        === r.getLong(1)))
+  }
+
+  test("c4 rules: planted corpus phenomena land on the right docs") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextAnalysis.c4Rules(
+        TextAnalysis.plantC4Docs(corpus, col("text"), col("doc_id")),
+        col("text"), col("doc_id"))
+      .collect()
+    assert(got.length === corpus.count())
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 0) assert(r.getLong(5) > 0L, s"doc $id drop_js")
+      if (id % 4 == 0) assert(r.getLong(4) > 0L, s"doc $id drop_short")
+      if (id % 7 == 0) assert(r.getBoolean(7), s"doc $id has_lorem")
+      if (id % 11 == 0) assert(r.getBoolean(8), s"doc $id has_brace")
+    }
+    assert(got.exists(_.getBoolean(9)) && got.exists(!_.getBoolean(9)))
+  }
 }
