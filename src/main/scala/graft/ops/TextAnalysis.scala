@@ -423,6 +423,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- tf-idf keywords (30g)
+
+  /** Per-doc TOP-K TF-IDF TERMS — keyword extraction, the classic
+    * summarization/labeling signal beside [[graft.ops.Search]]'s BM25
+    * retrieval ranking (reference analog: the per-value index freqs
+    * an iodf user reads off colValues, IndexedDf.scala:15-34 — here
+    * weighted by corpus rarity).
+    *
+    * EXACT-ARITHMETIC (the [[tokenEntropy]] micro-ln protocol): tf
+    * and df are exact longs; idf = lnμ(N+1) − lnμ(df+1) where lnμ is
+    * `round(ln(integer)·10⁶)` as a long — the same exactly-one-
+    * rounded-libm-call-per-INTEGER discipline that hash-oracles
+    * entropy and DSIR scores — so score = tf·idf is an exact long
+    * and the per-doc ranking is total (score DESC, term ASC).
+    *
+    * Plan: explode → (doc,term) tf → term-keyed df join (both
+    * map-side combined) → 1-row N broadcast → the custom bounded-heap
+    * [[graft.ops.TopK.perGroup]] — no per-doc sort anywhere.
+    */
+  def tfidfTerms(df: DataFrame, text: Column, id: Column,
+                 k: Int = 3): DataFrame = {
+    val docs = df.where(text.isNotNull)
+    val tok = docs.select(id.as("doc_id"), explode(tokensOf(text)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    val scored = tf.join(dfq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        col("tf") * (lnMicro(col("n_docs") + 1L) - lnMicro(col("df") + 1L)))
+    graft.ops.TopK.perGroup(scored, Seq(col("doc_id")),
+        Seq(col("score_micro").desc, col("term").asc), k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("df"), col("score_micro"))
+      .orderBy("doc_id", "rnk")
+  }
+
   // ---------------------------------------------- C4 quality rules (30f)
 
   /** Deterministically re-shape the corpus into the line-structured

@@ -543,6 +543,19 @@ object Analytics {
           tolUs = 600L * 1000000L)
         .select(col("key").as("user_id"), col("id_a"), col("id_b"),
           col("gap_us"))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // §2b.25 — COLUMN PROFILING over lineitem: one pruned
+    // single-column pass per column (ops/Profile.scala); min/max
+    // computed on the native type (date via to_date, money via the
+    // decimal protocol) and cast to string only for the uniform
+    // output schema.
+    "stats_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, d), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber").cast("long"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_shipdate" -> to_date(col("l_shipdate")),
+        "l_quantity" -> col("l_quantity").cast("decimal(18,2)"))))
   )
 }

@@ -650,7 +650,48 @@ object Oracles {
         |  ON a.user_id = b.user_id
         | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 600000000
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirror of stats_profile: per-column stats UNION'd, min/max on
+    // the native type then cast to VARCHAR (date and decimal casts
+    // render identically in both engines)
+    "stats_profile" ->
+      """WITH p1 AS (
+        |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |    count(l_orderkey) AS n_nonnull,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        |  FROM lineitem
+        |), p2 AS (
+        |  SELECT 'l_linenumber', count(*), count(l_linenumber),
+        |    count(DISTINCT l_linenumber),
+        |    CAST(min(CAST(l_linenumber AS BIGINT)) AS VARCHAR),
+        |    CAST(max(CAST(l_linenumber AS BIGINT)) AS VARCHAR)
+        |  FROM lineitem
+        |), p3 AS (
+        |  SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |), p4 AS (
+        |  SELECT 'l_shipdate', count(*), count(l_shipdate),
+        |    count(DISTINCT CAST(l_shipdate AS DATE)),
+        |    CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |    CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |  FROM lineitem
+        |), p5 AS (
+        |  SELECT 'l_quantity', count(*), count(l_quantity),
+        |    count(DISTINCT CAST(l_quantity AS DECIMAL(18,2))),
+        |    CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+        |    CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |  FROM lineitem
+        |)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        |UNION ALL SELECT * FROM p5
+        |ORDER BY "column"""".stripMargin
   )
 
   def all: Map[String, String] = refSurface ++ knn ++ analytics

@@ -1087,6 +1087,32 @@ object OraclesLlm {
         |  scrub_md5
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // mirror of text_tfidf_terms: the row_number() spelling of the
+    // bounded-heap top-k, same micro-ln idf longs
+    "text_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), nd AS (
+        |  SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, tf.term AS term, tf, df,
+        |    tf * (CAST(round(ln(CAST(n_docs + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |        - CAST(round(ln(CAST(df + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT))
+        |      AS score_micro
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT doc_id, rnk, term, tf, df, score_micro
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     // mirror of TextAnalysis.tokenEntropy: exact-long token counts,
     // integer micro-ln weights, one final division.
     "text_entropy" ->
