@@ -411,6 +411,50 @@ object EventPipeline {
       .toDF("user_id", "src", "dst")
   }
 
+  /** Streaming face of §2b.22s (`events_attribution`): the
+    * [unbounded, −1) window cannot run in streaming, so the LAST
+    * non-purchase event per user IS the state — (event_id, tsu, type)
+    * per user key, emitting one attribution row per arriving purchase
+    * (append mode — the credit stream a live marketing dashboard
+    * consumes). A purchase with no prior touch emits nothing, exactly
+    * like the batch face's `attr IS NOT NULL` filter.
+    *
+    * Ordering contract matches [[funnelStream]]: micro-batch groups
+    * are sorted by (ts, event_id); cross-batch order is the stream's
+    * responsibility. Null/uncastable ids or timestamps are dropped,
+    * matching the other stateful faces.
+    */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").try_cast("long").isNotNull)
+      .select(col("user_id").try_cast("long").as("user_id"),
+        col("event_id").try_cast("long").as("event_id"),
+        unix_micros(col("ts")).as("tsu"),
+        col("event_type").cast("string").as("et"))
+      .where(col("tsu").isNotNull && col("event_id").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) => {
+          var lastTouch = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, String, Long)]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, id, ts, et) =>
+            if (et == "purchase") {
+              if (lastTouch != null)
+                out += ((id, user, lastTouch._1, lastTouch._3,
+                  ts - lastTouch._2))
+            } else lastTouch = (id, ts, et)
+          }
+          if (lastTouch != null) state.update(lastTouch)
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "attr_event_id", "attr_type", "gap_us")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -611,4 +611,59 @@ class StreamingSpec extends SparkSpec {
       assert(maxStage(1L) === 3)
     } finally q.stop()
   }
+
+  test("stateful streaming attribution matches the batch window pick") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1's purchase lands in batch 2 but must credit the batch-1
+    // click (cross-batch state); u2 purchases FIRST (no credit), then
+    // touches and purchases again (credited); u3 never purchases
+    val batch1 = Seq(
+      (1L, 10L, ts(1), "view"), (1L, 11L, ts(2), "click"),
+      (2L, 20L, ts(1), "purchase"), (2L, 21L, ts(2), "click"),
+      (3L, 30L, ts(1), "view"))
+    val batch2 = Seq(
+      (1L, 12L, ts(3), "purchase"),
+      (2L, 22L, ts(4), "purchase"))
+
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val events = stream.toDF().toDF("user_id", "event_id", "ts", "event_type")
+    val q = EventPipeline.attributionStream(events)
+      .writeStream.format("memory").queryName("sattr")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sattr")
+        .as[(Long, Long, Long, String, Long)].collect().sorted.toSeq
+
+      // batch twin: the [unbounded, -1) ignoreNulls window pick
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def prior(c: org.apache.spark.sql.Column) =
+        last(when(col("event_type") =!= "purchase", c), ignoreNulls = true)
+          .over(w)
+      val batchRows = (batch1 ++ batch2)
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          prior(col("event_id")).as("attr_event_id"),
+          prior(col("event_type")).as("attr_type"),
+          prior(unix_micros(col("ts"))).as("attr_tsu"),
+          unix_micros(col("ts")).as("tsu"))
+        .where(col("event_type") === "purchase" &&
+          col("attr_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("attr_event_id"),
+          col("attr_type"), (col("tsu") - col("attr_tsu")).as("gap_us"))
+        .as[(Long, Long, Long, String, Long)].collect().sorted.toSeq
+
+      assert(streamed === batchRows)
+      // cross-batch credit happened; the uncredited purchase is absent
+      assert(streamed.exists(r => r._1 == 12L && r._3 == 11L))
+      assert(!streamed.exists(_._1 == 20L))
+    } finally q.stop()
+  }
 }
