@@ -275,6 +275,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-doc BIGRAM LM LOG-PROBABILITY — the perplexity-filter signal
+    * of the CCNet/LLaMA curation recipes (score each doc under a
+    * corpus language model; outliers on either tail are boilerplate
+    * or gibberish), self-trained here: the LM is the corpus's own
+    * bigram table with add-1 smoothing,
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V).
+    *
+    * EXACT-ARITHMETIC (the [[tokenEntropy]] micro-ln protocol): both
+    * numerator and denominator are INTEGERS, so each bigram
+    * contributes lnμ(c₁₂+1) − lnμ(c₁+V) — two rounded-once libm
+    * calls on integers — and the per-doc sum is an exact LONG
+    * (`sum_lp_micro`, hash-comparable bit-for-bit); the only double
+    * is the final display division. exp() is deliberately never
+    * taken — perplexity ranks identically under the log.
+    *
+    * Plan: map-only bigram build (transform over the token array, no
+    * self-join) → two grouped counts (bigram and context, both
+    * map-side combined, Zipf head collapses early) → joins back on
+    * the bigram keys → per-doc aggregate. V broadcasts as one row.
+    */
+  def lmScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = tokensOf(text)
+    val base = df.where(size(toks) >= 2)
+      .select(id.as("doc_id"), toks.as("toks"))
+    val bigrams = base.select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(tokensOf(text)).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnMicro(col("c12") + 1L) - lnMicro(col("c1") + col("v")))
+          .as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+        round(col("sum_lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** document fingerprint: md5 over the sorted distinct token set
     * (§2c.33) — order-invariant content identity, the join-key analog
     * of the reference's index tokens.

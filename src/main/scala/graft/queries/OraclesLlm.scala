@@ -1113,6 +1113,38 @@ object OraclesLlm {
         |SELECT doc_id, rnk, term, tf, df, score_micro
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
+    // mirror of text_lm_score: bigram pairs by position, add-1
+    // conditional log-probs in exact micro-ln longs, one display
+    // division
+    "text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, u.w1, u.w2 FROM base,
+        |    LATERAL unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+        |                    FOR i IN range(1, len(toks))]) AS t(u)
+        |  WHERE len(toks) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(toks) AS t FROM base)
+        |), s AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CAST(round(ln(CAST(c12 + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      - CAST(round(ln(CAST(c1 + v AS DOUBLE)) * 1e6, 0) AS BIGINT))
+        |      AS sum_lp_micro
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, sum_lp_micro,
+        |  round(CAST(sum_lp_micro AS DOUBLE) /
+        |        (CAST(n_bigrams AS DOUBLE) * 1e6), 6) AS avg_logp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.tokenEntropy: exact-long token counts,
     // integer micro-ln weights, one final division.
     "text_entropy" ->
