@@ -1214,6 +1214,38 @@ object OraclesLlm {
         |FROM good JOIN kept USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // mirror of pipeline_report: the same stage flags (corpus-wide
+    // min-id dedup keep + the pipeline_curate quality expression)
+    // left-joined and aggregated per source
+    "pipeline_report" ->
+      s"""WITH kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), q AS (
+        |  SELECT doc_id,
+        |    (round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / nullif(length(text), 0) * 0.5
+        |      + least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          t -> t IN ($stopEn))) AS DOUBLE)
+        |          / nullif(len(string_split(text, ' ')), 0) * 5.0, 1.0) * 0.5,
+        |      6) >= 0.6) AS ok
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  count(*) AS n_total,
+        |  sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dedup,
+        |  sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok THEN 1 ELSE 0 END)
+        |    AS n_quality,
+        |  round(CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok
+        |                      THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS retention,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok THEN n_chars
+        |                ELSE 0 END) AS BIGINT) AS chars_kept
+        |FROM documents d
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |JOIN q ON d.doc_id = q.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
