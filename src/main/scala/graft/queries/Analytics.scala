@@ -545,6 +545,47 @@ object Analytics {
           col("gap_us"))
         .orderBy("id_a", "id_b")),
 
+    // §2b.26 — RFM CUSTOMER SEGMENTATION over orders: per customer
+    // recency (days since last order vs the corpus max date — one
+    // 1-row broadcast), frequency (order count), monetary (decimal-
+    // exact spend). Scores are EXACT INTEGER quintiles,
+    // (rnk−1)·5 div n + 1 over a TOTAL rank order (ties → custkey) —
+    // no ntile(), whose remainder placement is engine-defined, and
+    // no float percentile. Each rank is the two-phase
+    // Rank.globalRank (range-partition + local index + broadcast
+    // offsets), so even a 100M-customer table never sorts in one
+    // task; the orders fact table aggregates before any ranking.
+    "customer_rfm" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+      val mx = per.agg(max("last_day").as("mx"),
+        count(lit(1)).as("n_cust"))
+      val base = per.crossJoin(broadcast(mx))
+        .select(col("custkey"),
+          datediff(col("mx"), col("last_day")).cast("long")
+            .as("recency_days"),
+          col("frequency"), col("monetary"), col("n_cust"))
+      import graft.ops.Rank.globalRank
+      val ranked = Seq[(String, Seq[Column])](
+        "rnk_r" -> Seq(asc("recency_days"), asc("custkey")),
+        "rnk_f" -> Seq(desc("frequency"), asc("custkey")),
+        "rnk_m" -> Seq(desc("monetary"), asc("custkey"))
+      ).foldLeft(base) { case (df, (name, sort)) =>
+        globalRank(df, sort, name)
+      }
+      ranked.select(col("custkey"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          expr("(rnk_r - 1) * 5 div n_cust + 1").as("r_score"),
+          expr("(rnk_f - 1) * 5 div n_cust + 1").as("f_score"),
+          expr("(rnk_m - 1) * 5 div n_cust + 1").as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+        .orderBy("custkey")
+    }),
+
     // §2b.25 — COLUMN PROFILING over lineitem: one pruned
     // single-column pass per column (ops/Profile.scala); min/max
     // computed on the native type (date via to_date, money via the

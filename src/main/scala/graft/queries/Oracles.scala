@@ -83,6 +83,12 @@ object Oracles {
         |  FROM documents
         |) GROUP BY value ORDER BY value""".stripMargin,
 
+    "index_prefix" ->
+      """SELECT value, count(*) AS f FROM (
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS value
+        |  FROM documents
+        |) WHERE value LIKE 's%' GROUP BY value ORDER BY value""".stripMargin,
+
     "index_f" ->
       "SELECT count(*) AS f FROM lineitem WHERE l_returnflag = 'R'",
 
@@ -651,6 +657,40 @@ object Oracles {
         | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 600000000
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirror of customer_rfm: row_number() total orders (the
+    // two-phase globalRank produces identical ranks), integer
+    // quintile formula, decimal-exact spend
+    "customer_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |), mx AS (
+        |  SELECT max(last_day) AS mx, count(*) AS n_cust FROM per
+        |), base AS (
+        |  SELECT custkey,
+        |    CAST(date_diff('day', last_day, mx) AS BIGINT) AS recency_days,
+        |    frequency, monetary, n_cust
+        |  FROM per CROSS JOIN mx
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days ASC, custkey ASC) AS rnk_r,
+        |    row_number() OVER (ORDER BY frequency DESC, custkey ASC) AS rnk_f,
+        |    row_number() OVER (ORDER BY monetary DESC, custkey ASC) AS rnk_m
+        |  FROM base
+        |)
+        |SELECT custkey, recency_days, frequency, monetary,
+        |  (rnk_r - 1) * 5 // n_cust + 1 AS r_score,
+        |  (rnk_f - 1) * 5 // n_cust + 1 AS f_score,
+        |  (rnk_m - 1) * 5 // n_cust + 1 AS m_score,
+        |  CAST((rnk_r - 1) * 5 // n_cust + 1 AS VARCHAR)
+        |    || CAST((rnk_f - 1) * 5 // n_cust + 1 AS VARCHAR)
+        |    || CAST((rnk_m - 1) * 5 // n_cust + 1 AS VARCHAR) AS segment
+        |FROM r ORDER BY custkey""".stripMargin,
 
     // mirror of stats_profile: per-column stats UNION'd, min/max on
     // the native type then cast to VARCHAR (date and decimal casts

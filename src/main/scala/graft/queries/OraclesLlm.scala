@@ -1185,6 +1185,34 @@ object OraclesLlm {
         |  greatest(c_en, c_fr, c_es, c_de) AS score
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // mirror of text_langid_confusion: the langid CTE joined to the
+    // labeled lang, row-normalized over the confusion table
+    "text_langid_confusion" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','a','in','is','that'))) AS c_en,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('le','la','et','de','un','une','est','que'))) AS c_fr,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','y','de','un','una','es','que'))) AS c_es,
+        |    len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','und','das','ein','ist','zu','den'))) AS c_de
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(c_en, c_fr, c_es, c_de) <= 0 THEN 'und'
+        |         WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+        |         WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+        |         WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM c
+        |), m AS (
+        |  SELECT d.lang, p.pred_lang, count(*) AS n
+        |  FROM documents d JOIN p ON d.doc_id = p.doc_id
+        |  GROUP BY d.lang, p.pred_lang
+        |)
+        |SELECT lang, pred_lang, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+        |    AS frac
+        |FROM m ORDER BY lang, pred_lang""".stripMargin,
+
     "text_tokencount" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,

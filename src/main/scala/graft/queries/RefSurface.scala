@@ -70,6 +70,16 @@ object RefSurface {
       IndexedFrame(Tables.documents(s, d), docSpec).entries
         .select("value", "f").orderBy("value")),
 
+    // §2a.6b — PREFIX range query over the sorted token index (the
+    // reference serves these off its typed entry ordering,
+    // Dfs.scala:310-328 — a prefix is a contiguous entry range; here
+    // the StartsWith predicate prunes the same way on the entries
+    // frame)
+    "index_prefix" -> ((s, d) =>
+      IndexedFrame(Tables.documents(s, d), docSpec).entries
+        .where(col("value").startsWith("s"))
+        .select("value", "f").orderBy("value")),
+
     // §2a.7 — IndexedDf.f: frequency of one (field,value)
     "index_f" -> ((s, d) =>
       IndexedFrame(Tables.lineitem(s, d), liSpec).fDF("l_returnflag", "R")),
