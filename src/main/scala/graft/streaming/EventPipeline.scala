@@ -411,6 +411,39 @@ object EventPipeline {
       .toDF("user_id", "src", "dst")
   }
 
+  /** Streaming face of §2b.22u (`events_range_join`): same-user event
+    * pairs within `tolSeconds`, as a WATERMARKED STREAM-STREAM
+    * interval self-join — the one streaming join class Structured
+    * Streaming supports natively (equality key + event-time range
+    * bound), exercised nowhere else in the pipeline's faces. The
+    * time-range condition is exactly what lets Spark BOUND the join
+    * state: a buffered left row can be evicted once the right-side
+    * watermark passes `ta + tol` (state is O(events within one
+    * tol+watermark horizon per key), never the whole stream).
+    *
+    * Pair semantics match the batch [[graft.ops.RangeJoin.selfWithin]]
+    * verbatim: 0 ≤ t_b − t_a ≤ tol, pairs canonical by (t, id), no
+    * self-pairs, each pair once. The batch face buckets to avoid a
+    * nested loop over a BOUNDED corpus; the streaming face leans on
+    * the state store's per-key time index instead — same contract,
+    * each engine's native mechanism.
+    */
+  def rangeJoinStream(events: DataFrame, tolSeconds: Int = 600,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val a = events.select(col("user_id").as("ua"), col("ts").as("ta"),
+      col("event_id").as("ida")).withWatermark("ta", watermark)
+    val b = events.select(col("user_id").as("ub"), col("ts").as("tb"),
+      col("event_id").as("idb")).withWatermark("tb", watermark)
+    a.join(b, col("ua") === col("ub") &&
+        col("tb") >= col("ta") &&
+        col("tb") <= col("ta") + expr(s"INTERVAL $tolSeconds SECONDS") &&
+        (col("ta") < col("tb") ||
+          (col("ta") === col("tb") && col("ida") < col("idb"))))
+      .select(col("ua").as("user_id"), col("ida").as("id_a"),
+        col("idb").as("id_b"),
+        (unix_micros(col("tb")) - unix_micros(col("ta"))).as("gap_us"))
+  }
+
   /** Streaming face of §2b.22s (`events_attribution`): the
     * [unbounded, −1) window cannot run in streaming, so the LAST
     * non-purchase event per user IS the state — (event_id, tsu, type)

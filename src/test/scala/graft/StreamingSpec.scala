@@ -666,4 +666,49 @@ class StreamingSpec extends SparkSpec {
       assert(!streamed.exists(_._1 == 20L))
     } finally q.stop()
   }
+
+  test("stream-stream interval self-join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 00:$m%02d:$sec%02d")
+    // u1: three events inside one 10-min window (3 pairs), one far
+    // outside (no pair); u2: boundary-exact gap (= tol, kept) and a
+    // tie (one canonical pair); pairs must also form ACROSS batches
+    val batch1 = Seq(
+      (1L, 100L, ts(0)), (1L, 101L, ts(3)),
+      (2L, 200L, ts(0)), (2L, 201L, ts(10)),      // gap == tol exactly
+      (2L, 202L, ts(10)), (3L, 300L, ts(1)))      // 201/202 tie
+    val batch2 = Seq(
+      (1L, 102L, ts(8)),                           // pairs with 100, 101
+      (1L, 103L, ts(40)))                          // out of range of all
+
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val events = stream.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventPipeline.rangeJoinStream(events)
+      .writeStream.format("memory").queryName("srange")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("srange")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+      val batchPairs = graft.ops.RangeJoin.selfWithin(
+          (batch1 ++ batch2).toDF("user_id", "event_id", "ts"),
+          col("user_id"), col("ts"), col("event_id"), 600L * 1000000L)
+        .select("key", "id_a", "id_b", "gap_us")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+      assert(streamed === batchPairs)
+      // the shapes that matter actually occurred
+      assert(streamed.contains((2L, 200L, 201L, 600000000L)), "gap == tol")
+      assert(streamed.contains((2L, 201L, 202L, 0L)), "tie once, canonical")
+      assert(streamed.exists(r => r._2 == 100L && r._3 == 102L),
+        "cross-batch pair")
+      assert(!streamed.exists(r => r._2 == 103L || r._3 == 103L))
+    } finally q.stop()
+  }
 }
