@@ -26,6 +26,11 @@ case class AudioPayload(doc_id: Long, payload: Array[Byte])
 case class DecodedAudio(doc_id: Long, sample_rate: Long, n_samples: Long,
                         duration_s: Double, peak: Long, rms: Double)
 
+/** one analysis frame of a decoded audio stream: integer-exact
+  * zero-crossing count, energy (Σ s²) and peak */
+case class AudioFrame(doc_id: Long, frame_no: Long, n: Long, zc: Long,
+                      energy: Long, peak: Long)
+
 /** one non-empty histogram bucket of a decoded image channel */
 case class ImageFeature(doc_id: Long, channel: String, bin: Int, n_px: Long)
 
@@ -613,6 +618,74 @@ object Multimodal {
             }
           } catch {
             case _: Exception => DecodedAudio(id, -1L, -1L, -1.0, -1L, -1.0)
+          }
+        }
+      }.toDF()
+  }
+
+  /** FRAME-LEVEL audio features (§2c.34h) — the short-time analysis
+    * pass every audio ingest pipeline runs before ML (VAD, silence
+    * trimming, loudness normalization): the decoded PCM stream is
+    * split into `frameSamples`-sample frames (default 160 = 20 ms at
+    * 8 kHz) and each frame reports INTEGER-EXACT signals — within-
+    * frame zero-crossing count (sign flips between consecutive
+    * samples; frame-local, so frames are independent), energy
+    * (Σ s² as an exact long) and peak. No float leaves the operator,
+    * so the row set hash-oracles against the closed-form mirror (the
+    * [[syntheticAudioPayload]] square wave makes every frame stat a
+    * pure function of doc_id: alternating ±amp ⇒ zc = n−1 when
+    * amp > 0, energy = n·amp²).
+    *
+    * Same batch-shaped mapPartitions + quarantine contract as
+    * [[decodeAudio]]: undecodable payloads yield one deterministic
+    * all-−1 row. One decode pass emits all frames — the payload is
+    * never re-read per frame.
+    */
+  def audioFrameFeatures(payloads: DataFrame,
+                         frameSamples: Int = 160): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val ok = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian
+            if (!ok) Seq(AudioFrame(id, -1L, -1L, -1L, -1L, -1L))
+            else {
+              val pcm = ais.readAllBytes()
+              val n = pcm.length / 2
+              def sample(i: Int): Int =
+                ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+              val frames = (n + frameSamples - 1) / frameSamples
+              (0 until frames).map { f =>
+                val s0 = f * frameSamples
+                val e = math.min(s0 + frameSamples, n)
+                var zc = 0L; var energy = 0L; var peak = 0L
+                var prev = 0
+                var i = s0
+                while (i < e) {
+                  val s = sample(i)
+                  if (i > s0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
+                    zc += 1
+                  val a = math.abs(s).toLong
+                  if (a > peak) peak = a
+                  energy += s.toLong * s
+                  prev = s
+                  i += 1
+                }
+                AudioFrame(id, f.toLong, (e - s0).toLong, zc, energy, peak)
+              }
+            }
+          } catch {
+            case _: Exception => Seq(AudioFrame(id, -1L, -1L, -1L, -1L, -1L))
           }
         }
       }.toDF()

@@ -1418,6 +1418,29 @@ object OraclesLlm {
         |  round(CAST((doc_id * 37) % 10000 AS DOUBLE), 6) AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirror of multimodal_audio_frames: the alternating ±amp square
+    // wave makes every 160-sample frame closed-form — zc = cnt−1 when
+    // amp>0 (every adjacent pair flips sign), energy = cnt·amp²
+    "multimodal_audio_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, 800 + doc_id % 800 AS ns,
+        |         (doc_id * 37) % 10000 AS amp
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, ns, amp,
+        |    unnest(range(0, (ns + 159) // 160)) AS frame_no
+        |  FROM p
+        |)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(least(160, ns - frame_no * 160) AS BIGINT) AS n,
+        |  CAST(CASE WHEN amp > 0
+        |            THEN least(160, ns - frame_no * 160) - 1
+        |            ELSE 0 END AS BIGINT) AS zc,
+        |  CAST(amp * amp * least(160, ns - frame_no * 160) AS BIGINT)
+        |    AS energy,
+        |  CAST(amp AS BIGINT) AS peak
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
     // sampled frames 0 and 2 of the 4-frame container; colour/size
     // are pure functions of (doc_id, frame_idx)
     "multimodal_frames" ->
