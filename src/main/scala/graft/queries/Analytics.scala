@@ -545,6 +545,49 @@ object Analytics {
           col("gap_us"))
         .orderBy("id_a", "id_b")),
 
+    // §2b.27 — MARKET-BASKET pair mining over lineitem (the
+    // "frequently bought together" co-occurrence table — the cofreq
+    // shape on the FACT table): distinct part pairs within one order
+    // (canonical a<b, so each pair once), support counts, and lift =
+    // n_ab·N / (n_a·n_b) as ONE IEEE division of two exact long
+    // products (6dp). Pair space is bounded by the basket size
+    // (≤7 lineitems/order ⇒ ≤21 pairs), never corpus-quadratic; the
+    // self-join key is l_orderkey — uniform. Top-50 by (n_ab, pair)
+    // via TakeOrderedAndProject.
+    "basket_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.agg(countDistinct("ok").as("n_orders"))
+      val sup = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(sup.select(col("pk").as("pa"), col("n_p").as("n_a")), "pa")
+        .join(sup.select(col("pk").as("pb"), col("n_p").as("n_b")), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          round((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(desc("n_ab"), asc("pa"), asc("pb"))
+        .limit(50)
+    }),
+
+    // §2b.21h — HOPPING-window aggregation over events (the
+    // overlapping-window complement of events_window's tumbling
+    // face): 1-hour windows sliding every 15 minutes — each event
+    // lands in exactly 4 windows (fixed ×4, the window TVF expands
+    // map-side, no self-join), counted per (window, event_type).
+    "events_hop" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")),
+
     // §2b.26 — RFM CUSTOMER SEGMENTATION over orders: per customer
     // recency (days since last order vs the corpus max date — one
     // 1-row broadcast), frequency (order count), monetary (decimal-

@@ -658,6 +658,42 @@ object Oracles {
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // mirror of basket_pairs: canonical a<b self-join per order,
+    // lift = one IEEE division of two exact long products
+    "basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT ok) AS n_orders FROM li
+        |), sup AS (
+        |  SELECT pk, count(*) AS n_p FROM li GROUP BY pk
+        |), pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pa, pb, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+        |  round(CAST(n_ab * n_orders AS DOUBLE) / (sa.n_p * sb.n_p), 6)
+        |    AS lift
+        |FROM pairs JOIN sup sa ON sa.pk = pa
+        |JOIN sup sb ON sb.pk = pb CROSS JOIN n
+        |ORDER BY n_ab DESC, pa, pb LIMIT 50""".stripMargin,
+
+    // mirror of events_hop: each event lands in exactly 4 windows of
+    // the 15-min slide grid (both engines align buckets to midnight-
+    // divisible origins, so the grids coincide)
+    "events_hop" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         time_bucket(INTERVAL 15 minutes, ts) AS tb
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, tb - k * INTERVAL 15 minutes AS ws
+        |  FROM e, LATERAL unnest(range(0, 4)) AS t(k)
+        |)
+        |SELECT ws, event_type, count(*) AS n
+        |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
     // mirror of customer_rfm: row_number() total orders (the
     // two-phase globalRank produces identical ranks), integer
     // quintile formula, decimal-exact spend
