@@ -48,6 +48,11 @@ object Bpe {
       s"rounds must be in [1, 64], got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
+    // checkpoint hygiene: the merge table is DRIVER-LOCAL by the end,
+    // so nothing downstream can reference the round tables — unpersist
+    // every checkpoint this call created before returning (exact
+    // CacheHygiene emptiness, not just eventual GC reclamation)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     // the single corpus pass: distinct words with frequencies
     val words = df.where(text.isNotNull)
       .select(explode(split(lower(text), " ")).as("w"))
@@ -91,7 +96,11 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq.toDF("rnk", "a", "b", "n").orderBy("rnk")
+    val out = merges.toSeq.toDF("rnk", "a", "b", "n").orderBy("rnk")
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+    }
+    out
   }
 
   /** Reference single-node trainer for the spec — the obvious
