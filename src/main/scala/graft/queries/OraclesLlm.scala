@@ -460,7 +460,8 @@ object OraclesLlm {
         |  SELECT lh, count(DISTINCT doc_id) AS nd FROM ln GROUP BY lh
         |)
         |SELECT ln.doc_id, count(*) AS n_lines,
-        |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_lines,
         |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*), 6) AS dup_frac,
         |  md5(coalesce(
@@ -1140,7 +1141,7 @@ object OraclesLlm {
         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |  GROUP BY doc_id
         |)
-        |SELECT doc_id, n_bigrams, sum_lp_micro,
+        |SELECT doc_id, n_bigrams, CAST(sum_lp_micro AS BIGINT) AS sum_lp_micro,
         |  round(CAST(sum_lp_micro AS DOUBLE) /
         |        (CAST(n_bigrams AS DOUBLE) * 1e6), 6) AS avg_logp
         |FROM s ORDER BY doc_id""".stripMargin,
@@ -1260,9 +1261,10 @@ object OraclesLlm {
         |)
         |SELECT source,
         |  count(*) AS n_total,
-        |  sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dedup,
-        |  sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok THEN 1 ELSE 0 END)
-        |    AS n_quality,
+        |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quality,
         |  round(CAST(sum(CASE WHEN k.doc_id IS NOT NULL AND q.ok
         |                      THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*), 6) AS retention,

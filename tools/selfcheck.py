@@ -39,6 +39,15 @@ for name in sorted(oracle):
     if len(s) != len(k):
         print(f"FAIL {name}: rows {len(s)} vs {len(k)}"); fails.append(name); continue
     bad = False
+    # the driver hashes STRING reprs: int64 vs float64 ("5" vs "5.0")
+    # hash-mismatches even when numerically equal (DuckDB SUM(BIGINT)
+    # -> HUGEINT -> pandas float64). Catch the dtype-kind drift here.
+    for c in s.columns:
+        ks_, kk_ = s[c].dtype.kind, k[c].dtype.kind
+        if {ks_, kk_} == {"i", "f"} or {ks_, kk_} == {"u", "f"}:
+            print(f"FAIL {name}: col {c} dtype kind {s[c].dtype} vs {k[c].dtype}"
+                  " (driver string-hash would mismatch; CAST the oracle)")
+            bad = True
     for c in s.columns:
         a, b = s[c].values, k[c].values
         if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(k[c].dtype, np.floating):
