@@ -205,8 +205,11 @@ object Bench {
     // canary verdict: worst sample vs the best q1_agg ever seen on a
     // clean artifact (fall back to this run's own best sample when no
     // history exists — first-ever run on a box)
+    // (empty on a BENCH_ONLY subset with no same-sf history: ratio
+    // falls through to 1.0 below rather than crashing on empty.min)
     val canaryRef = (prev.get("q1_agg").toSeq ++
-      (if (canarySamples.nonEmpty) Seq(canarySamples.min) else Nil)).min
+      (if (canarySamples.nonEmpty) Seq(canarySamples.min) else Nil))
+      .minOption.getOrElse(0.0)
     // MEDIAN sample vs ref: sustained contention (the failure mode the
     // start/end sentinel is blind to) inflates most samples; a single
     // GC pause or scheduler hiccup inflates one and must not

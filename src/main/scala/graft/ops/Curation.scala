@@ -468,4 +468,44 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("lw").cast("double") / 1e6, 6).as("logratio"))
       .orderBy("doc_id")
+
+  /** Deterministic in-batch negative sampling (§2c): for each doc,
+    * `offsets.size` pseudo-random negatives drawn from the SAME
+    * stratum — the contrastive-training data prep (in-batch negatives
+    * for retrieval/embedding training) where negatives must come from
+    * the same distribution as the anchor and the draw must be
+    * replayable (rand() cannot be re-run or oracle-checked; the
+    * md5-order position trick is [[shuffleGlobal]]'s, applied per
+    * stratum).
+    *
+    * Rule: docs get positions 0..n−1 in md5-hash order within their
+    * stratum; doc at position i pairs with positions (i+off) mod n
+    * for each fixed offset — a circulant design, so every doc appears
+    * as a negative equally often (balanced usage, no hot negative).
+    * Self-pairs (off ≡ 0 mod n in tiny strata) are dropped.
+    *
+    * Scale shape: two window functions over ONE (stratum, hash-order)
+    * sort + a self equi-join on (stratum, position) — no pair blowup,
+    * never O(n²); the join keys are uniform by construction (positions
+    * are dense), so no skew cap is needed.
+    */
+  def sampleNegatives(df: DataFrame, stratum: Column, id: Column,
+                      offsets: Seq[Int] = Seq(1, 7, 31)): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1))
+    val w = Window.partitionBy("stratum").orderBy(col("hk"), col("doc_id"))
+    val pos = df.select(stratum.as("stratum"), id.as("doc_id"),
+        hashKey(id).as("hk"))
+      .select(col("stratum"), col("doc_id"),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        count(lit(1)).over(Window.partitionBy("stratum")).as("n"))
+    val wanted = pos.select(col("stratum"), col("doc_id"), col("pos"),
+        col("n"), explode(array(offsets.map(lit(_)): _*)).as("off"))
+      .select(col("stratum"), col("doc_id"), col("off"),
+        pmod(col("pos") + col("off"), col("n")).as("neg_pos"), col("pos"))
+      .where(col("neg_pos") =!= col("pos"))
+    wanted.join(pos.select(col("stratum"), col("pos").as("neg_pos"),
+        col("doc_id").as("neg_doc_id")), Seq("stratum", "neg_pos"))
+      .select(col("stratum"), col("doc_id"), col("off"), col("neg_doc_id"))
+      .orderBy("stratum", "doc_id", "off")
+  }
 }

@@ -603,4 +603,46 @@ object TextAnalysis {
         md5(keptText).as("scrub_md5"))
       .orderBy("doc_id")
   }
+
+  /** Hashed-feature linear quality classifier (§2c) — the
+    * fasttext-style "learned filter" every production curation stack
+    * runs after the rule-based passes (Gopher/C4 rules above): a
+    * vocabulary table maps tokens to integer milli-weights and a
+    * document's score is the mean weight of its tokens. The weights
+    * here are md5-derived stand-ins (deterministic, engine-portable:
+    * same top-60-bit md5 → [-1000, 1000] map as the portable dedup
+    * families), but the PLAN is the real one — in production the
+    * weight table is the trained model's hashed embedding matrix,
+    * loaded the same way.
+    *
+    * Scale shape: the vocabulary is a corpus-wide groupBy(token)
+    * filtered to df ≥ minDf — bounded far below the token stream, and
+    * the score join is a plain equi-join the optimizer broadcasts
+    * when the vocab fits (a trained model's vocab is fixed-size, so
+    * at 100 TB this side is ALWAYS the broadcast side). The token
+    * explode is map-only; the per-doc fold is one map-side-combinable
+    * aggregation.
+    */
+  def linearClassifier(df: DataFrame, text: Column, id: Column,
+                       minDf: Int = 2): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(tokensOf(text)).as("tok"))
+    val vocab = toks.dropDuplicates("doc_id", "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("tok"),
+        (pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(2001L)) - 1000L).as("w_milli"))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("w_milli")).as("n_hit"),
+        coalesce(sum("w_milli"), lit(0L)).as("score_milli"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hit"),
+        col("score_milli"),
+        round(col("score_milli").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0), 6).as("score"))
+      .withColumn("pass", col("score") >= 0.0)
+      .orderBy("doc_id")
+  }
 }

@@ -640,6 +640,45 @@ object Analytics {
         "l_linenumber" -> col("l_linenumber").cast("long"),
         "l_returnflag" -> col("l_returnflag"),
         "l_shipdate" -> to_date(col("l_shipdate")),
-        "l_quantity" -> col("l_quantity").cast("decimal(18,2)"))))
+        "l_quantity" -> col("l_quantity").cast("decimal(18,2)")))),
+
+    // §2b.26 — pairwise Pearson correlation matrix over lineitem's
+    // numeric columns (ops/Profile.corrMatrix): decimal-exact moments,
+    // one aggregation pass, final formula in identical-IEEE double.
+    "corr_matrix" -> ((s, d) =>
+      graft.ops.Profile.corrMatrix(Tables.lineitem(s, d), Seq(
+        "l_quantity" -> col("l_quantity"),
+        "l_extendedprice" -> col("l_extendedprice"),
+        "l_discount" -> col("l_discount"),
+        "l_tax" -> col("l_tax")))),
+
+    // §2b.27 — CUBE over (event_type, hour): all four grouping-set
+    // levels in one pass (the rollup_counts sibling; level rows are
+    // marked by NULLs — both dims are non-null in the data). Money
+    // protocol on the value sum.
+    "events_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+          col("value"))
+        .cube("event_type", "hr")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hr"))),
+
+    // §2b.28 — PageRank over the customer–supplier trade graph
+    // (edges = distinct (custkey, suppkey) pairs traded via
+    // orders ⋈ lineitem), 5 damped iterations in exact integer
+    // micro-units (ops/Graph.pageRank): the derive-a-graph-and-rank
+    // workload, hash-oracled via a per-iteration unrolled SQL mirror.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, col("a"), col("b"), iterations = 5)
+    })
   )
 }

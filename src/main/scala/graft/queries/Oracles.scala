@@ -767,8 +767,96 @@ object Oracles {
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
         |UNION ALL SELECT * FROM p5
-        |ORDER BY "column"""".stripMargin
+        |ORDER BY "column"""".stripMargin,
+
+    // mirror of Profile.corrMatrix: decimal-exact moments in ONE
+    // pass, the Pearson formula in the IDENTICAL double expression
+    "corr_matrix" -> corrMatrixSql,
+
+    // mirror of events_cube: hour computed per-row, then CUBE; money
+    // protocol on the value sum
+    "events_cube" ->
+      """SELECT event_type, hr, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value
+        |      FROM events)
+        |GROUP BY CUBE (event_type, hr)
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    // mirror of Graph.pageRank over the customer–supplier trade
+    // graph: 5 unrolled iterations, pure integer arithmetic
+    // (BIGINT // is floored integer division; all operands positive)
+    "graph_pagerank" -> pageRankSql(5)
   )
+
+  /** the 6-pair Pearson mirror, generated so the double formula is
+    * typed once (any asymmetry between pairs would be a hash bug)
+    */
+  private def corrMatrixSql: String = {
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val sums = cols.map { case (c, a) =>
+      s"sum(CAST($c AS DECIMAL(18,6))) AS s_$a" }
+    val prods = for {
+      i <- cols.indices; j <- i until cols.size
+      (ci, ai) = cols(i); (cj, aj) = cols(j)
+    // DECIMAL(28,6) operands: DuckDB multiplies DECIMAL(18,·) in
+    // int64 and overflows on price×price; 28 forces int128. The
+    // values are identical — Spark's (18,6) product is exact too.
+    } yield s"sum(CAST($ci AS DECIMAL(28,6)) * CAST($cj AS DECIMAL(28,6))) AS p_$ai$aj"
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+      (cx, ax) = cols(i); (cy, ay) = cols(j)
+    } yield {
+      val (sxx, syy, sxy) = (s"p_$ax$ax", s"p_$ay$ay", s"p_$ax$ay")
+      s"""SELECT '$cx' AS col_x, '$cy' AS col_y, n,
+         |  round((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+         |          - CAST(s_$ax AS DOUBLE) * CAST(s_$ay AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+         |          - CAST(s_$ax AS DOUBLE) * CAST(s_$ax AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+         |          - CAST(s_$ay AS DOUBLE) * CAST(s_$ay AS DOUBLE))), 6)
+         |    AS corr
+         |FROM m""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    ${(sums ++ prods).mkString(",\n    ")}
+       |  FROM lineitem
+       |)
+       |${pairs.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  /** PageRank mirror: r_{i+1}(dst) = 150000 + Σ_{src→dst}
+    * (r_i(src)·85) // (100·deg(src)), unrolled `iters` times
+    */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT ed.dst AS node,
+         |    150000 + CAST(sum((r.rank_micro * 85) // (ed.deg * 100))
+         |      AS BIGINT) AS rank_micro
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |  GROUP BY ed.dst
+         |)"""
+    }.mkString(", ")
+    s"""WITH pair AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), e AS (
+       |  SELECT a AS src, b AS dst FROM pair
+       |  UNION SELECT b, a FROM pair
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM e GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)
+       |), r0 AS (
+       |  SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg
+       |), $steps
+       |SELECT node, rank_micro FROM r$iters ORDER BY node""".stripMargin
+  }
 
   def all: Map[String, String] = refSurface ++ knn ++ analytics
 }

@@ -1684,6 +1684,136 @@ object OraclesLlm {
         |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |      '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // mirror of TextAnalysis.linearClassifier: df≥2 vocab with
+    // md5-derived milli-weights (top-60-bit md5 % 2001 − 1000; the
+    // hash is positive so plain % == pmod), mean-weight score
+    "quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+        |  FROM (SELECT tok, count(DISTINCT doc_id) AS df
+        |        FROM tok GROUP BY tok)
+        |  WHERE df >= 2
+        |), s AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(v.w_milli) AS n_hit,
+        |    CAST(coalesce(sum(v.w_milli), 0) AS BIGINT) AS score_milli
+        |  FROM tok t LEFT JOIN vocab v USING (tok)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_hit, score_milli,
+        |  round(CAST(score_milli AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score,
+        |  (round(CAST(score_milli AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) >= 0.0) AS pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirror of KMeans.assign (k=8, 3 Lloyd rounds unrolled): exact
+    // integer micro components, argmin tie-broken on cluster id,
+    // floored-integer centroid means via the portable
+    // (s − ((s%n)+n)%n) // n identity
+    "ml_kmeans" -> kmeansSql(k = 8, iters = 3),
+
+    // mirror of Embed.quantizeInt8: round-half-up((x·127)/s) as the
+    // floored integer (254·x + s) // 2s; md5 over the canonical
+    // comma-joined code string
+    "embed_quantize" ->
+      """WITH vm AS (
+        |  SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)
+        |), sc AS (
+        |  SELECT vec_id, CAST(max(abs(v)) AS BIGINT) AS s
+        |  FROM vm GROUP BY vec_id
+        |), q AS (
+        |  SELECT vm.vec_id, vm.i,
+        |    CASE WHEN sc.s = 0 THEN 0 ELSE
+        |      (vm.v * 254 + sc.s
+        |       - ((((vm.v * 254 + sc.s) % (2 * sc.s)) + 2 * sc.s) % (2 * sc.s)))
+        |      // (2 * sc.s) END AS q
+        |  FROM vm JOIN sc USING (vec_id)
+        |)
+        |SELECT q.vec_id, sc.s AS scale_micro,
+        |  CAST(sum(CASE WHEN q.q <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonzero,
+        |  CAST(sum(abs(q.q)) AS BIGINT) AS sum_abs,
+        |  md5(string_agg(CAST(q.q AS VARCHAR), ',' ORDER BY q.i)) AS code_md5
+        |FROM q JOIN sc USING (vec_id)
+        |GROUP BY q.vec_id, sc.s ORDER BY vec_id""".stripMargin,
+
+    // mirror of Curation.sampleNegatives: md5-order position per
+    // source stratum, circulant offsets {1,7,31}, self-pairs dropped
+    "sample_negatives" ->
+      """WITH p AS (
+        |  SELECT source AS stratum, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |      AS pos,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), w AS (
+        |  SELECT stratum, doc_id, off, (pos + off) % n AS neg_pos, pos
+        |  FROM p, unnest([1, 7, 31]) AS t(off)
+        |)
+        |SELECT w.stratum AS stratum, w.doc_id AS doc_id, w.off AS off,
+        |  p2.doc_id AS neg_doc_id
+        |FROM w JOIN p p2 ON w.stratum = p2.stratum AND w.neg_pos = p2.pos
+        |WHERE w.neg_pos <> w.pos
+        |ORDER BY w.stratum, w.doc_id, w.off""".stripMargin
   )
+
+  /** the unrolled Lloyd mirror: vectors in long (vec_id, dim, micro)
+    * form; each round is one assignment CTE (argmin via row_number
+    * over (dist2, cluster)) and, between rounds, one floored-integer
+    * centroid-mean CTE. Generated so every round is structurally
+    * identical to the Spark loop's.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, cluster, dist2 FROM (
+         |    SELECT vec_id, cluster, dist2,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist2, cluster) AS rn
+         |    FROM (
+         |      SELECT vm.vec_id, c.cluster,
+         |        CAST(sum((vm.v - c.c) * (vm.v - c.c)) AS BIGINT) AS dist2
+         |      FROM vm JOIN c${i - 1} c ON vm.dim = c.dim
+         |      GROUP BY vm.vec_id, c.cluster
+         |    )
+         |  ) WHERE rn = 1
+         |)"""
+    def updateCte(i: Int): String =
+      s"""c$i AS (
+         |  SELECT cluster, dim, (s - ((s % n) + n) % n) // n AS c FROM (
+         |    SELECT a.cluster, vm.dim, CAST(sum(vm.v) AS BIGINT) AS s,
+         |      count(*) AS n
+         |    FROM a$i a JOIN vm USING (vec_id)
+         |    GROUP BY a.cluster, vm.dim
+         |  )
+         |)"""
+    val rounds = (1 until iters).flatMap(i => Seq(assignCte(i), updateCte(i))) :+
+      assignCte(iters)
+    s"""WITH vm AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |), init AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)
+       |), c0 AS (
+       |  SELECT i.cluster, v.dim, v.v AS c FROM init i JOIN vm v USING (vec_id)
+       |), ${rounds.mkString(", ")}
+       |SELECT vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id""".stripMargin
+  }
 }

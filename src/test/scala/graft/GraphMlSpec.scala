@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Curation, Embed, Graph, KMeans, Profile}
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: PageRank, k-means, int8 quantization, negative
+  * sampling, the linear quality classifier, and the correlation
+  * matrix — invariant checks on constructed inputs (the cross-engine
+  * hash evidence lives in the Verify/DuckDB gate; these pin the
+  * operator-level semantics a hash can't name).
+  */
+class GraphMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric pair ranks equal, star center dominates") {
+    // star: hub h connected to leaves l1..l4, plus an isolated pair
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+      ("p", "q")).toDF("a", "b")
+    val r = Graph.pageRank(edges, col("a"), col("b"), iterations = 5)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 7)
+    // symmetric positions must get identical ranks
+    assert(r("p") == r("q"))
+    assert(r("l1") == r("l2") && r("l2") == r("l3") && r("l3") == r("l4"))
+    // the hub out-ranks its leaves
+    assert(r("h") > r("l1"))
+    // total rank is conserved up to the per-edge floor loss:
+    // n·1e6 ≥ Σ ranks > n·1e6 − n_directed_edges·iterations
+    val total = r.values.sum
+    assert(total <= 7L * 1000000L)
+    assert(total > 7L * 1000000L - 10L * 5L * 2L)
+  }
+
+  test("kmeans: separated blobs recover their blobs exactly") {
+    // two tight blobs far apart; k=2, init = two lowest ids = one
+    // per blob (ids interleaved so init starts one centroid in each)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(base + i * 1e-4f, base, base))
+    }.toDF("vec_id", "embedding")
+    val out = KMeans.assign(vecs, col("embedding"), col("vec_id"),
+      k = 2, iterations = 3).collect()
+    val byCluster = out.groupBy(_.getLong(1)).view.mapValues(
+      _.map(_.getLong(0)).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((0L until 20L by 2).toSet, (1L until 20L by 2).toSet))
+  }
+
+  test("quantizeInt8: max-abs component codes to ±127, zero vector to 0") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Embed.quantizeInt8(vecs, col("embedding"), col("vec_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // vec 1: scale = 1e6; codes round(127·x) = [64, -127, 32]
+    assert(out(1L) == ((1000000L, 3L, 64L + 127L + 32L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("sampleNegatives: circulant design — no self pairs, balanced usage") {
+    val docs = (1L to 40L).map(i => (if (i <= 35) "a" else "b", i))
+      .toDF("source", "doc_id")
+    val out = Curation.sampleNegatives(docs, col("source"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getLong(3)))
+    assert(out.forall { case (_, d, _, n) => d != n })
+    // stratum a (35 docs, offsets 1/7/31 all < 35): 3 negatives per
+    // doc, and every doc is USED as a negative exactly 3 times
+    val a = out.filter(_._1 == "a")
+    assert(a.groupBy(_._2).forall(_._2.length == 3))
+    assert(a.groupBy(_._4).forall(_._2.length == 3))
+    // stratum b (5 docs): offsets 1, 7→2, 31→1 mod 5; all nonzero so
+    // 3 negatives per doc, offsets 1 and 31 landing on the same doc
+    val b = out.filter(_._1 == "b")
+    assert(b.groupBy(_._2).forall(_._2.length == 3))
+  }
+
+  test("linearClassifier: all-OOV docs score 0, vocab df-gates") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha beta"),
+      (3L, "uniqueword onlyhere")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearClassifier(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 3's tokens appear in one doc only (df=1 < 2): zero hits
+    assert(out(3L) == ((2L, 0L, 0L)))
+    // docs 1/2 hit on alpha+beta (df=2); doc 1 counts alpha twice
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 2L)
+  }
+
+  test("corrMatrix: exact ±1 on linear columns, symmetry of n") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0, -1.0 * i))
+      .toDF("x", "y", "z")
+    val out = Profile.corrMatrix(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    assert(out(("x", "y")) == ((100L, 1.0)))
+    assert(out(("x", "z")) == ((100L, -1.0)))
+    assert(out(("y", "z")) == ((100L, -1.0)))
+  }
+}
