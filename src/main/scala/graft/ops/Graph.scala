@@ -45,9 +45,13 @@ object Graph {
       col("src").as("dst"))).distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // edge list with the source's out-degree attached — built once,
-    // reused by every iteration (cache: iterations share the scan)
+    // reused by every iteration. localCheckpoint, not persist():
+    // its blocks are owned by the RDD and GC-reclaimed by the
+    // ContextCleaner (the Bpe/clusters hygiene contract,
+    // CacheHygieneSpec) — no CacheManager entry for a long-lived
+    // session to leak; it also truncates the per-iteration lineage.
     val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).cache()
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     val ranks0 = deg.select(col("src").as("node"),
       lit(1000000L).as("rank_micro"))
     val result = (1 to iterations).foldLeft(ranks0) { (ranks, _) =>

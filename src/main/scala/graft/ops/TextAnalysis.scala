@@ -624,16 +624,33 @@ object TextAnalysis {
     * aggregation.
     */
   def linearClassifier(df: DataFrame, text: Column, id: Column,
-                       minDf: Int = 2): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-      explode(tokensOf(text)).as("tok"))
-    val vocab = toks.dropDuplicates("doc_id", "tok")
+                       minDf: Int = 2): DataFrame =
+    classifyWithVocab(df, text, id, classifierVocab(df, text, id, minDf))
+
+  /** the FITTED half: the (tok, w_milli) weight table — what a real
+    * pipeline persists once and serves from (the dsirWeights /
+    * bm25 postings lifecycle); df-gated at fit time so the served
+    * vocab is bounded
+    */
+  def classifierVocab(df: DataFrame, text: Column, id: Column,
+                      minDf: Int = 2): DataFrame =
+    df.select(id.as("doc_id"), explode(tokensOf(text)).as("tok"))
+      .dropDuplicates("doc_id", "tok")
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("tok"),
         (pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
           lit(2001L)) - 1000L).as("w_milli"))
-    toks.join(vocab, Seq("tok"), "left")
+
+  /** the SCORING half: map-only token stream through the weight
+    * table's equi-join (broadcast when the vocab fits — a trained
+    * vocab is fixed-size, so at scale it always does) + one
+    * map-side-combinable per-doc fold
+    */
+  def classifyWithVocab(df: DataFrame, text: Column, id: Column,
+                        vocab: DataFrame): DataFrame =
+    df.select(id.as("doc_id"), explode(tokensOf(text)).as("tok"))
+      .join(vocab, Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(col("w_milli")).as("n_hit"),
@@ -644,5 +661,4 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * 1000.0), 6).as("score"))
       .withColumn("pass", col("score") >= 0.0)
       .orderBy("doc_id")
-  }
 }

@@ -666,6 +666,13 @@ object Analytics {
             .as("sum_value"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hr"))),
 
+    // §2b.29 — time-series resample + forward fill: each user's
+    // irregular event stream regularized onto its own hourly grid,
+    // empty buckets forward-filled and flagged (ops/Resample).
+    "events_resample" -> ((s, d) =>
+      graft.ops.Resample.forwardFill(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_id"), col("value"))),
+
     // §2b.28 — PageRank over the customer–supplier trade graph
     // (edges = distinct (custkey, suppkey) pairs traded via
     // orders ⋈ lineitem), 5 damped iterations in exact integer

@@ -783,6 +783,35 @@ object Oracles {
         |GROUP BY CUBE (event_type, hr)
         |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
 
+    // mirror of Resample.forwardFill: per-user hourly grid via
+    // generate_series between the user's own first/last bucket,
+    // last-event-per-bucket pick by (ts, id), IGNORE NULLS forward
+    // fill; the value passes through untouched (no float arithmetic)
+    "events_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, date_trunc('hour', ts) AS bkt, ts,
+        |    event_id AS id, value AS v
+        |  FROM events
+        |), pb AS (
+        |  SELECT k, bkt, n_events, v FROM (
+        |    SELECT k, bkt, ts, id, v,
+        |      count(*) OVER (PARTITION BY k, bkt) AS n_events,
+        |      row_number() OVER (PARTITION BY k, bkt
+        |        ORDER BY ts DESC, id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), grid AS (
+        |  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bkt
+        |  FROM (SELECT k, min(bkt) AS lo, max(bkt) AS hi FROM ev GROUP BY k)
+        |)
+        |SELECT g.k AS key, g.bkt AS bkt,
+        |  coalesce(pb.n_events, 0) AS n_events,
+        |  last_value(pb.v IGNORE NULLS) OVER (PARTITION BY g.k
+        |    ORDER BY g.bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (pb.v IS NULL) AS filled
+        |FROM grid g LEFT JOIN pb ON g.k = pb.k AND g.bkt = pb.bkt
+        |ORDER BY key, bkt""".stripMargin,
+
     // mirror of Graph.pageRank over the customer–supplier trade
     // graph: 5 unrolled iterations, pure integer arithmetic
     // (BIGINT // is floored integer division; all operands positive)

@@ -1689,29 +1689,12 @@ object OraclesLlm {
     // mirror of TextAnalysis.linearClassifier: df≥2 vocab with
     // md5-derived milli-weights (top-60-bit md5 % 2001 − 1000; the
     // hash is positive so plain % == pmod), mean-weight score
-    "quality_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |  FROM documents
-        |), vocab AS (
-        |  SELECT tok,
-        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
-        |  FROM (SELECT tok, count(DISTINCT doc_id) AS df
-        |        FROM tok GROUP BY tok)
-        |  WHERE df >= 2
-        |), s AS (
-        |  SELECT t.doc_id, count(*) AS n_tokens,
-        |    count(v.w_milli) AS n_hit,
-        |    CAST(coalesce(sum(v.w_milli), 0) AS BIGINT) AS score_milli
-        |  FROM tok t LEFT JOIN vocab v USING (tok)
-        |  GROUP BY t.doc_id
-        |)
-        |SELECT doc_id, n_tokens, n_hit, score_milli,
-        |  round(CAST(score_milli AS DOUBLE)
-        |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score,
-        |  (round(CAST(score_milli AS DOUBLE)
-        |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) >= 0.0) AS pass
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_classifier" -> classifierSql,
+
+    // the persisted-vocab spelling serves the IDENTICAL result (the
+    // score_importance_indexed precedent): same mirror, so any drift
+    // between indexed and from-scratch plans is a hash mismatch
+    "quality_classifier_indexed" -> classifierSql,
 
     // mirror of KMeans.assign (k=8, 3 Lloyd rounds unrolled): exact
     // integer micro components, argmin tie-broken on cluster id,
@@ -1768,6 +1751,35 @@ object OraclesLlm {
         |WHERE w.neg_pos <> w.pos
         |ORDER BY w.stratum, w.doc_id, w.off""".stripMargin
   )
+
+  /** mirror of TextAnalysis.linearClassifier — shared by the fresh
+    * and persisted-vocab spellings: df≥2 vocab with md5-derived
+    * milli-weights (top-60-bit md5 % 2001 − 1000; the hash is
+    * positive so plain % == pmod), mean-weight score
+    */
+  private lazy val classifierSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+      |  FROM (SELECT tok, count(DISTINCT doc_id) AS df
+      |        FROM tok GROUP BY tok)
+      |  WHERE df >= 2
+      |), s AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    count(v.w_milli) AS n_hit,
+      |    CAST(coalesce(sum(v.w_milli), 0) AS BIGINT) AS score_milli
+      |  FROM tok t LEFT JOIN vocab v USING (tok)
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_hit, score_milli,
+      |  round(CAST(score_milli AS DOUBLE)
+      |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score,
+      |  (round(CAST(score_milli AS DOUBLE)
+      |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) >= 0.0) AS pass
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** the unrolled Lloyd mirror: vectors in long (vec_id, dim, micro)
     * form; each round is one assignment CTE (argmin via row_number
