@@ -91,4 +91,65 @@ object Profile {
         col("p.n").as("n"), col("p.corr").as("corr"))
       .orderBy("col_x", "col_y")
   }
+
+  /** Per-group ordinary-least-squares TREND line — "is this segment
+    * growing?" over an already-aggregated integer series (the
+    * caller supplies exact long `x` (e.g. a month index) and `y`
+    * (e.g. revenue cents); aggregating the fact table FIRST is what
+    * keeps the moments in long range). Returns per group: n, slope,
+    * intercept — each the closed normal-equation form as ONE
+    * exactly-rounded IEEE division of exact integer moments
+    * (slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²)), rounded 6dp — the corr_matrix
+    * protocol applied to regression. Degenerate groups (a single
+    * distinct x) yield NULL slope/intercept on both engines.
+    *
+    * Scale shape: one map-side-combinable aggregation on the group
+    * key — 5 long sums per group, no window, no second pass.
+    */
+  def groupTrend(df: DataFrame, grp: Column, x: Column,
+                 y: Column): DataFrame = {
+    val m = df.select(grp.as("grp"), x.as("x"), y.as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    m.select(col("grp"), col("n"),
+        when(den === 0.0, lit(null).cast("double")).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den, 6)).as("slope"),
+        when(den === 0.0, lit(null).cast("double")).otherwise(
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den, 6)).as("intercept"))
+      .orderBy("grp")
+  }
+
+  /** Equi-width integer histogram — the profiling complement of
+    * [[profile]]'s min/max (distribution shape, not just range).
+    * `value` must be an exact long (cents/micros per the money
+    * protocol); bucket boundaries derive from the corpus min/max as
+    * floored integer arithmetic — bucket = (v−min)·nb div
+    * (max−min+1), all operands non-negative so truncating and
+    * floored division agree cross-engine. Returns one row per
+    * non-empty bucket: bucket, n, v_min, v_max.
+    *
+    * Scale shape: min/max is one map-side-combinable 1-row pass
+    * broadcast back (the RFM recency pattern); the bucket pass is
+    * map-only + one nb-row aggregation. Two scans total, no window,
+    * no sort — at 100 TB the two passes pipeline as pure columnar
+    * scans of the one column.
+    */
+  def histogram(df: DataFrame, value: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1)
+    val v = df.select(value.as("v")).where(col("v").isNotNull)
+    val mm = v.agg(min("v").as("mn"), max("v").as("mx"))
+    v.crossJoin(broadcast(mm))
+      .select(least(
+        expr(s"((v - mn) * $buckets) div (mx - mn + 1)"),
+        lit(buckets - 1).cast("long")).as("bucket"), col("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("v_min"), max("v").as("v_max"))
+      .orderBy("bucket")
+  }
 }

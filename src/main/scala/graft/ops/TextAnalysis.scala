@@ -344,6 +344,31 @@ object TextAnalysis {
       id.as("doc_id"),
       graft.functions.TextHash.rollingMinHash(text, window).as("rfp"))
 
+  /** [[rollingFingerprint]]'s engine-portable evidence twin (the
+    * minhash_banded / substring_mod pattern): the SAME min-window-
+    * hash semantics — every `window`-char window hashed, folded to
+    * the per-doc minimum; texts shorter than the window hash their
+    * full length — with the hash family swapped from the native
+    * Rabin-Karp kernel to md5-top-60-bits, which both engines
+    * compute identically, so the whole operator hash-oracles
+    * end-to-end in DuckDB. Production default stays the codegen'd
+    * [[rollingFingerprint]] (one rolling pass, no per-window md5);
+    * this twin is the cross-engine proof of the window/min plumbing
+    * and costs ~len·window work per doc by design.
+    *
+    * Map-only: the windows live inside ONE higher-order expression
+    * (transform → array_min) — no explode, no shuffle, no state.
+    */
+  def rollingFingerprintPortable(df: DataFrame, text: Column, id: Column,
+                                 window: Int = 16): DataFrame =
+    df.select(id.as("doc_id"), coalesce(text, lit("")).as("__text"))
+      .select(col("doc_id"), expr(
+        s"""array_min(transform(
+           |  sequence(1, greatest(length(__text) - ${window - 1}, 1)),
+           |  i -> cast(conv(substring(md5(cast(
+           |         substring(__text, i, $window) as binary)), 1, 15),
+           |       16, 10) as bigint)))""".stripMargin).as("rfp_mod"))
+
   /** corpus-wide top-k n-gram table (§2c.32d) — the corpus-statistics
     * face of the n-gram machinery (the aggregation behind "top n-gram
     * fraction" quality filters and corpus QA dashboards): every

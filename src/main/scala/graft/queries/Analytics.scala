@@ -686,6 +686,51 @@ object Analytics {
           concat(lit("s"), col("l_suppkey")).as("b"))
         .distinct()
       graft.ops.Graph.pageRank(edges, col("a"), col("b"), iterations = 5)
-    })
+    }),
+
+    // §2b.28b — per-node triangle counts over the co-purchase graph
+    // (parts co-occurring in ≥2 orders — the support gate keeps the
+    // graph sparse and meaningful): degree-oriented wedge join
+    // (ops/Graph.triangleCounts) — each triangle counted once, out-
+    // degree bounded O(√m) by construction.
+    "graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.as("la").join(li.as("lb"),
+          col("la.l_orderkey") === col("lb.l_orderkey") &&
+          col("la.l_partkey") < col("lb.l_partkey"))
+        .groupBy(col("la.l_partkey").as("a"), col("lb.l_partkey").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+      graft.ops.Graph.triangleCounts(edges, col("a"), col("b"))
+    }),
+
+    // §2b.30 — per-nation revenue TREND (OLS slope over the monthly
+    // order-revenue series): the fact table aggregates to (nation,
+    // month, cents) FIRST — the moments then stay in long range at
+    // any SF — and ops/Profile.groupTrend closes the normal
+    // equations as single IEEE divisions of exact sums.
+    "trend_sales" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          ((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+            month(to_date(col("o_orderdate"))) - 1).cast("long").as("mo"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) *
+          100).cast("long").as("cents"))
+      graft.ops.Profile.groupTrend(monthly, col("nation"), col("mo"),
+        col("cents"))
+    }),
+
+    // §2b.25q — equi-width histogram of lineitem extended price in
+    // exact cents (ops/Profile.histogram): distribution shape for
+    // the profiling face; 1-row min/max broadcast, floored-integer
+    // bucket boundaries, map-only bucket pass.
+    "stats_histogram" -> ((s, d) =>
+      graft.ops.Profile.histogram(
+        Tables.lineitem(s, d).select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+        col("cents"), buckets = 10))
   )
 }

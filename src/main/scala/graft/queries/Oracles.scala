@@ -815,7 +815,77 @@ object Oracles {
     // mirror of Graph.pageRank over the customer–supplier trade
     // graph: 5 unrolled iterations, pure integer arithmetic
     // (BIGINT // is floored integer division; all operands positive)
-    "graph_pagerank" -> pageRankSql(5)
+    "graph_pagerank" -> pageRankSql(5),
+
+    // mirror of Graph.triangleCounts over the support≥2 co-purchase
+    // graph: same degree orientation ((d, node) tuple compare), same
+    // oriented wedge join — each triangle once, exploded to its 3
+    // nodes
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY x, y HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY n
+        |), o AS (
+        |  SELECT CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.x ELSE e.y END AS u,
+        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.y ELSE e.x END AS v
+        |  FROM e JOIN deg da ON da.n = e.x JOIN deg db ON db.n = e.y
+        |), tri AS (
+        |  SELECT p.u AS ta, p.v AS tb, q.v AS tc
+        |  FROM o p JOIN o q ON p.u = q.u AND p.v < q.v
+        |  JOIN o r ON r.u = p.v AND r.v = q.v
+        |), nx AS (
+        |  SELECT unnest([ta, tb, tc]) AS node FROM tri
+        |)
+        |SELECT node, count(*) AS n_tri FROM nx
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // mirror of Profile.groupTrend over per-nation monthly revenue:
+    // exact integer moments (sums CAST BIGINT — DuckDB sum widens to
+    // HUGEINT), normal equations as single IEEE divisions, 6dp
+    "trend_sales" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name AS grp,
+        |    CAST((year(CAST(o.o_orderdate AS DATE)) - 1992) * 12
+        |         + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY grp, x
+        |), m AS (
+        |  SELECT grp, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM monthly GROUP BY grp
+        |)
+        |SELECT grp, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+        |FROM m ORDER BY grp""".stripMargin,
+
+    // mirror of Profile.histogram over lineitem price cents: floored
+    // integer bucket boundaries off the 1-row min/max
+    "stats_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v)
+        |SELECT least(((v.v - mm.mn) * 10) // (mm.mx - mm.mn + 1),
+        |             CAST(9 AS BIGINT)) AS bucket,
+        |  count(*) AS n, min(v.v) AS v_min, max(v.v) AS v_max
+        |FROM v CROSS JOIN mm
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   /** the 6-pair Pearson mirror, generated so the double formula is

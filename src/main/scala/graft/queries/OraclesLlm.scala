@@ -1749,8 +1749,76 @@ object OraclesLlm {
         |  p2.doc_id AS neg_doc_id
         |FROM w JOIN p p2 ON w.stratum = p2.stratum AND w.neg_pos = p2.pos
         |WHERE w.neg_pos <> w.pos
-        |ORDER BY w.stratum, w.doc_id, w.off""".stripMargin
+        |ORDER BY w.stratum, w.doc_id, w.off""".stripMargin,
+
+    // mirror of Embed.pcaPower: centered integer Gram matrix (micro
+    // components, floored means), 3 power steps unrolled with the
+    // down-scaled-max renormalization; every division is the
+    // portable floored identity
+    "embed_pca" -> pcaSql(3),
+
+    // mirror of TextAnalysis.rollingFingerprintPortable: every
+    // 16-char window's md5-top-60-bit hash, folded to the per-doc
+    // min; texts shorter than 16 chars hash their full length
+    // (greatest(len-15, 1) keeps exactly one window)
+    "text_rollinghash_mod" ->
+      """SELECT doc_id,
+        |  min(('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT)
+        |    AS rfp_mod
+        |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
+        |CROSS JOIN LATERAL
+        |  unnest(range(1, greatest(len(text) - 15, 1) + 1)) t(i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** the unrolled power-iteration mirror of Embed.pcaPower: vm is the
+    * k-means (vec_id, dim, micro) form; mu/gram use the portable
+    * floored-division identity; each step is one matrix-vector CTE +
+    * a 1-row max + the down-scaled renormalization (u·1e6 would
+    * overflow BIGINT at u ~ 3e17, so w = u div (m div 1e6) instead —
+    * same rule as the Spark side)
+    */
+  private def pcaSql(iters: Int): String = {
+    def step(i: Int): String =
+      s"""u$i AS (
+         |  SELECT g.i AS dim, CAST(sum(g.s * w.w) AS BIGINT) AS u
+         |  FROM gram g JOIN w${i - 1} w ON g.j = w.dim GROUP BY g.i
+         |), m$i AS (
+         |  SELECT CAST(max(abs(u)) AS BIGINT) AS m FROM u$i
+         |), w$i AS (
+         |  SELECT u.dim,
+         |    CASE WHEN m.m < 1000000 THEN u.u ELSE
+         |      (u.u - ((u.u % (m.m // 1000000)) + (m.m // 1000000))
+         |             % (m.m // 1000000)) // (m.m // 1000000) END AS w
+         |  FROM u$i u CROSS JOIN m$i m
+         |)"""
+    val steps = (1 to iters).map(step).mkString(", ")
+    s"""WITH vm AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |), mu AS (
+       |  SELECT dim, (s - ((s % n) + n) % n) // n AS mu FROM (
+       |    SELECT dim, CAST(sum(v) AS BIGINT) AS s,
+       |      CAST(count(*) AS BIGINT) AS n
+       |    FROM vm GROUP BY dim)
+       |), cent AS (
+       |  SELECT vm.vec_id, vm.dim, vm.v - mu.mu AS c
+       |  FROM vm JOIN mu USING (dim)
+       |), gram AS (
+       |  SELECT i, j,
+       |    (s - ((s % 1000000) + 1000000) % 1000000) // 1000000 AS s
+       |  FROM (
+       |    SELECT p.dim AS i, q.dim AS j, CAST(sum(p.c * q.c) AS BIGINT) AS s
+       |    FROM cent p JOIN cent q ON p.vec_id = q.vec_id
+       |    GROUP BY i, j)
+       |), w0 AS (
+       |  SELECT dim, CAST(1000000 AS BIGINT) AS w FROM mu
+       |), $steps
+       |SELECT dim, w AS w_micro FROM w$iters ORDER BY dim""".stripMargin
+  }
 
   /** mirror of TextAnalysis.linearClassifier — shared by the fresh
     * and persisted-vocab spellings: df≥2 vocab with md5-derived

@@ -105,4 +105,75 @@ class GraphMlSpec extends SparkSpec {
     assert(out(("x", "z")) == ((100L, -1.0)))
     assert(out(("y", "z")) == ((100L, -1.0)))
   }
+
+  test("triangleCounts: K4 has 4 triangles, every node in 3; star has none") {
+    // K4 on 1..4 (either orientation in the input), plus a star on
+    // 10..13 (no triangles) and a dangling edge
+    val k4 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (b.toLong, a.toLong)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+    val edges = (k4 ++ star).toDF("a", "b")
+    val out = Graph.triangleCounts(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // C(4,3) = 4 triangles; each K4 node participates in 3
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("pcaPower: recovers a planted dominant direction") {
+    // variance concentrated on dim 1: x_1 = ±1 alternating, other
+    // dims near-constant noise — the top PC must align with dim 1
+    val vecs = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(0.001f * (i % 3), s, 0.002f * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val w = Embed.pcaPower(vecs, col("embedding"), col("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 3)
+    // dominant component is dim 1 at full magnitude ~1e6; the noise
+    // dims are orders of magnitude smaller
+    assert(math.abs(w(1L)) > 900000L)
+    assert(math.abs(w(0L)) < 100000L && math.abs(w(2L)) < 100000L)
+  }
+
+  test("groupTrend: exact line recovered; single-x group yields nulls") {
+    val pts = (0L to 10L).map(x => ("line", x, 2L * x + 3L)) ++
+      Seq(("flat", 5L, 100L), ("flat", 5L, 200L))
+    val out = Profile.groupTrend(pts.toDF("g", "x", "y"),
+      col("g"), col("x"), col("y")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("line") == ((11L, Some(2.0), Some(3.0))))
+    assert(out("flat") == ((2L, None, None)))
+  }
+
+  test("histogram: exact equi-width buckets, extremes land in 0 and last") {
+    // values 0..99 in cents, 10 buckets of exactly 10
+    val out = Profile.histogram((0L to 99L).toDF("v"), col("v"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length == 10)
+    assert(out.head == ((0L, 10L, 0L, 9L)))
+    assert(out.last == ((9L, 10L, 90L, 99L)))
+  }
+
+  test("rollingFingerprintPortable: duplicates share, short text = whole-text hash") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "short"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.rollingFingerprintPortable(
+      docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    // texts shorter than the window hash their full length: one
+    // window = md5 of the whole string, top 60 bits
+    val exp = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("short")
+        .substring(0, 15), 16)
+    assert(out(3L) == exp)
+    // null behaves as empty text (md5(''))
+    val expEmpty = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("")
+        .substring(0, 15), 16)
+    assert(out(4L) == expEmpty)
+  }
 }
