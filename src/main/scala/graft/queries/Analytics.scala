@@ -731,6 +731,78 @@ object Analytics {
         Tables.lineitem(s, d).select(
           (col("l_extendedprice").cast("decimal(18,2)") * 100)
             .cast("long").as("cents")),
-        col("cents"), buckets = 10))
+        col("cents"), buckets = 10)),
+
+    // §2b.31 — bilateral trade volume (TPC-H Q7 shape): the two
+    // 1-row nation dims filter BEFORE broadcasting, so the fact
+    // stream shrinks at the earliest join; the only big-big join is
+    // lineitem⋈orders on orderkey.
+    "q7_volume" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .where(year(to_date(col("l_shipdate"))).isin(1995, 1996, 1997, 1998))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(to_date(col("l_shipdate"))).cast("long").as("yr"))
+        .agg(revenue.as("rev"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // §2b.32 — product-line profit by supplier nation and year
+    // (TPC-H Q9 shape, cost = retail·qty since the corpus carries no
+    // partsupp): part filter pushes to the dim scan and broadcasts;
+    // profit amounts sum DECIMAL-exact per the money protocol.
+    "q9_profit" -> ((s, d) => {
+      val p = Tables.part(s, d).where(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val amount =
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+             col("l_discount").cast("decimal(18,2)")) -
+            col("p_retailprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("double")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+        .agg(round(amount, 2).as("profit"))
+        .orderBy(asc("nation"), desc("yr"))
+    }),
+
+    // §2b.33 — large-volume customers (TPC-H Q18 shape): the HAVING
+    // aggregate runs on lineitem ALONE (map-side-combinable, tiny
+    // result), then joins back — orders/customer never see unfiltered
+    // lineitem rows; top-100 is TakeOrderedAndProject.
+    "q18_large" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    })
   )
 }

@@ -873,6 +873,53 @@ object Oracles {
         |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
         |FROM m ORDER BY grp""".stripMargin,
 
+    // TPC-H Q7 shape: bilateral trade revenue between two nations
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr, $rev AS rev
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |  AND year(CAST(l_shipdate AS DATE)) IN (1995, 1996, 1997, 1998)
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    // TPC-H Q9 shape (cost = retail·qty; corpus has no partsupp):
+    // decimal-exact profit amounts, rounded once in double
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  round(CAST(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS profit
+        |FROM lineitem, part, orders, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY n_name, yr ORDER BY nation ASC, yr DESC""".stripMargin,
+
+    // TPC-H Q18 shape: large-volume customers via the lineitem-only
+    // HAVING aggregate joined back
+    "q18_large" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+        |)
+        |SELECT c_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
     // mirror of Profile.histogram over lineitem price cents: floored
     // integer bucket boundaries off the 1-row min/max
     "stats_histogram" ->
