@@ -97,11 +97,16 @@ object Profile {
     * caller supplies exact long `x` (e.g. a month index) and `y`
     * (e.g. revenue cents); aggregating the fact table FIRST is what
     * keeps the moments in long range). Returns per group: n, slope,
-    * intercept — each the closed normal-equation form as ONE
-    * exactly-rounded IEEE division of exact integer moments
-    * (slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²)), rounded 6dp — the corr_matrix
-    * protocol applied to regression. Degenerate groups (a single
-    * distinct x) yield NULL slope/intercept on both engines.
+    * intercept — each the closed normal-equation form as ONE RAW
+    * IEEE division of exact integer moments
+    * (slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²)). Deliberately NOT rounded:
+    * identical exact longs cast to identical doubles and one IEEE
+    * division is bit-deterministic on every engine, while a
+    * decimal round of a large-magnitude quotient (intercepts reach
+    * e9 cents) asks for digits past double precision and the
+    * engines' rounding algorithms disagree in the last ulp (seen at
+    * the 3× gate). Degenerate groups (a single distinct x) yield
+    * NULL slope/intercept on both engines.
     *
     * Scale shape: one map-side-combinable aggregation on the group
     * key — 5 long sums per group, no window, no second pass.
@@ -117,11 +122,11 @@ object Profile {
       .cast("double")
     m.select(col("grp"), col("n"),
         when(den === 0.0, lit(null).cast("double")).otherwise(
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") / den, 6)).as("slope"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den).as("slope"),
         when(den === 0.0, lit(null).cast("double")).otherwise(
-          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("double") / den, 6)).as("intercept"))
+          (col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den).as("intercept"))
       .orderBy("grp")
   }
 

@@ -679,11 +679,17 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count(col("w_milli")).as("n_hit"),
+        // mean weight in EXACT micro units (floored integer division
+        // via the portable pmod identity) — round(double, 6) here
+        // hash-drifted at 3× scale: score_milli/(n·1000) terminates
+        // exactly at the half-point whenever n is 2^a·5^b, and the
+        // engines break the tie differently
         coalesce(sum("w_milli"), lit(0L)).as("score_milli"))
       .select(col("doc_id"), col("n_tokens"), col("n_hit"),
         col("score_milli"),
-        round(col("score_milli").cast("double") /
-          (col("n_tokens").cast("double") * 1000.0), 6).as("score"))
-      .withColumn("pass", col("score") >= 0.0)
+        ((col("score_milli") * 1000L -
+          pmod(col("score_milli") * 1000L, col("n_tokens"))) /
+          col("n_tokens")).cast("long").as("score_micro"))
+      .withColumn("pass", col("score_micro") >= 0L)
       .orderBy("doc_id")
 }

@@ -866,11 +866,11 @@ object Oracles {
         |)
         |SELECT grp, n,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-        |    round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-        |          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+        |    CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
         |FROM m ORDER BY grp""".stripMargin,
 
     // TPC-H Q7 shape: bilateral trade revenue between two nations

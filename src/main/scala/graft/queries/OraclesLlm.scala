@@ -1842,12 +1842,15 @@ object OraclesLlm {
       |  FROM tok t LEFT JOIN vocab v USING (tok)
       |  GROUP BY t.doc_id
       |)
-      |SELECT doc_id, n_tokens, n_hit, score_milli,
-      |  round(CAST(score_milli AS DOUBLE)
-      |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score,
-      |  (round(CAST(score_milli AS DOUBLE)
-      |        / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) >= 0.0) AS pass
-      |FROM s ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, n_tokens, n_hit, score_milli, score_micro,
+      |  (score_micro >= 0) AS pass
+      |FROM (
+      |  SELECT *,
+      |    (score_milli * 1000
+      |     - (((score_milli * 1000) % n_tokens) + n_tokens) % n_tokens)
+      |    // n_tokens AS score_micro
+      |  FROM s)
+      |ORDER BY doc_id""".stripMargin
 
   /** the unrolled Lloyd mirror: vectors in long (vec_id, dim, micro)
     * form; each round is one assignment CTE (argmin via row_number
