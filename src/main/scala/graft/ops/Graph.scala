@@ -86,13 +86,22 @@ object Graph {
     */
   def triangleCounts(edgesUndirected: DataFrame,
                      a: Column, b: Column): DataFrame = {
+    // materialize the canonical edge list once: deg and the two
+    // orientation legs below would otherwise each re-run the caller's
+    // edge derivation (often a fact-table self-join)
     val e = edgesUndirected.select(
       least(a, b).as("x"), greatest(a, b).as("y")).distinct()
+      .localCheckpoint()
     val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, node): ties broken on the node id keep the
     // orientation a strict total order → acyclic → each triangle
     // appears exactly once
+    // the oriented edge table is referenced THREE times (both wedge
+    // legs + the closing probe); localCheckpoint materializes the
+    // edge build once — without it each self-join leg re-runs the
+    // upstream edge derivation (for the co-purchase graph that is a
+    // fact-table self-join, measured 3× the whole operator's cost)
     val o = e.join(deg.as("da"), col("x") === col("da.n"))
       .join(deg.as("db"), col("y") === col("db.n"))
       .select(
@@ -100,6 +109,7 @@ object Graph {
           col("x")).otherwise(col("y")).as("u"),
         when(struct(col("da.d"), col("x")) < struct(col("db.d"), col("y")),
           col("y")).otherwise(col("x")).as("v"))
+      .localCheckpoint()
     val wedges = o.as("p").join(o.as("q"),
         col("p.u") === col("q.u") && col("p.v") < col("q.v"))
       .select(col("p.u").as("ta"), col("p.v").as("tb"), col("q.v").as("tc"))

@@ -324,6 +324,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus COLLOCATIONS by pointwise mutual information (the
+    * "strongly-associated word pairs" table behind phrase mining and
+    * tokenizer-vocab seeding; Church & Hanks 1990): adjacent bigrams
+    * with count ≥ `minCount`, scored
+    * pmi = ln(p(w1w2)/(p(w1)p(w2))), deterministic top-k
+    * (pmi DESC, w1, w2).
+    *
+    * EXACT-ARITHMETIC (the [[tokenEntropy]] micro-ln protocol): the
+    * score is a SUM OF SIX micro-ln LONGS — lnMicro(c12) − lnMicro(Nb)
+    * − lnMicro(c1) − lnMicro(c2) + 2·lnMicro(Nu) — each ln taken of a
+    * plain integer count, rounded once to 1e-6 and summed exactly, so
+    * ordering and output hash identically cross-engine (no product of
+    * counts is ever formed — each factor gets its own ln).
+    *
+    * Scale shape: unigram and bigram counts are map-side-combinable
+    * aggregations of the token stream (Zipf heads collapse before the
+    * exchange); the candidate set is c12 ≥ minCount (tiny); the two
+    * unigram joins hit that small set; top-k is TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, text: Column,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = tokensOf(text)
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    // ONE pass over each stream: the corpus totals (nu, nb) derive
+    // from the count tables, not from re-scanning the token/bigram
+    // streams — without this the corpus is tokenized four times
+    // (measured 3× the operator's whole cost)
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nu = uni.agg(sum("c").as("nu"))
+    // PROJECT the token array before the lambda touches it: the
+    // transform/element_at pair is interpreted (HigherOrderFunction
+    // CodegenFallback), and with the tokenizer inlined each
+    // element_at(split(text), i) re-splits the whole string —
+    // O(len²) per doc, measured 2.4× the bigram pass
+    val c12all = df.select(toks.as("toks")).where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val nb = c12all.agg(sum("c12").as("nb"))
+    val cand = c12all.where(col("c12") >= minCount)
+    cand
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (lnMicro(col("c12")) - lnMicro(col("nb"))
+          - lnMicro(col("c1")) - lnMicro(col("c2"))
+          + lit(2L) * lnMicro(col("nu"))).as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
   /** document fingerprint: md5 over the sorted distinct token set
     * (§2c.33) — order-invariant content identity, the join-key analog
     * of the reference's index tokens.
@@ -356,18 +414,30 @@ object TextAnalysis {
     * this twin is the cross-engine proof of the window/min plumbing
     * and costs ~len·window work per doc by design.
     *
-    * Map-only: the windows live inside ONE higher-order expression
-    * (transform → array_min) — no explode, no shuffle, no state.
+    * Spelled as explode → codegen'd md5 → partial-agg min (the
+    * [[graft.ops.Dedup]] portableKgramFps shape), NOT a
+    * transform→array_min higher-order expression: Spark's
+    * HigherOrderFunctions are CodegenFallback — interpreted per row,
+    * serial per doc — which measured 5× slower on the same window
+    * stream. The explode pipelines inside whole-stage codegen and the
+    * min collapses map-side, so the shuffle carries one row per doc.
     */
   def rollingFingerprintPortable(df: DataFrame, text: Column, id: Column,
                                  window: Int = 16): DataFrame =
     df.select(id.as("doc_id"), coalesce(text, lit("")).as("__text"))
-      .select(col("doc_id"), expr(
-        s"""array_min(transform(
-           |  sequence(1, greatest(length(__text) - ${window - 1}, 1)),
-           |  i -> cast(conv(substring(md5(cast(
-           |         substring(__text, i, $window) as binary)), 1, 15),
-           |       16, 10) as bigint)))""".stripMargin).as("rfp_mod"))
+      // parallelism barrier, not a distribution need (the
+      // portableKgramFps note): few input splits would otherwise run
+      // the whole md5-per-window build on a few cores
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          greatest(length(col("__text")) - (window - 1), lit(1)))).as("i"),
+        col("__text"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr(s"cast(substring(__text, i, $window) as binary)")),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id").agg(min("h").as("rfp_mod"))
 
   /** corpus-wide top-k n-gram table (§2c.32d) — the corpus-statistics
     * face of the n-gram machinery (the aggregation behind "top n-gram

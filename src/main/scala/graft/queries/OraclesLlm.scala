@@ -1757,6 +1757,37 @@ object OraclesLlm {
     // portable floored identity
     "embed_pca" -> pcaSql(3),
 
+    // mirror of TextAnalysis.collocations: PMI over adjacent
+    // bigrams, each factor its own micro-ln long (never a product
+    // of counts), c12 ≥ 5, deterministic top-50
+    "text_collocations" ->
+      """WITH base AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+        |), nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni
+        |), bg AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM base CROSS JOIN LATERAL unnest(range(1, len(toks))) t(i)
+        |  WHERE len(toks) >= 2
+        |), nb AS (SELECT count(*) AS nb FROM bg
+        |), cand AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |  HAVING count(*) >= 5
+        |)
+        |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        |  CAST(round(ln(CAST(c12 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |  - CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |  - CAST(round(ln(CAST(u1.c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |  - CAST(round(ln(CAST(u2.c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |  + 2 * CAST(round(ln(CAST(nu AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM cand JOIN uni u1 ON u1.w = cand.w1
+        |JOIN uni u2 ON u2.w = cand.w2
+        |CROSS JOIN nb CROSS JOIN nu
+        |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+
     // mirror of TextAnalysis.rollingFingerprintPortable: every
     // 16-char window's md5-top-60-bit hash, folded to the per-doc
     // min; texts shorter than 16 chars hash their full length

@@ -488,6 +488,59 @@ object EventPipeline {
       .toDF("event_id", "user_id", "attr_event_id", "attr_type", "gap_us")
   }
 
+  /** Streaming face of [[graft.ops.Resample.forwardFill]]: per-user
+    * hourly gap-fill with forward fill. A bucket EMITS when a
+    * strictly later bucket's event arrives for the key (buckets
+    * close on progress — the funnel/attribution ordering contract);
+    * the gap buckets in between emit as `filled` rows carrying the
+    * closed bucket's value, so the emitted prefix equals the batch
+    * operator's output minus each key's still-open last bucket.
+    * State per key is ONE small tuple (open bucket, running count,
+    * last (ts,id) pick, value) — O(1) regardless of history; events
+    * that arrive for an already-closed bucket are dropped (the
+    * documented late-data rule of the append faces). `bkt_us` is the
+    * bucket start in epoch micros.
+    */
+  def resampleStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+    events
+      .where(col("user_id").try_cast("long").isNotNull)
+      .select(col("user_id").try_cast("long").as("user_id"),
+        col("event_id").try_cast("long").as("event_id"),
+        unix_micros(col("ts")).as("tsu"),
+        col("value").try_cast("double").as("v"))
+      .where(col("tsu").isNotNull && col("event_id").isNotNull)
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long, Long, Long, Double)]) => {
+          // state: (openBktUs, nEvents, lastTsu, lastId, value)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double, Boolean)]
+          it.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, id, tsu, v) =>
+            val bkt = tsu - java.lang.Math.floorMod(tsu, HourUs)
+            if (st == null) st = (bkt, 1L, tsu, id, v)
+            else if (bkt == st._1) {
+              val keepNew = tsu > st._3 || (tsu == st._3 && id > st._4)
+              st = if (keepNew) (st._1, st._2 + 1, tsu, id, v)
+                   else (st._1, st._2 + 1, st._3, st._4, st._5)
+            } else if (bkt > st._1) {
+              out += ((user, st._1, st._2, st._5, false))
+              var b = st._1 + HourUs
+              while (b < bkt) { out += ((user, b, 0L, st._5, true)); b += HourUs }
+              st = (bkt, 1L, tsu, id, v)
+            } // bkt < open: late for a closed bucket — dropped
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+      .toDF("user_id", "bkt_us", "n_events", "value", "filled")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -562,6 +562,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming resample matches the batch forward fill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: two events in hour 0 (last-by-(ts,id) picks v=2.0), a gap
+    // at hour 1, then hour 2 ACROSS the batch break — closing hours
+    // 0 and 1 needs batch-1 state; u2 has one event (nothing closes)
+    val batch1 = Seq(
+      (1L, 10L, ts(0, 10), 1.0), (1L, 11L, ts(0, 20), 2.0),
+      (2L, 20L, ts(0, 5), 9.0))
+    val batch2 = Seq((1L, 12L, ts(2, 30), 3.0))
+
+    val stream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val events = stream.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = EventPipeline.resampleStream(events)
+      .writeStream.format("memory").queryName("sresample")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sresample")
+        .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+
+      // batch twin minus each key's still-open LAST bucket
+      val all = (batch1 ++ batch2).toDF("user_id", "event_id", "ts", "value")
+      val batchRows = graft.ops.Resample.forwardFill(all,
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("bkt_us", unix_micros(col("bkt")))
+        .withColumn("mx", max("bkt_us").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")))
+        .where(col("bkt_us") < col("mx"))
+        .select(col("key"), col("bkt_us"), col("n_events"),
+          col("value"), col("filled"))
+        .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+
+      assert(streamed === batchRows)
+      // the gap hour was filled with the carried value
+      assert(streamed.exists { case (u, _, n, v, f) =>
+        u == 1L && n == 0L && v == 2.0 && f })
+    } finally q.stop()
+  }
+
   test("stateful streaming funnel matches the batch window chain") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
