@@ -382,6 +382,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Multinomial NAIVE BAYES language classifier, trained on the
+    * labeled corpus and evaluated on it in ONE declarative plan
+    * (the LEARNED sibling of the stopword-heuristic [[langId]]):
+    * Laplace-smoothed token likelihoods
+    * P(w|c) = (cnt(w,c)+1)/(T_c+V), log-prior from class doc counts,
+    * argmax class per doc (ties → lexicographically first), reported
+    * as the (actual, predicted, n) confusion matrix.
+    *
+    * EXACT-ARITHMETIC (the micro-ln protocol): every factor is its
+    * own lnMicro long of a plain integer —
+    * score = lnMicro(nd_c) − lnMicro(N)
+    *       + Σ_tok lnMicro(cnt(tok,c)+1) − n_tokens·lnMicro(T_c+V) —
+    * summed exactly, so the argmax and the confusion hash
+    * identically cross-engine. Unseen (token, class) pairs
+    * contribute lnMicro(1) = 0, which is why the per-doc class sums
+    * can come from a join against the OBSERVED count table only.
+    *
+    * Scale shape: the model is two bounded tables — (w, c, cnt)
+    * capped by vocab×classes, and the 1-row-per-class totals — both
+    * map-side-combinable aggregations; scoring joins the token
+    * stream to the count table on w (fanout ≤ n_classes) and
+    * collapses per (doc, class) map-side; the class grid is a
+    * broadcast crossJoin of |C| rows. No window over the corpus,
+    * no driver state.
+    */
+  def naiveBayesConfusion(df: DataFrame, text: Column, id: Column,
+                          label: Column): DataFrame = {
+    val toks = tokensOf(text)
+    def lnMicro(x: Column): Column =
+      round(log(x.cast("double")) * 1e6, 0).cast("long")
+    val docs = df.select(id.as("doc_id"), label.as("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val tokStream = docs.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("w"))
+    val cnt = tokStream.groupBy(col("w"), col("lang").as("c"))
+      .agg(count(lit(1)).as("cwc"))
+      .localCheckpoint() // the fitted model; scoring + totals reuse it
+    val classTotals = cnt.groupBy("c").agg(sum("cwc").as("t_c"))
+    val vocab = cnt.select("w").distinct().agg(count(lit(1)).as("v"))
+    val priors = docs.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("nd"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val classes = priors.join(classTotals, "c")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+      .select(col("c"), (lnMicro(col("nd")) - lnMicro(col("n_docs")))
+          .as("prior_micro"),
+        lnMicro(col("t_c") + col("v")).as("denom_micro"))
+    // per-(doc, class) sum over OBSERVED (tok, class) likelihoods
+    val obs = tokStream
+      .join(cnt, tokStream("w") === cnt("w"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(lnMicro(col("cwc") + 1L)).as("obs_micro"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .crossJoin(broadcast(classes))
+      .join(obs, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("lang"),
+        col("c"), (col("prior_micro") + coalesce(col("obs_micro"), lit(0L))
+          - col("n_tokens") * col("denom_micro")).as("score"))
+    val pred = scored.groupBy("doc_id", "lang")
+      .agg(min(struct((-col("score")).as("ns"), col("c"))).as("m"))
+      .select(col("lang"), col("m.c").as("pred_lang"))
+    pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** document fingerprint: md5 over the sorted distinct token set
     * (§2c.33) — order-invariant content identity, the join-key analog
     * of the reference's index tokens.

@@ -1757,6 +1757,52 @@ object OraclesLlm {
     // portable floored identity
     "embed_pca" -> pcaSql(3),
 
+    // mirror of TextAnalysis.naiveBayesConfusion: Laplace-smoothed
+    // multinomial NB in micro-ln longs, argmax ties -> first class,
+    // confusion matrix
+    "ml_naive_bayes" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, unnest(toks) AS w FROM docs
+        |), cnt AS (
+        |  SELECT w, lang AS c, count(*) AS cwc FROM tok GROUP BY w, lang
+        |), ct AS (
+        |  SELECT c, CAST(sum(cwc) AS BIGINT) AS t_c FROM cnt GROUP BY c
+        |), vocab AS (SELECT count(DISTINCT w) AS v FROM cnt
+        |), nd AS (SELECT lang AS c, count(*) AS nd FROM docs GROUP BY lang
+        |), ndocs AS (SELECT count(*) AS n_docs FROM docs
+        |), classes AS (
+        |  SELECT nd.c,
+        |    CAST(round(ln(CAST(nd.nd AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |    - CAST(round(ln(CAST(ndocs.n_docs AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS prior_micro,
+        |    CAST(round(ln(CAST(ct.t_c + vocab.v AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS denom_micro
+        |  FROM nd JOIN ct USING (c) CROSS JOIN vocab CROSS JOIN ndocs
+        |), obs AS (
+        |  SELECT t.doc_id, cnt.c,
+        |    CAST(sum(CAST(round(ln(CAST(cnt.cwc + 1 AS DOUBLE)) * 1e6, 0)
+        |             AS BIGINT)) AS BIGINT) AS obs_micro
+        |  FROM tok t JOIN cnt ON t.w = cnt.w
+        |  GROUP BY t.doc_id, cnt.c
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang, cl.c,
+        |    cl.prior_micro + coalesce(o.obs_micro, 0)
+        |      - d.n_tokens * cl.denom_micro AS score
+        |  FROM docs d CROSS JOIN classes cl
+        |  LEFT JOIN obs o ON o.doc_id = d.doc_id AND o.c = cl.c
+        |), pred AS (
+        |  SELECT lang, c AS pred_lang FROM (
+        |    SELECT lang, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c ASC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
     // mirror of TextAnalysis.collocations: PMI over adjacent
     // bigrams, each factor its own micro-ln long (never a product
     // of counts), c12 ≥ 5, deterministic top-50

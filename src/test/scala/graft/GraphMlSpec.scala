@@ -155,6 +155,20 @@ class GraphMlSpec extends SparkSpec {
     assert(out.last == ((9L, 10L, 90L, 99L)))
   }
 
+  test("naiveBayesConfusion: separable classes land on the diagonal") {
+    // two classes with disjoint vocab, one doc of B-vocab mislabeled
+    // A — NB must still classify it as B (text beats the prior)
+    val docs = ((1 to 10).map(i => (i.toLong, "aa aa aa", "A")) ++
+      (11 to 20).map(i => (i.toLong, "bb bb bb", "B")) ++
+      Seq((21L, "bb bb bb", "A"))).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.naiveBayesConfusion(docs,
+      col("text"), col("doc_id"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("A", "A") -> 10L, ("A", "B") -> 1L,
+      ("B", "B") -> 10L))
+  }
+
   test("rollingFingerprintPortable: duplicates share, short text = whole-text hash") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
