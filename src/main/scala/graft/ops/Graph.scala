@@ -102,16 +102,25 @@ object Graph {
     // edge build once — without it each self-join leg re-runs the
     // upstream edge derivation (for the co-purchase graph that is a
     // fact-table self-join, measured 3× the whole operator's cost)
+    // o carries the HEAD's (degree, node) sort key: the wedge pair
+    // below must order the two heads by the SAME (deg, node) relation
+    // the orientation used — ordering them by bare node id misses
+    // every triangle whose heads' degree order disagrees with their
+    // id order (the closing edge is probed in the wrong direction;
+    // caught by the brute-force property test, which the mirrored
+    // cross-engine oracle could NOT catch — both engines shared the
+    // construction)
+    val cmp = struct(col("da.d"), col("x")) < struct(col("db.d"), col("y"))
     val o = e.join(deg.as("da"), col("x") === col("da.n"))
       .join(deg.as("db"), col("y") === col("db.n"))
       .select(
-        when(struct(col("da.d"), col("x")) < struct(col("db.d"), col("y")),
-          col("x")).otherwise(col("y")).as("u"),
-        when(struct(col("da.d"), col("x")) < struct(col("db.d"), col("y")),
-          col("y")).otherwise(col("x")).as("v"))
+        when(cmp, col("x")).otherwise(col("y")).as("u"),
+        when(cmp, col("y")).otherwise(col("x")).as("v"),
+        when(cmp, col("db.d")).otherwise(col("da.d")).as("dv"))
       .localCheckpoint()
     val wedges = o.as("p").join(o.as("q"),
-        col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+        col("p.u") === col("q.u") &&
+        struct(col("p.dv"), col("p.v")) < struct(col("q.dv"), col("q.v")))
       .select(col("p.u").as("ta"), col("p.v").as("tb"), col("q.v").as("tc"))
     val tris = wedges.join(o.as("r"),
       col("tb") === col("r.u") && col("tc") === col("r.v"))

@@ -832,11 +832,13 @@ object Oracles {
         |    SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY n
         |), o AS (
         |  SELECT CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.x ELSE e.y END AS u,
-        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.y ELSE e.x END AS v
+        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.y ELSE e.x END AS v,
+        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN db.d ELSE da.d END AS dv
         |  FROM e JOIN deg da ON da.n = e.x JOIN deg db ON db.n = e.y
         |), tri AS (
         |  SELECT p.u AS ta, p.v AS tb, q.v AS tc
-        |  FROM o p JOIN o q ON p.u = q.u AND p.v < q.v
+        |  FROM o p JOIN o q ON p.u = q.u
+        |    AND (p.dv, p.v) < (q.dv, q.v)
         |  JOIN o r ON r.u = p.v AND r.v = q.v
         |), nx AS (
         |  SELECT unnest([ta, tb, tc]) AS node FROM tri

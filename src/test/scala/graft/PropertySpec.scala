@@ -107,4 +107,67 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L) if a != b
+    } yield (a, b))
+
+  test("triangleCounts equals the brute-force triple enumeration") {
+    GenCases(edgesGen, 6).foreach { rows =>
+      if (rows.nonEmpty) {
+        val got = graft.ops.Graph.triangleCounts(
+            rows.toDF("a", "b"), col("a"), col("b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val und = rows.map { case (a, b) =>
+          (math.min(a, b), math.max(a, b)) }.toSet
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val tris = for {
+          i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+          if und((i, j)) && und((j, k)) && und((i, k))
+        } yield Seq(i, j, k)
+        val expected = tris.flatten.groupBy(identity)
+          .map { case (n, xs) => n -> xs.size.toLong }
+        assert(got === expected, rows)
+      }
+    }
+  }
+
+  private val resampleGen: Gen[List[(Long, Long, Int, Double)]] =
+    Gen.listOfN(40, for {
+      key <- Gen.choose(0L, 3L)
+      id <- Gen.choose(0L, 100000L)
+      t <- Gen.choose(0, 40000) // ~11 hours of seconds
+      v <- Gen.choose(-50, 50).map(_ / 2.0)
+    } yield (key, id, t, v))
+
+  test("resample grid is dense per key and forward fill never regresses") {
+    GenCases(resampleGen, 4).foreach { raw =>
+      val rows = raw.distinctBy(r => (r._1, r._2))
+      if (rows.nonEmpty) {
+        val df = rows.map { case (k, id, t, v) => (k, id, ts(t), v) }
+          .toDF("k", "id", "t", "v")
+        val out = graft.ops.Resample.forwardFill(df,
+            col("k"), col("t"), col("id"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        val byKey = out.groupBy(_._1)
+        byKey.foreach { case (_, g) =>
+          val bkts = g.map(_._2).sorted
+          // dense hourly grid: every consecutive step is exactly 1 h
+          assert(bkts.zip(bkts.tail).forall { case (x, y) => y - x == 3600000L })
+          // a filled bucket has zero events and carries SOME value;
+          // a non-filled one has ≥1 event
+          g.foreach { case (_, _, n, _, filled) =>
+            assert(if (filled) n == 0L else n >= 1L)
+          }
+          // the first bucket of every key is never a gap
+          assert(!g.minBy(_._2)._5)
+        }
+        // event conservation: bucket counts sum to the input size
+        assert(out.map(_._3).sum == rows.size)
+      }
+    }
+  }
 }
