@@ -134,6 +134,80 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  private val trendGen: Gen[List[(String, Long, Long)]] =
+    Gen.listOfN(30, for {
+      g <- Gen.oneOf("a", "b")
+      x <- Gen.choose(0L, 50L)
+      y <- Gen.choose(-1000L, 1000L)
+    } yield (g, x, y))
+
+  test("groupTrend equals the closed-form least squares") {
+    GenCases(trendGen, 6).foreach { raw =>
+      val rows = raw.distinctBy(r => (r._1, r._2))
+      if (rows.nonEmpty) {
+        val got = graft.ops.Profile.groupTrend(rows.toDF("g", "x", "y"),
+            col("g"), col("x"), col("y"))
+          .collect().map(r => r.getString(0) ->
+            (Option(r.get(2)), Option(r.get(3)))).toMap
+        rows.groupBy(_._1).foreach { case (g, pts) =>
+          val n = pts.size.toLong
+          val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+          val sxx = pts.map(p => p._2 * p._2).sum
+          val sxy = pts.map(p => p._2 * p._3).sum
+          val den = (n * sxx - sx * sx).toDouble
+          if (den == 0.0) assert(got(g) == ((None, None)))
+          else {
+            val slope = (n * sxy - sx * sy).toDouble / den
+            val icept = (sy * sxx - sx * sxy).toDouble / den
+            assert(got(g) == ((Some(slope), Some(icept))), (g, pts))
+          }
+        }
+      }
+    }
+  }
+
+  private val nbGen: Gen[List[(Long, String, String)]] =
+    Gen.listOfN(20, for {
+      id <- Gen.choose(0L, 10000L)
+      c <- Gen.oneOf("p", "q")
+      words <- Gen.listOfN(5, Gen.oneOf("u", "v", "w", "z"))
+    } yield (id, words.mkString(" "), c))
+
+  test("naiveBayesConfusion equals the brute-force NB argmax") {
+    GenCases(nbGen, 5).foreach { raw =>
+      val rows = raw.distinctBy(_._1)
+      if (rows.nonEmpty) {
+        val got = graft.ops.TextAnalysis.naiveBayesConfusion(
+            rows.toDF("doc_id", "text", "lang"),
+            col("text"), col("doc_id"), col("lang"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        // brute force with the SAME micro-ln quantization
+        def ln6(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+        val toks = rows.map(r => r._1 -> r._2.toLowerCase.split(" ", -1).toSeq).toMap
+        val classes = rows.map(_._3).distinct.sorted
+        val cnt = rows.flatMap(r => toks(r._1).map(w => (w, r._3)))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val tc = classes.map(c => c -> cnt.collect {
+          case ((_, cc), n) if cc == c => n }.sum).toMap
+        val v = cnt.keys.map(_._1).toSet.size.toLong
+        val nd = rows.groupBy(_._3).map { case (c, d) => c -> d.size.toLong }
+        val n = rows.size.toLong
+        val expected = rows.map { r =>
+          val scores = classes.map { c =>
+            val s = ln6(nd(c)) - ln6(n) +
+              toks(r._1).map(w => ln6(cnt.getOrElse((w, c), 0L) + 1L)).sum -
+              toks(r._1).size.toLong * ln6(tc(c) + v)
+            (c, s)
+          }
+          val best = scores.minBy { case (c, s) => (-s, c) }._1
+          (r._3, best)
+        }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+        assert(got === expected, rows)
+      }
+    }
+  }
+
   private val resampleGen: Gen[List[(Long, Long, Int, Double)]] =
     Gen.listOfN(40, for {
       key <- Gen.choose(0L, 3L)
