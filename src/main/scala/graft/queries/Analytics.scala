@@ -704,6 +704,32 @@ object Analytics {
       graft.ops.Graph.triangleCounts(edges, col("a"), col("b"))
     }),
 
+    // §2b.28c — connected components over the same co-purchase graph
+    // (the graph face of ops/Dedup.clusters' size-routed union-find /
+    // iterative min-label engine): (node, component-label) with the
+    // component's min node as label; oracle = WITH RECURSIVE
+    // transitive closure.
+    "graph_components" -> ((s, d) => {
+      // mod-10 node subsample: a DETERMINISTIC subgraph keeps the
+      // oracle's WITH RECURSIVE transitive closure bounded at every
+      // SF (the cloned 3x corpus degenerates support>=2 to a dense
+      // giant component whose closure is O(n^2)); the operator under
+      // test is unchanged
+      val li = Tables.lineitem(s, d)
+        .where(pmod(col("l_partkey"), lit(10)) === 0)
+      val edges = li.as("la").join(li.as("lb"),
+          col("la.l_orderkey") === col("lb.l_orderkey") &&
+          col("la.l_partkey") < col("lb.l_partkey"))
+        .groupBy(col("la.l_partkey").as("a"), col("lb.l_partkey").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.Dedup.clusters(edges)
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .orderBy("id")
+    }),
+
     // §2b.30 — per-nation revenue TREND (OLS slope over the monthly
     // order-revenue series): the fact table aggregates to (nation,
     // month, cents) FIRST — the moments then stay in long range at

@@ -875,6 +875,26 @@ object Oracles {
         |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
         |FROM m ORDER BY grp""".stripMargin,
 
+    // mirror of graph_components: WITH RECURSIVE transitive closure
+    // over the support≥2 co-purchase graph, component label = min
+    // reachable node (incl. self)
+    "graph_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT la.l_partkey AS a, lb.l_partkey AS b
+        |  FROM lineitem la JOIN lineitem lb
+        |    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+        |  WHERE la.l_partkey % 10 = 0 AND lb.l_partkey % 10 = 0
+        |  GROUP BY a, b HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+        |), reach AS (
+        |  SELECT src AS id, dst AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        |)
+        |SELECT id, least(id, min(r)) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
     // TPC-H Q7 shape: bilateral trade revenue between two nations
     "q7_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
