@@ -149,4 +149,25 @@ class NullRobustnessSpec extends SparkSpec {
     assert(d.length === 2)
     assert(d(1).getInt(1) === 16) // null payload → empty-byte stub fallback
   }
+
+  test("round-9 text/ML ops survive null/empty text and labels") {
+    // portable rolling fingerprint: null coalesces to '' — rows for all
+    val rfp = TextAnalysis.rollingFingerprintPortable(
+      docs, col("text"), col("doc_id")).collect()
+    assert(rfp.length === 5 && rfp.forall(!_.isNullAt(1)))
+    // collocations: null/empty docs contribute no bigrams, no throw
+    assert(TextAnalysis.collocations(docs, col("text"),
+      minCount = 1L).count() >= 1)
+    // naive bayes: a null-text doc still gets a prediction row (all
+    // class scores null → tie broken on class name identically)
+    val nb = TextAnalysis.naiveBayesConfusion(
+      docs.withColumn("lang", when(col("doc_id") < 2, "a").otherwise("b")),
+      col("text"), col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(2)).sum
+    assert(nb === 5L)
+    // classifier (integer micro score): null text → zero tokens row
+    // is absent from the explode; remaining docs all score
+    val clf = TextAnalysis.linearClassifier(docs, col("text"), col("doc_id"))
+    assert(clf.count() >= 3)
+  }
 }
