@@ -271,7 +271,10 @@ object Bench {
     // then print a LAST, self-contained compact line that fits the
     // tail: same schema, "queries" pruned to the most expensive rows
     // within budget, with the omission made explicit.
-    if (only.isEmpty) {
+    // bench_official.json is the sf0.1 driver-facing record; a scale
+    // study against another dataset (e.g. /tmp/graft_sf03) must not
+    // clobber it — those runs live in bench_history only.
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
       val out = new java.io.PrintWriter("bench_official.json")
       try out.println(fullLine) finally out.close()
     }

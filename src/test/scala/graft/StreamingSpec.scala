@@ -501,6 +501,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful resample over the REAL events parquet matches batch") {
+    // the eventsStream precedent applied to the gap-fill face: drive
+    // resampleStream from a file-source stream of the live events
+    // table and pin it to the batch operator minus each key's
+    // still-open last bucket
+    val stream = graft.core.Tables.eventsStream(spark, sfDir)
+    val q = EventPipeline.resampleStream(stream)
+      .writeStream.format("memory").queryName("sresample_real")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      val streamed = spark.table("sresample_real")
+        .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+      val batchRows = graft.ops.Resample.forwardFill(
+          graft.core.Tables.events(spark, sfDir),
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("bkt_us", unix_micros(col("bkt")))
+        .withColumn("mx", max("bkt_us").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")))
+        .where(col("bkt_us") < col("mx"))
+        .select(col("key"), col("bkt_us"), col("n_events"),
+          col("value"), col("filled"))
+        .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+      assert(streamed === batchRows)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session_window sessionize agrees with the lag-based query") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.events(spark, sfDir)
