@@ -829,6 +829,39 @@ object Analytics {
           col("sum_qty"))
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(100)
+    }),
+
+    // §2b.22v — CHANGEPOINT detection (sliding mean-shift): an event
+    // is a changepoint candidate when the mean of the 8 values after
+    // it shifts ≥ 50 from the mean of the 8 before it, within its
+    // user's (ts, event_id)-ordered series. EXACT-ARITHMETIC: values
+    // enter as micro-unit longs (round(value·1e6)), both frame sums
+    // are exact longs, the detection gate |Σafter−Σbefore| ≥ 400e6
+    // compares LONGS (no float boundary row can differ cross-engine),
+    // and the reported shift is ONE exactly-rounded IEEE division of
+    // the long difference by 8e6 (6dp). ONE exchange on user_id; both
+    // frames and the full-window counts share the same sort — the
+    // asof_join_nearest two-frame shape. The per-user partition is
+    // the same skew surface as asof (see asof_join_bucketed's guard
+    // for the pathological-key variant).
+    "events_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val before = base.rowsBetween(-8, -1)
+      val after = base.rowsBetween(1, 8)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * lit(1e6)).cast("long").as("mv"))
+        .withColumn("nb", count(lit(1)).over(before))
+        .withColumn("na", count(lit(1)).over(after))
+        .withColumn("sb", sum("mv").over(before))
+        .withColumn("sa", sum("mv").over(after))
+        .where(col("nb") === 8 && col("na") === 8 &&
+          abs(col("sa") - col("sb")) >= 400000000L)
+        .select(col("event_id"), col("user_id"),
+          round((col("sa") - col("sb")).cast("double") / lit(8e6), 6)
+            .as("shift"))
+        .orderBy("event_id")
     })
   )
 }

@@ -658,6 +658,30 @@ object Oracles {
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // mirror of events_changepoint: micro-unit long values, exact
+    // long frame sums over the same (ts, event_id) sort, the LONG
+    // detection gate, one exactly-rounded IEEE division at 6dp
+    "events_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 1e6) AS BIGINT) AS mv
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER wb AS nb, count(*) OVER wa AS na,
+        |    sum(mv)  OVER wb AS sb, sum(mv)  OVER wa AS sa
+        |  FROM e
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+        |         wa AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING)
+        |)
+        |SELECT event_id, user_id,
+        |       round(CAST(sa - sb AS DOUBLE) / 8e6, 6) AS shift
+        |FROM w
+        |WHERE nb = 8 AND na = 8 AND abs(sa - sb) >= 400000000
+        |ORDER BY event_id""".stripMargin,
+
     // mirror of basket_pairs: canonical a<b self-join per order,
     // lift = one IEEE division of two exact long products
     "basket_pairs" ->

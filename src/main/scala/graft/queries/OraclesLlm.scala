@@ -1845,7 +1845,74 @@ object OraclesLlm {
         |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
         |CROSS JOIN LATERAL
         |  unnest(range(1, greatest(len(text) - 15, 1) + 1)) t(i)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of dedup_survivor: the ngramJaccard pair CTE verbatim
+    // (same shingling, stop-shingle cap and 6dp-rounded threshold),
+    // then each pair drops its shorter member (tie → larger id) and
+    // every loser reports min(winner) — exact-integer logic
+    "dedup_survivor" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+        |  FROM base
+        |), capped AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM capped x JOIN capped y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY a, b
+        |), jp AS (
+        |  SELECT a, b
+        |  FROM pairs p JOIN sz za ON p.a = za.doc_id
+        |               JOIN sz zb ON p.b = zb.doc_id
+        |  WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 6)
+        |        >= 0.5
+        |), lw AS (
+        |  SELECT CASE WHEN la.n_chars > lb.n_chars THEN p.b
+        |              WHEN la.n_chars < lb.n_chars THEN p.a
+        |              ELSE greatest(p.a, p.b) END AS doc_id,
+        |         CASE WHEN la.n_chars > lb.n_chars THEN p.a
+        |              WHEN la.n_chars < lb.n_chars THEN p.b
+        |              ELSE least(p.a, p.b) END AS winner
+        |  FROM jp p JOIN documents la ON p.a = la.doc_id
+        |            JOIN documents lb ON p.b = lb.doc_id
+        |)
+        |SELECT doc_id, min(winner) AS kept_by
+        |FROM lw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of search_diverse_topk: same exact-cosine protocol as
+    // ann_cosine_topk, label cap via row_number ≤ 2 per (qid, label),
+    // then the global top-15 — both of the Spark side's bounded-heap
+    // stages are the row_number spelling here
+    "search_diverse_topk" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT qid, c.vec_id AS nbr, CAST(c.label AS BIGINT) AS label,
+        |    round(${cos("qv", "c.embedding")}, 6) AS cos
+        |  FROM embeddings c, q WHERE c.vec_id <> qid
+        |), l AS (
+        |  SELECT qid, nbr, label, cos,
+        |    row_number() OVER (PARTITION BY qid, label
+        |                       ORDER BY cos DESC, nbr ASC) AS lr
+        |  FROM s
+        |), r AS (
+        |  SELECT qid, nbr, label, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM l WHERE lr <= 2
+        |)
+        |SELECT qid, rnk, nbr, label, cos FROM r WHERE rnk <= 15
+        |ORDER BY qid, rnk""".stripMargin
   )
 
   /** the unrolled power-iteration mirror of Embed.pcaPower: vm is the

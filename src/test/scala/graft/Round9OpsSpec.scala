@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioural specs for the round-9 additions beyond their DuckDB
+  * hash oracles: changepoint vs a brute-force scan, survivor-selection
+  * invariants against the pair graph, and the two-stage bounded-heap
+  * diversified top-k vs the window row_number spelling.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  test("events_changepoint equals the brute-force per-user sliding scan") {
+    val got = SparkEntry.queries("events_changepoint")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (uid, es) =>
+      val s = es.sortBy(e => (e._3, e._1))
+      val mv = s.map(e => math.round(e._4 * 1e6))
+      s.indices.flatMap { i =>
+        if (i >= 8 && i + 8 < s.length) {
+          val sb = (i - 8 until i).map(mv).sum
+          val sa = (i + 1 to i + 8).map(mv).sum
+          if (math.abs(sa - sb) >= 400000000L)
+            Some((s(i)._1, uid,
+              BigDecimal((sa - sb).toDouble / 8e6)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        } else None
+      }
+    }.sorted
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("dedup_survivor: every drop is backed by a pair it loses on quality") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = SparkEntry.queries("dedup_survivor")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs = graft.ops.Dedup
+      .ngramJaccard(docs, col("text"), col("doc_id"))
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val len = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.size === out.size) // one verdict per loser
+    out.foreach { case (loser, keeper) =>
+      assert(loser !== keeper)
+      // the reported keeper actually beat the loser in a real pair
+      val lo = math.min(loser, keeper); val hi = math.max(loser, keeper)
+      assert(pairs.contains((lo, hi)), s"no pair backing ($loser, $keeper)")
+      // and on the documented quality rule
+      assert(len(keeper) > len(loser) ||
+        (len(keeper) == len(loser) && keeper < loser),
+        s"keeper $keeper does not dominate loser $loser")
+    }
+  }
+
+  test("search_diverse_topk equals the window spelling; label cap binds") {
+    val out = SparkEntry.queries("search_diverse_topk")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+
+    // cap: never more than 2 rows per (query, label)
+    out.groupBy(t => (t._1, t._4)).foreach { case (k, rs) =>
+      assert(rs.size <= 2, s"label cap violated at $k")
+    }
+    // ranks are contiguous from 1 per query
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.size).toSeq, s"ranks at $q")
+    }
+
+    // independent spelling: same scored base, two row_number windows
+    import graft.functions.VecMath.{vecDot, vecNorm}
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val c = e.select(col("vec_id"), col("label"), col("embedding"),
+      vecNorm(col("embedding")).as("cn"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        vecNorm(col("embedding")).as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        col("label").cast("long").as("label"),
+        round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val expected = scored
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("qid", "label").orderBy(desc("cos"), asc("nbr"))))
+      .where(col("lr") <= 2)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr"))).cast("long"))
+      .where(col("rnk") <= 15)
+      .select(col("qid"), col("rnk"), col("nbr"), col("label"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out.sorted === expected.sorted)
+  }
+}
