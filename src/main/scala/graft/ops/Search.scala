@@ -260,4 +260,84 @@ object Search {
         col("doc_id"), col("lex_rnk"), col("sem_rnk"), col("rrf"))
       .orderBy("rnk")
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily select `k` results per query maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the classic
+    * redundancy-penalizing diversifier (the trained sibling of the
+    * per-label cap in search_diverse_topk). λ = 0.5.
+    *
+    * EXACT cross-engine protocol: relevance and pairwise similarity
+    * are the standard 6dp-rounded cosines; 0.5·x is an exact binary
+    * scaling and the subtraction one exactly-rounded IEEE op, so the
+    * greedy argmax (tie → smaller id) is deterministic on any IEEE
+    * engine and the whole selection sequence hash-oracles against a
+    * DuckDB mirror with the k steps unrolled as CTEs (the
+    * kmeans/pcaPower evidence pattern applied to iterative
+    * retrieval).
+    *
+    * Scale shape (100 TB of embeddings): stage 1 is the brute/ANN
+    * shortlist — per-query cost is the corpus scan (or the ANN
+    * route), exactly ann_cosine_topk's plan through the bounded-heap
+    * operator. EVERYTHING after is bounded by `shortlist` (default
+    * 20): the pairwise-sim table is ≤ C² rows per query and each of
+    * the k−1 greedy steps joins tables of ≤ C rows per query — the
+    * iterative tail never touches the corpus again. The per-group
+    * argmax is min(struct(−score, id)) — no per-group sort anywhere.
+    */
+  def mmrTopK(emb: DataFrame, vec: Column, id: Column,
+              queries: DataFrame, k: Int = 5, shortlist: Int = 20,
+              rankCol: String = "step"): DataFrame = {
+    import graft.functions.VecMath.{vecDot, vecNorm}
+    require(k >= 1 && shortlist >= k)
+    val c = emb.select(id.as("vec_id"), vec.as("e"),
+      vecNorm(vec).as("cn"))
+    val q = queries.select(id.as("qid"), vec.as("qv"),
+      vecNorm(vec).as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(vecDot(col("qv"), col("e")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val short = graft.ops.TopK.perGroup(scored, Seq(col("qid")),
+        Seq(desc("cos"), asc("nbr")), shortlist, rankCol = "sl")
+      .select(col("qid"), col("nbr"), col("cos"))
+    // attach shortlist vectors once (broadcast the tiny shortlist id
+    // set against the corpus), then the ≤C²-per-query similarity table
+    val shortE = emb.select(id.as("nbr"), vec.as("ne"),
+        vecNorm(vec).as("nn"))
+      .join(broadcast(short), "nbr")
+    val pair = shortE.select(col("qid"), col("nbr").as("x"),
+        col("ne").as("xe"), col("nn").as("xn"))
+      .join(broadcast(shortE.select(col("qid"), col("nbr").as("y"),
+        col("ne").as("ye"), col("nn").as("yn"))), Seq("qid"))
+      .where(col("x") =!= col("y"))
+      .select(col("qid"), col("x"), col("y"),
+        round(vecDot(col("xe"), col("ye")) / (col("xn") * col("yn")), 6)
+          .as("sim"))
+    // greedy selection, k steps unrolled; per-query argmax via
+    // min(struct(-score, id)) — no sort
+    def argmax(cands: DataFrame, score: Column, step: Int): DataFrame =
+      cands
+        .groupBy("qid")
+        .agg(min(struct(negate(score), col("nbr"), col("cos"))).as("m"))
+        .select(col("qid"), lit(step.toLong).as(rankCol),
+          col("m").getField("nbr").as("nbr"),
+          col("m").getField("cos").as("cos"))
+    val sel1 = argmax(short, col("cos"), 1)
+    val selFinal = (2 to k).foldLeft(sel1) { (sel, step) =>
+      val cands = short
+        .join(sel.select(col("qid"), col("nbr")), Seq("qid", "nbr"),
+          "left_anti")
+        .join(pair.withColumnRenamed("x", "nbr")
+          .withColumnRenamed("y", "snbr"), Seq("qid", "nbr"))
+        .join(sel.select(col("qid"), col("nbr").as("snbr")),
+          Seq("qid", "snbr"))
+        .groupBy("qid", "nbr", "cos")
+        .agg(max(col("sim")).as("ms"))
+      val picked = argmax(cands,
+        lit(0.5) * col("cos") - lit(0.5) * col("ms"), step)
+      sel.unionByName(picked)
+    }
+    selFinal.orderBy("qid", rankCol)
+  }
 }

@@ -1912,8 +1912,60 @@ object OraclesLlm {
         |  FROM l WHERE lr <= 2
         |)
         |SELECT qid, rnk, nbr, label, cos FROM r WHERE rnk <= 15
-        |ORDER BY qid, rnk""".stripMargin
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "search_mmr" -> mmrSql(k = 5, c = 20)
   )
+
+  /** mirror of Search.mmrTopK with the greedy steps UNROLLED as CTEs
+    * (the kmeans/pcaSql pattern): 6dp cosines for relevance and
+    * pairwise similarity, then each step picks argmax of
+    * 0.5·cos − 0.5·max-sim-to-selected (ties → smaller id) among the
+    * not-yet-selected shortlist — 0.5·x is exact binary scaling and
+    * the subtraction one IEEE op, so the selection sequence is
+    * engine-independent.
+    */
+  private def mmrSql(k: Int, c: Int): String = {
+    def step(t: Int): String =
+      s"""pick$t AS (
+         |  SELECT qid, CAST($t AS BIGINT) AS step, nbr, cos FROM (
+         |    SELECT sh.qid, sh.nbr, sh.cos, max(p.sim) AS ms
+         |    FROM short sh
+         |    JOIN pr p ON p.qid = sh.qid AND p.x = sh.nbr
+         |    JOIN acc${t - 1} a ON a.qid = p.qid AND a.nbr = p.y
+         |    WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} z
+         |                      WHERE z.qid = sh.qid AND z.nbr = sh.nbr)
+         |    GROUP BY sh.qid, sh.nbr, sh.cos
+         |  ) QUALIFY row_number() OVER (PARTITION BY qid
+         |      ORDER BY 0.5*cos - 0.5*ms DESC, nbr) = 1
+         |), acc$t AS (
+         |  SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM pick$t
+         |)"""
+    val steps = (2 to k).map(step).mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 10
+       |), s AS (
+       |  SELECT qid, cc.vec_id AS nbr,
+       |    round(${cos("qv", "cc.embedding")}, 6) AS cos
+       |  FROM embeddings cc, q WHERE cc.vec_id <> qid
+       |), short AS (
+       |  SELECT qid, nbr, cos FROM s
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nbr) <= $c
+       |), pr AS (
+       |  SELECT a.qid, a.nbr AS x, b.nbr AS y,
+       |    round(${cos("ea.embedding", "eb.embedding")}, 6) AS sim
+       |  FROM short a JOIN short b ON a.qid = b.qid AND a.nbr <> b.nbr
+       |  JOIN embeddings ea ON ea.vec_id = a.nbr
+       |  JOIN embeddings eb ON eb.vec_id = b.nbr
+       |), acc1 AS (
+       |  SELECT qid, CAST(1 AS BIGINT) AS step, nbr, cos FROM short
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nbr) = 1
+       |), $steps
+       |SELECT qid, step, nbr, cos FROM acc$k ORDER BY qid, step""".stripMargin
+  }
 
   /** the unrolled power-iteration mirror of Embed.pcaPower: vm is the
     * k-means (vec_id, dim, micro) form; mu/gram use the portable

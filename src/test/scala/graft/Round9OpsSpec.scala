@@ -107,4 +107,54 @@ class Round9OpsSpec extends SparkSpec {
         r.getDouble(4))).toSeq
     assert(out.sorted === expected.sorted)
   }
+
+  test("search_mmr equals the brute-force greedy selection") {
+    val got = SparkEntry.queries("search_mmr")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+
+    // recompute greedily from first principles on the driver
+    import graft.functions.VecMath.{vecDot, vecNorm}
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        vecNorm(col("embedding")).as("qn"))
+    val scored = e.select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("cn"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(vecDot(col("qv"), col("embedding")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) =>
+          acc + x(i).toDouble * y(i).toDouble)
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      val short = rs.sortBy(t => (-t._3, t._2)).take(20)
+        .map(t => (t._2, t._3))
+      val selected = scala.collection.mutable.ArrayBuffer(short.head)
+      (2 to 5).foreach { _ =>
+        val pick = short
+          .filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (nbr, c) =>
+            val ms = selected.map(s => cos6(vecs(nbr), vecs(s._1))).max
+            (nbr, c, 0.5 * c - 0.5 * ms)
+          }
+          .minBy(t => (-t._3, t._1))
+        selected += ((pick._1, pick._2))
+      }
+      selected.zipWithIndex.map { case ((nbr, c), i) =>
+        (qid, (i + 1).toLong, nbr, c)
+      }
+    }.sorted
+    assert(got.size === 50)
+    assert(got === expected)
+  }
 }
