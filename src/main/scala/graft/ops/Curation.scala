@@ -291,6 +291,42 @@ object Curation {
       .drop("rn", "s", "q")
   }
 
+  /** Temperature-weighted mixture INTERLEAVING (the training-ORDER
+    * complement of [[sampleMixture]]'s quota sampling): each
+    * stratum's docs take per-stratum md5-order ranks r = 1..n_s and
+    * the global schedule orders by pos = r / √n_s — weighted
+    * round-robin where a stratum with 4× the docs appears 2× as
+    * often (temperature-0.5 mixing, the T5/Pile schedule family).
+    * pos is ONE exactly-rounded IEEE division of an exact integer by
+    * an exactly-rounded sqrt — bit-identical on any IEEE engine
+    * (the sampleMixture determinism argument: no normalizing float
+    * SUM anywhere); ties (equal pos across strata) break on
+    * (stratum, r).
+    *
+    * Scale shape: per-stratum ranks are the WindowGroupLimit-prunable
+    * pattern; the schedule head is TakeOrderedAndProject (`take`
+    * rows through the heap) — never a global sort. A full-epoch
+    * schedule at 100 TB would swap the limit for the two-phase
+    * range-partitioned rank (the shuffle_global spelling).
+    */
+  def interleave(df: DataFrame, stratum: Column, id: Column,
+                 take: Int = 500): DataFrame = {
+    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
+    val ranked = df.select(stratum.as("source"), id.as("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(counts), col("source") <=> col("s"))
+      .select(col("source"), col("doc_id"), col("r"),
+        (col("r").cast("double") / sqrt(col("n").cast("double"))).as("pos"))
+    val head = ranked.orderBy(asc("pos"), asc("source"), asc("r")).limit(take)
+    head
+      .withColumn("slot", row_number().over(
+        Window.orderBy(asc("pos"), asc("source"), asc("r"))).cast("long"))
+      .select(col("slot"), col("source"), col("doc_id"), col("r"),
+        round(col("pos"), 9).as("pos"))
+      .orderBy("slot")
+  }
+
   /** Conservative cross-engine regexes: no \b, no backrefs, no lazy
     * quantifiers — the subset where Java regex (Spark) and RE2
     * (DuckDB) agree byte-for-byte on greedy matching.

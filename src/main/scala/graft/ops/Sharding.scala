@@ -82,4 +82,32 @@ object Sharding {
           - greatest(col("st"), col("chunk") * L)).as("n_tokens"))
       .orderBy("part", "chunk")
   }
+
+  /** Length-bucketed BATCHING for padded training/inference: within
+    * each part, docs sort by (ntok DESC, doc_id) and split into
+    * fixed-size batches of `batchSize`; per batch: doc count, max and
+    * total tokens, and padding waste = n·max − Σntok — the quantity
+    * length-sorted batching minimizes vs arrival-order batching
+    * (every batch pads to its own max, and sorting makes batch
+    * members similar-length). Integer-exact throughout; same
+    * per-part window posture as [[assignShards]] (never a global
+    * sort — parts parallelize, and at 100 TB the part key is
+    * (source, shard-range) so each window is bounded).
+    */
+  def lengthBatches(df: DataFrame, text: Column, id: Column, part: Column,
+                    batchSize: Long = 32L): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val w = Window.partitionBy("part").orderBy(desc("ntok"), asc("doc_id"))
+    df.select(part.as("part"), id.as("doc_id"),
+        size(split(text, " ")).cast("long").as("ntok"))
+      .withColumn("batch",
+        floor((row_number().over(w) - 1).cast("long") /
+          lit(batchSize.toDouble)).cast("long"))
+      .groupBy("part", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("ntok")).as("max_tok"),
+        sum(col("ntok")).as("n_tokens"),
+        (count(lit(1)) * max(col("ntok")) - sum(col("ntok"))).as("pad_waste"))
+      .orderBy("part", "batch")
+  }
 }

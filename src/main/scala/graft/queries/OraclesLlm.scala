@@ -1914,7 +1914,48 @@ object OraclesLlm {
         |SELECT qid, rnk, nbr, label, cos FROM r WHERE rnk <= 15
         |ORDER BY qid, rnk""".stripMargin,
 
-    "search_mmr" -> mmrSql(k = 5, c = 20)
+    "search_mmr" -> mmrSql(k = 5, c = 20),
+
+    // mirror of Sharding.lengthBatches: same whitespace token count,
+    // (ntok DESC, doc_id) sort, fixed ⌊(rn−1)/32⌋ batches, exact
+    // integer waste
+    "pipeline_batches" ->
+      """WITH t AS (
+        |  SELECT source AS part, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), b AS (
+        |  SELECT part, ntok,
+        |    CAST(floor(CAST(row_number() OVER (
+        |        PARTITION BY part ORDER BY ntok DESC, doc_id) - 1
+        |      AS DOUBLE) / 32.0) AS BIGINT) AS batch
+        |  FROM t
+        |)
+        |SELECT part, batch, count(*) AS n_docs, max(ntok) AS max_tok,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) * max(ntok) - sum(ntok) AS BIGINT) AS pad_waste
+        |FROM b GROUP BY part, batch ORDER BY part, batch""".stripMargin,
+
+    // mirror of Curation.interleave: per-source md5-order ranks,
+    // pos = r/√n_s (one IEEE division — the sampleMixture
+    // determinism argument), global schedule head of 500
+    "pipeline_interleave" ->
+      """WITH counts AS (
+        |  SELECT source AS s, count(*) AS n FROM documents GROUP BY source
+        |), r AS (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS r
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, doc_id, r,
+        |    CAST(r AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS pos
+        |  FROM r JOIN counts ON source = s
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY pos, source, r) AS BIGINT)
+        |    AS slot,
+        |  source, doc_id, r, round(pos, 9) AS pos
+        |FROM p ORDER BY pos, source, r LIMIT 500""".stripMargin
   )
 
   /** mirror of Search.mmrTopK with the greedy steps UNROLLED as CTEs

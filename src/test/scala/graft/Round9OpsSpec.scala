@@ -157,4 +157,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.size === 50)
     assert(got === expected)
   }
+
+  test("pipeline_batches: batch shape and waste vs arrival-order batching") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val out = SparkEntry.queries("pipeline_batches")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out.nonEmpty)
+    // every batch but each part's last is exactly full, and the waste
+    // identity holds
+    out.groupBy(_._1).foreach { case (_, bs) =>
+      val byBatch = bs.sortBy(_._2)
+      byBatch.init.foreach(b => assert(b._3 === 32L))
+      byBatch.foreach { case (_, _, n, mx, tot, waste) =>
+        assert(waste === n * mx - tot)
+        assert(waste >= 0)
+      }
+    }
+    // the point of length-sorting: total padding waste never exceeds
+    // the arrival-order (doc_id-sorted) batching of the same docs
+    val ntoks = docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val arrivalWaste = ntoks.groupBy(_._1).toSeq.map { case (_, ds) =>
+      ds.sortBy(_._2).map(_._3).grouped(32)
+        .map(b => b.size * b.max - b.sum).sum
+    }.sum
+    val sortedWaste = out.map(_._6).sum
+    assert(sortedWaste <= arrivalWaste)
+  }
+
+  test("pipeline_interleave equals the brute-force merged schedule") {
+    val got = SparkEntry.queries("pipeline_interleave")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.map(_._1) === (1L to got.size))
+
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val n = math.sqrt(ds.size.toDouble)
+      ds.sortBy(d => (d._3, d._2)).zipWithIndex.map { case (d, i) =>
+        val r = (i + 1).toLong
+        (r.toDouble / n, src, d._2, r)
+      }
+    }.sortBy(t => (t._1, t._2, t._4)).take(got.size)
+      .zipWithIndex.map { case ((pos, src, id, r), i) =>
+        ((i + 1).toLong, src, id, r,
+          BigDecimal(pos).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+    assert(got === expected)
+  }
 }
