@@ -53,6 +53,39 @@ object Store {
     else (s"$dir/index_g${gens.max}", gens.max)
   }
 
+  // -------------------------------------------------- snapshot manifests
+  // Each index segment records WHICH data files its append persisted
+  // (a `_MANIFEST` text file inside the segment dir — parquet readers
+  // ignore `_`-prefixed files). The manifest is what makes segments
+  // SNAPSHOTS: "the store as of segment N" = the union of manifests
+  // 0..N, which is exactly the manifest-list protocol table formats
+  // (Iceberg/Delta) use for time travel — no data is ever copied, a
+  // snapshot read just plans over fewer files. File NAMES are stored
+  // relative to <dir>/data so the store directory can be relocated.
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            segDir: String, files: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST"), true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           segDir: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try {
+        in.readFully(buf)
+        Some(new String(buf, "UTF-8")
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      } finally in.close()
+    }
+  }
+
   /** write rows + index as segment 0 (reference writeIndexedDf).
     * Only the store-owned `data/` and index subdirs are cleared —
     * never the whole target dir, which may be a path the caller also
@@ -85,6 +118,10 @@ object Store {
     // payload, Dfs.scala:330-408) — segment-parallel to the f index
     if (spec.rowRefs.isDefined)
       ix.rowRefs.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/rows_0")
+    val dataNames = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+    writeManifest(fs, s"$dir/index/seg_0", dataNames)
   }
 
   /** reopen a written frame + its persisted index (openIndexedDf);
@@ -95,6 +132,60 @@ object Store {
       IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
       mergedIndex(spark, dir),
       rowRefsFrame(spark, dir))
+
+  /** Available snapshot ids of the live generation, ascending — each
+    * append segment with a manifest is one snapshot; pass an id to
+    * [[openAt]].
+    */
+  def snapshots(spark: SparkSession, dir: String): Seq[Int] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) Nil
+    else fs.listStatus(rp).map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("seg_") => s.drop(4).toInt }
+      .filter(id => readManifest(fs, s"$root/seg_$id").isDefined)
+      .sorted
+  }
+
+  /** TIME-TRAVEL read: the store AS OF append snapshot `upToSeg` —
+    * data is planned over exactly the files the manifests of segments
+    * 0..upToSeg name (later appends invisible; nothing copied), the
+    * served index is the merge of the same segments, row-refs
+    * likewise. This is the reproducibility contract a training
+    * pipeline needs ("train on snapshot N while ingest continues"):
+    * at 100 TB a snapshot read costs the same as a live read over the
+    * same rows, because both are just file lists handed to the
+    * parquet scan. Snapshots live within the current generation;
+    * [[compact]] collapses history to the latest (manifest union) —
+    * the table-format log-compaction semantics.
+    */
+  def openAt(spark: SparkSession, dir: String, spec: IndexSpec,
+             upToSeg: Int): StoredFrame = {
+    import org.apache.spark.sql.functions._
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val ids = snapshots(spark, dir).filter(_ <= upToSeg)
+    require(ids.nonEmpty,
+      s"no snapshot <= $upToSeg in $dir (available: ${snapshots(spark, dir)})")
+    val files = ids.flatMap { id =>
+      readManifest(fs, s"$root/seg_$id").getOrElse(Seq.empty)
+    }.distinct.map(n => s"$dir/data/$n")
+    val data = spark.read.parquet(files: _*)
+    val segFrames = ids.map(id => spark.read.parquet(s"$root/seg_$id"))
+    val index =
+      if (segFrames.size == 1) segFrames.head
+      else segFrames.reduce(_ unionByName _)
+        .groupBy("field", "value").agg(sum("f").as("f"))
+    val rows = {
+      val present = ids.filter(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/rows_$id")))
+      if (present.isEmpty) None
+      else Some(present.map(id => spark.read.parquet(s"$root/rows_$id"))
+        .reduce(_ unionByName _))
+    }
+    StoredFrame(IndexedFrame(data, spec), index, rows)
+  }
 
   /** write-if-absent then open (haveIndexedDf). "Present" means BOTH
     * halves exist — a write() that died between the data and index
@@ -220,6 +311,8 @@ object Store {
       if (spec.rowRefs.isDefined)
         ix.rowRefs
           .write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
+      writeManifest(fs, s"$root/seg_$segId",
+        written.map(p => p.substring(p.lastIndexOf('/') + 1)))
     }
   }
 
@@ -298,8 +391,20 @@ object Store {
     val merged = mergedIndex(spark, dir).localCheckpoint(true)
     val rows = rowRefsFrame(spark, dir).map(_.localCheckpoint(true))
     val (fs, base) = fsFor(spark, dir)
-    val (_, gen) = currentIndexRoot(spark, dir)
+    val (oldRoot, gen) = currentIndexRoot(spark, dir)
     val newRoot = s"$dir/index_g${gen + 1}"
+    // snapshot history COLLAPSES at compact (documented: like table-
+    // format log compaction): the folded seg_0's manifest is the
+    // union of the old generation's manifests, so "latest" stays
+    // time-travel-readable while intermediate snapshots retire with
+    // their generation
+    val oldManifests = {
+      val rp = new org.apache.hadoop.fs.Path(oldRoot)
+      if (!fs.exists(rp)) Nil
+      else fs.listStatus(rp).map(_.getPath.getName)
+        .filter(_.startsWith("seg_")).toSeq.sorted
+        .map(s => readManifest(fs, s"$oldRoot/$s"))
+    }
     // sorted (field,value) clustering belongs to the WRITE, not the
     // read ([[mergedIndex]] serves unordered): the folded segment's
     // parquet stats must prune point reads like a write()n one's do
@@ -311,6 +416,11 @@ object Store {
       .repartitionByRange(col("field"), col("value"), col("row_key"))
       .sortWithinPartitions("field", "value", "row_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_0"))
+    // only when EVERY old segment carried a manifest is the union a
+    // faithful snapshot description (a legacy store stays legacy)
+    if (oldManifests.nonEmpty && oldManifests.forall(_.isDefined))
+      writeManifest(fs, s"$newRoot/seg_0",
+        oldManifests.flatMap(_.get).distinct)
     fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
     // reclaim generations at least two compacts old (never `gen`
     // itself — in-flight readers may still be planned against it)

@@ -295,4 +295,64 @@ class StoreSpec extends SparkSpec {
     val live = st.frame.fDF("cat", "a").head().getLong(0)
     assert(st.f("cat", "a").head().getLong(0) === live)
   }
+
+  test("openAt serves each append snapshot; latest equals open()") {
+    val dir = java.nio.file.Files.createTempDirectory("tt").toString
+    val b1 = data.where($"id" <= 2)
+    val b2 = data.where($"id" === 3)
+    val b3 = data.where($"id" === 4)
+    Store.append(b1, dir, spec)
+    Store.append(b2, dir, spec)
+    Store.append(b3, dir, spec)
+    assert(Store.snapshots(spark, dir) === Seq(0, 1, 2))
+
+    def ids(st: graft.core.StoredFrame) =
+      st.frame.df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def ix(st: graft.core.StoredFrame) = st.persistedIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(ids(Store.openAt(spark, dir, spec, 0)) === Seq(1L, 2L))
+    assert(ids(Store.openAt(spark, dir, spec, 1)) === Seq(1L, 2L, 3L))
+    assert(ids(Store.openAt(spark, dir, spec, 2)) === Seq(1L, 2L, 3L, 4L))
+    // the snapshot index equals a fresh store built from the same rows
+    val dirRef = java.nio.file.Files.createTempDirectory("ttref").toString
+    Store.write(data.where($"id" <= 3), dirRef, spec)
+    assert(ix(Store.openAt(spark, dir, spec, 1)) ===
+      ix(Store.open(spark, dirRef, spec)))
+    // latest snapshot == the live view
+    assert(ix(Store.openAt(spark, dir, spec, 2)) ===
+      ix(Store.open(spark, dir, spec)))
+    // a snapshot read is planned over ONLY the manifest files — the
+    // later append's rows are invisible even though they share data/
+    assert(!ids(Store.openAt(spark, dir, spec, 1)).contains(4L))
+  }
+
+  test("compact collapses snapshot history to the manifest union") {
+    val dir = java.nio.file.Files.createTempDirectory("ttc").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2), dir, spec)
+    Store.compact(spark, dir)
+    // one snapshot survives and it serves the full data + index
+    assert(Store.snapshots(spark, dir) === Seq(0))
+    val st = Store.openAt(spark, dir, spec, 0)
+    assert(st.frame.df.count() === 4)
+    assert(st.f("cat", "a").head().getLong(0) === 2L)
+    // snapshots keep working across a post-compact append
+    Store.append(Seq((5L, "a", 50.0)).toDF("id", "cat", "v"), dir, spec)
+    assert(Store.snapshots(spark, dir) === Seq(0, 1))
+    assert(Store.openAt(spark, dir, spec, 0).frame.df.count() === 4)
+    assert(Store.openAt(spark, dir, spec, 1).frame.df.count() === 5)
+  }
+
+  test("openAt serves row-refs of only the snapshot's segments") {
+    val rspec = IndexSpec(Seq("cat")).withRowRefs("id")
+    val dir = java.nio.file.Files.createTempDirectory("ttr").toString
+    Store.append(data.where($"id" <= 2), dir, rspec)
+    Store.append(data.where($"id" > 2), dir, rspec)
+    val snap = Store.openAt(spark, dir, rspec, 0)
+    assert(snap.rowRefs.isDefined)
+    val keys = snap.rowRefs.get.select("row_key").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(keys.forall(_ <= 2L))
+  }
 }
