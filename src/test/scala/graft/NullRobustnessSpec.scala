@@ -170,4 +170,46 @@ class NullRobustnessSpec extends SparkSpec {
     val clf = TextAnalysis.linearClassifier(docs, col("text"), col("doc_id"))
     assert(clf.count() >= 3)
   }
+
+  test("round-9 continuation ops survive null text/strata") {
+    val d2 = docs
+      .withColumn("source", when(col("doc_id") === 1L, lit(null)
+        .cast("string")).otherwise(lit("s")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // length batching: null text → null ntok sorts after real docs
+    // (desc = nulls last); every doc keeps a batch row, no throw
+    val lb = graft.ops.Sharding.lengthBatches(
+      d2, col("text"), col("doc_id"), col("source"), 2L).collect()
+    assert(lb.map(_.getLong(2)).sum === 5L)
+    // interleave: a null stratum is a legitimate group (null-safe
+    // quota join contract shared with sampleMixture); all docs
+    // scheduled exactly once
+    val il = graft.ops.Curation.interleave(
+      d2, col("source"), col("doc_id"), take = 100).collect()
+    assert(il.length === 5)
+    assert(il.map(_.getLong(2)).sorted === (0L to 4L).toArray)
+    // survivor: null-text docs have no shingles → no pairs; the one
+    // genuine dup pair resolves on (n_chars, id) with no throw even
+    // when other docs carry null lengths
+    val pairsBacked = {
+      val len = d2.select(col("doc_id"), col("n_chars"))
+      val pairs = Dedup.ngramJaccard(d2, col("text"), col("doc_id"))
+      pairs
+        .join(len.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("n_chars", "la"), "a")
+        .join(len.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("n_chars", "lb"), "b")
+        .select(
+          when(col("la") > col("lb"), col("b"))
+            .when(col("la") < col("lb"), col("a"))
+            .otherwise(greatest(col("a"), col("b"))).as("doc_id"),
+          when(col("la") > col("lb"), col("a"))
+            .when(col("la") < col("lb"), col("b"))
+            .otherwise(least(col("a"), col("b"))).as("winner"))
+        .collect()
+    }
+    assert(pairsBacked.length === 1)
+    assert(pairsBacked.head.getLong(0) === 4L &&
+      pairsBacked.head.getLong(1) === 0L)
+  }
 }
