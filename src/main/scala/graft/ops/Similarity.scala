@@ -857,4 +857,42 @@ object Similarity {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy("vec_id")
   }
+
+  /** ANN index-quality evaluation (§2c.29f) — the measurement a
+    * pipeline runs before trusting an approximate index at scale:
+    * per query, recall@k of the [[lshTopKPortable]] shortlist against
+    * the [[bruteTopK]] ground truth, plus the reciprocal-rank
+    * numerator (the approx rank at which the TRUE nearest neighbor
+    * appears; 0 = missed entirely — MRR's per-query term as an exact
+    * integer, no division). Both routes are deterministic and
+    * engine-portable, so the whole evaluation — approximate route,
+    * exact route, and their comparison — hash-checks against a DuckDB
+    * mirror: the evaluator itself is oracled, not just the indexes.
+    *
+    * Scale shape: the ground-truth side is the expensive half
+    * (brute-force over the corpus), but an evaluation runs on a
+    * bounded QUERY SAMPLE (here: the probe set), so corpus size only
+    * enters linearly — the same posture as the recall gates inside
+    * SimilaritySpec, now exposed as an operator.
+    */
+  def recallEval(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val approx = lshTopKPortable(emb, queries, k)
+      .select(col("qid"), col("nbr"), col("rnk").cast("long").as("rnk"))
+    val exact = bruteTopK(emb, queries, k)
+      .select(col("qid"), col("nbr"), col("rnk"))
+    val hits = exact.select("qid", "nbr")
+      .join(approx.select("qid", "nbr"), Seq("qid", "nbr"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    val top1 = exact.where(col("rnk") === 1)
+      .select(col("qid"), col("nbr"))
+      .join(approx, Seq("qid", "nbr"), "left")
+      .select(col("qid"), coalesce(col("rnk"), lit(0L)).as("rank_top1"))
+    queries.select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .join(top1, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"),
+        coalesce(col("rank_top1"), lit(0L)).as("rank_top1"))
+      .orderBy("qid")
+  }
 }

@@ -828,4 +828,35 @@ object TextAnalysis {
           col("n_tokens")).cast("long").as("score_micro"))
       .withColumn("pass", col("score_micro") >= 0L)
       .orderBy("doc_id")
+
+  /** CCNet/RefinedWeb text normalization (§2c.30e) — the canonical
+    * pre-dedup cleaning recipe ran before any fingerprint or shingle:
+    * NFC unicode normalization ([[graft.functions.UnicodeNormalize]],
+    * a native codegen'd expression — Spark has no built-in), then
+    * lowercase, then accent-strip (NFD decompose + drop `\p{Mn}`
+    * combining marks — the strip_accents equivalence on Latin
+    * scripts), then whitespace runs collapsed to single spaces and
+    * trimmed. Map-only, one scan, stays inside whole-stage codegen.
+    *
+    * Emitted as (doc_id, norm_md5, n_norm) rather than the normalized
+    * text itself: dedup keys downstream consume the digest, and the
+    * digest is what the cross-engine oracle can mirror
+    * (`md5(trim(regexp_replace(lower(nfc_normalize(text)), ...)))`).
+    * [[normText]] exposes the text-valued column for pipelines that
+    * re-tokenize the cleaned form.
+    */
+  def normText(text: Column): Column = {
+    import graft.functions.UnicodeNormalize
+    val nfc = UnicodeNormalize(text, "NFC")
+    val folded = regexp_replace(
+      UnicodeNormalize(lower(nfc), "NFD"), "\\p{Mn}", "")
+    trim(regexp_replace(folded, "\\s+", " "))
+  }
+
+  def normalize(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val n = normText(text)
+    df.select(id.as("doc_id"), md5(n).as("norm_md5"),
+        length(n).cast("long").as("n_norm"))
+      .orderBy("doc_id")
+  }
 }

@@ -862,6 +862,82 @@ object Analytics {
           round((col("sa") - col("sb")).cast("double") / lit(8e6), 6)
             .as("shift"))
         .orderBy("event_id")
+    }),
+
+    // §2b.29 — EXACT rolling median (robust smoothing over event
+    // streams): per user, the last-9-rows window in micro-unit longs,
+    // emitted as the (lower, upper) middle-element pair — integer
+    // order statistics, no interpolation, so the row hash-checks
+    // against DuckDB's list window mirror with zero float protocol.
+    // The window is collect+sort over ≤9 elements per row (bounded
+    // work per row — never a per-user global sort); at 100 TB the
+    // partitionBy(user_id) shuffle is the only exchange.
+    "events_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-8, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * lit(1e6)).cast("long").as("mv"))
+        .withColumn("win", array_sort(collect_list("mv").over(w)))
+        .select(col("event_id"), col("user_id"),
+          size(col("win")).cast("long").as("n_win"),
+          element_at(col("win"), expr("(size(win) + 1) div 2").cast("int"))
+            .as("med_lo"),
+          element_at(col("win"), expr("size(win) div 2 + 1").cast("int"))
+            .as("med_hi"))
+        .orderBy("event_id")
+    }),
+
+    // §2b.30 — per-user LAG/DELTA FEATURE generation (the feature-
+    // engineering face every training pipeline runs over event
+    // streams): value deltas vs the 1- and 2-step lags, inter-event
+    // gap in micros, and rolling min/max over the last 4 events — all
+    // exact longs over ONE window exchange (every frame shares the
+    // partitionBy(user_id) sort). Rows without 2 predecessors are
+    // dropped (row_number gate), so every output cell is non-null.
+    "events_lag_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w4 = w.rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * lit(1e6)).cast("long").as("mv"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("d1", col("mv") - lag("mv", 1).over(w))
+        .withColumn("d2", lag("mv", 1).over(w) - lag("mv", 2).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag("ts", 1).over(w).cast("timestamp")))
+        .withColumn("rmin4", min("mv").over(w4))
+        .withColumn("rmax4", max("mv").over(w4))
+        .where(col("rn") >= 3)
+        .select(col("event_id"), col("user_id"), col("d1"), col("d2"),
+          col("gap_us"), col("rmin4"), col("rmax4"))
+        .orderBy("event_id")
+    }),
+
+    // §2b.31 — SALTED fact⋈dim join (ops/Salt.saltedJoin): lineitem
+    // joins part on a salted (partkey, salt) key with the dim side
+    // replicated 8×, then brand revenue. Result-identical to the
+    // plain equi-join (the oracle), different shuffle layout: a
+    // pathologically hot partkey spreads over 8 reducers instead of
+    // one — the pre-AQE skew-join device, kept deterministic (salt =
+    // hash of orderkey, not rand()).
+    "join_salted" -> ((s, d) => {
+      val joined = graft.ops.Salt.saltedJoin(
+        Tables.lineitem(s, d), Tables.part(s, d),
+        col("l_partkey"), col("p_partkey"),
+        Seq("price" -> col("l_extendedprice"),
+          "disc" -> col("l_discount")),
+        Seq("brand" -> col("p_brand")),
+        saltFrom = col("l_orderkey"), buckets = 8)
+      joined.groupBy("brand")
+        .agg(sum(col("price").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("disc").cast("decimal(18,2)"))).cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("brand")
     })
   )
 }

@@ -682,6 +682,56 @@ object Oracles {
         |WHERE nb = 8 AND na = 8 AND abs(sa - sb) >= 400000000
         |ORDER BY event_id""".stripMargin,
 
+    // mirror of events_rolling_median: same micro-unit longs, same
+    // (ts, event_id) frame, the (lower, upper) middle pair of the
+    // sorted 9-row window — integer order statistics on both engines
+    "events_rolling_median" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 1e6) AS BIGINT) AS mv
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id,
+        |    list_sort(list(mv) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, CAST(len(win) AS BIGINT) AS n_win,
+        |  win[(len(win) + 1) // 2] AS med_lo,
+        |  win[len(win) // 2 + 1] AS med_hi
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // mirror of events_lag_features: one named window per frame,
+    // exact longs, the rn >= 3 gate drops the null-lag prefix
+    "events_lag_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 1e6) AS BIGINT) AS mv
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER win AS rn,
+        |    mv - lag(mv, 1) OVER win AS d1,
+        |    lag(mv, 1) OVER win - lag(mv, 2) OVER win AS d2,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER win) AS gap_us,
+        |    min(mv) OVER win4 AS rmin4,
+        |    max(mv) OVER win4 AS rmax4
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    win4 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, d1, d2, gap_us, rmin4, rmax4
+        |FROM w WHERE rn >= 3 ORDER BY event_id""".stripMargin,
+
+    // mirror of join_salted: the salt is pure partitioning — result
+    // rows equal the PLAIN equi-join, which is what the oracle runs
+    "join_salted" ->
+      s"""SELECT p_brand AS brand, $rev AS rev, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY brand ORDER BY brand""".stripMargin,
+
     // mirror of basket_pairs: canonical a<b self-join per order,
     // lift = one IEEE division of two exact long products
     "basket_pairs" ->

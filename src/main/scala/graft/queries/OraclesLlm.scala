@@ -1955,7 +1955,107 @@ object OraclesLlm {
         |SELECT CAST(row_number() OVER (ORDER BY pos, source, r) AS BIGINT)
         |    AS slot,
         |  source, doc_id, r, round(pos, 9) AS pos
-        |FROM p ORDER BY pos, source, r LIMIT 500""".stripMargin
+        |FROM p ORDER BY pos, source, r LIMIT 500""".stripMargin,
+
+    // mirror of TextAnalysis.normalize: nfc_normalize ↔ the native
+    // UnicodeNormalize(NFC) expression, strip_accents ↔ NFD + drop
+    // \p{Mn}, then the same lowercase/whitespace-collapse/trim and
+    // md5 digest (the corpus is ASCII, so the unicode-specific steps
+    // are identity here — NormalizeSpec pins their non-ASCII behavior
+    // with composed/decomposed literals)
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(strip_accents(lower(nfc_normalize(text))),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS BIGINT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // mirror of HeavyHitters.heavyHitters(k=60): the Misra-Gries +
+    // recount route is EXACT (superset guarantee + exact recount +
+    // strict cnt·k > N gate), so the oracle is the plain
+    // GROUP BY ... HAVING it claims to equal
+    "stats_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+        |), tot AS (
+        |  SELECT count(*) AS n FROM toks
+        |), c AS (
+        |  SELECT item, count(*) AS cnt FROM toks GROUP BY item
+        |)
+        |SELECT item, cnt FROM c, tot WHERE cnt * 60 > n
+        |ORDER BY cnt DESC, item ASC""".stripMargin,
+
+    // mirror of Similarity.recallEval: the ENTIRE evaluation re-run
+    // on DuckDB — the portable-LSH route (md5-derived planes →
+    // band buckets → shortlist → exact rerank, the ann_lsh_topk_
+    // portable CTE chain) AND the brute-force ground truth, then the
+    // same recall@5 / reciprocal-rank-numerator comparison
+    "search_recall_eval" ->
+      s"""WITH pl AS (
+        |  SELECT b.b AS bit,
+        |         list(CASE WHEN ('0x' || substr(md5(b.b::VARCHAR || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+        |              ORDER BY i.i) AS ps
+        |  FROM range(0, 16) b(b) CROSS JOIN range(1, 65) i(i)
+        |  GROUP BY b.b
+        |), sb AS (
+        |  SELECT e.vec_id, pl.bit,
+        |         CASE WHEN list_sum(list_transform(range(1, 65),
+        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.ps[i])) >= 0
+        |              THEN 1 ELSE 0 END AS bit_on
+        |  FROM embeddings e CROSS JOIN pl
+        |), cb AS (
+        |  SELECT vec_id, bit // 2 AS bd,
+        |         CAST(sum(bit_on << (bit % 2)) AS BIGINT) AS bucket
+        |  FROM sb GROUP BY vec_id, bit // 2
+        |), qb AS (
+        |  SELECT vec_id AS qid, bd, bucket FROM cb WHERE vec_id < 10
+        |), cand AS (
+        |  SELECT DISTINCT c.vec_id AS nbr, q.qid
+        |  FROM cb c JOIN qb q
+        |    ON c.bd = q.bd AND c.bucket = q.bucket AND c.vec_id <> q.qid
+        |), sc AS (
+        |  SELECT cand.qid, cand.nbr,
+        |         round(${cos("eq.embedding", "ec.embedding")}, 6) AS cos
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = cand.qid
+        |  JOIN embeddings ec ON ec.vec_id = cand.nbr
+        |), approx AS (
+        |  SELECT qid, nbr, rnk FROM (
+        |    SELECT qid, nbr,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |    FROM sc
+        |  ) WHERE rnk <= 5
+        |), es AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nbr,
+        |    round(${cos("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), exact AS (
+        |  SELECT qid, nbr, rnk FROM (
+        |    SELECT qid, nbr,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |    FROM es
+        |  ) WHERE rnk <= 5
+        |), hits AS (
+        |  SELECT e.qid, count(*) AS hits
+        |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.nbr = e.nbr
+        |  GROUP BY e.qid
+        |), top1 AS (
+        |  SELECT e.qid, coalesce(a.rnk, 0) AS rank_top1
+        |  FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.nbr = e.nbr
+        |  WHERE e.rnk = 1
+        |)
+        |SELECT qs.qid, coalesce(h.hits, 0) AS hits,
+        |  CAST(5 AS BIGINT) AS k, coalesce(t.rank_top1, 0) AS rank_top1
+        |FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) qs
+        |LEFT JOIN hits h ON h.qid = qs.qid
+        |LEFT JOIN top1 t ON t.qid = qs.qid
+        |ORDER BY qs.qid""".stripMargin
   )
 
   /** mirror of Search.mmrTopK with the greedy steps UNROLLED as CTEs

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{HeavyHitters, Salt, Similarity, TextAnalysis}
+
+/** Round-9 operators: unicode normalization, exact heavy hitters,
+  * salted join, ANN recall evaluation, rolling-median/lag windows.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- text normalization --------------------------------------------
+
+  test("normalize: NFC composes, accents strip, whitespace collapses") {
+    // "Café" (decomposed) and "Café" (composed) must normalize
+    // to the same digest; accents drop; runs of whitespace collapse
+    val df = Seq(
+      (1L, "Café  au   lait"),
+      (2L, "Café au lait"),
+      (3L, "CAFE au\tlait"),
+      (4L, "  cafe au lait  ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L)) // NFD/NFC forms converge
+    assert(out(1L) === out(3L)) // case + accent + tab
+    assert(out(1L) === out(4L)) // trim
+  }
+
+  test("normalize: normText is idempotent and length matches") {
+    val df = Seq((1L, "  Á  b  ")).toDF("doc_id", "text")
+    val once = df.select(TextAnalysis.normText(col("text")).as("n"))
+    val twice = once.select(TextAnalysis.normText(col("n")).as("n"))
+    assert(once.head.getString(0) === twice.head.getString(0))
+    assert(once.head.getString(0) === "a b")
+  }
+
+  test("normalize: null text yields null digest, no throw") {
+    val df = Seq((1L, "x"), (2L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(out.length === 2 && out(1).isNullAt(1))
+  }
+
+  // ---- heavy hitters --------------------------------------------------
+
+  test("heavy hitters equal the exact GROUP BY..HAVING on a skewed stream") {
+    // planted zipf-ish stream: token i appears ~ N/i times
+    val rows = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"tok$i"))
+    val df = rows.toDF("item").repartition(7) // many partitions: the MG
+    // union must still be a superset across arbitrary splits
+    val k = 12
+    val got = HeavyHitters.heavyHitters(df, col("item"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.size
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * k > n }
+      .toSeq.map { case (t, c) => (t, c) }
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq === want)
+  }
+
+  test("misra-gries summary retains every local item above n/k") {
+    val stream = Seq.fill(50)("hot") ++ (1 to 200).map(i => s"cold$i")
+    val survivors =
+      HeavyHitters.misraGries(scala.util.Random.shuffle(stream).iterator, 10)
+        .toSet
+    assert(survivors.contains("hot")) // 50 > 250/10
+  }
+
+  // ---- salted join ----------------------------------------------------
+
+  test("salted join equals the plain equi-join on a planted hot key") {
+    val fact = ((1 to 3000).map(i => (7L, i.toLong)) ++ // hot key
+      (1 to 500).map(i => ((i % 20).toLong, i.toLong)))
+      .toDF("fk", "v")
+    val dim = (0L to 20L).map(kk => (kk, s"d$kk")).toDF("dk", "name")
+    val salted = Salt.saltedJoin(fact, dim, col("fk"), col("dk"),
+        Seq("v" -> col("v")), Seq("name" -> col("name")),
+        saltFrom = col("v"), buckets = 8)
+      .groupBy("key", "name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy(col("fk").as("key"), col("name"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(salted.orderBy("key").collect().toSeq ===
+      plain.orderBy("key").collect().toSeq)
+  }
+
+  // ---- recall eval ----------------------------------------------------
+
+  test("recallEval agrees with a hand comparison of the two routes") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 10)
+    val ev = Similarity.recallEval(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    assert(ev.map(_._1) === (0L to 9L).toList)
+    val approx = Similarity.lshTopKPortable(emb, q, 5)
+      .select(col("qid"), col("nbr"), col("rnk").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = Similarity.bruteTopK(emb, q, 5)
+      .select(col("qid"), col("nbr"), col("rnk").cast("long")).collect()
+      .groupBy(_.getLong(0))
+    for ((qid, hits, rankTop1) <- ev) {
+      val ex = exact(qid).map(r => (r.getLong(1), r.getLong(2)))
+      assert(hits === ex.count { case (nbr, _) => approx.contains((qid, nbr)) })
+      val top1 = ex.find(_._2 == 1L).get._1
+      assert(rankTop1 === approx.getOrElse((qid, top1), 0L))
+      assert(hits >= 0L && hits <= 5L)
+    }
+    // the LSH recall gate the operator exists to measure
+    val totalHits = ev.map(_._2).sum
+    assert(totalHits >= 45L, s"recall@5 dropped: $totalHits/50")
+  }
+
+  // ---- rolling median -------------------------------------------------
+
+  test("rolling median pair brackets the window's sorted middle") {
+    val rows = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 5.0),
+      (2L, 10L, "2024-01-01 00:01:00", 1.0),
+      (3L, 10L, "2024-01-01 00:02:00", 9.0),
+      (4L, 10L, "2024-01-01 00:03:00", 3.0)
+    ).toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-8, 0)
+    val out = rows
+      .select(col("event_id"), round(col("value") * 1e6).cast("long").as("mv"))
+      .withColumn("win", array_sort(collect_list("mv").over(
+        Window.partitionBy(lit(1)).orderBy("event_id").rowsBetween(-8, 0))))
+      .select(col("event_id"),
+        element_at(col("win"), expr("(size(win)+1) div 2").cast("int"))
+          .as("lo"),
+        element_at(col("win"), expr("size(win) div 2 + 1").cast("int"))
+          .as("hi"))
+      .orderBy("event_id").collect()
+    // windows: [5] [1,5] [1,5,9] [1,3,5,9]
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq(
+      (5000000L, 5000000L), (1000000L, 5000000L),
+      (5000000L, 5000000L), (3000000L, 5000000L)))
+  }
+}
