@@ -86,6 +86,99 @@ object Store {
     }
   }
 
+  // ------------------------------------------------------ schema sidecars
+  // Each segment also records the PHYSICAL SCHEMA of the data files
+  // its append persisted (`_SCHEMA`, the StructType json) — the
+  // add-column schema-evolution protocol table formats use: readers
+  // build the live schema from metadata (union of segment schemas in
+  // first-seen field order) instead of sniffing parquet footers
+  // (Spark's mergeSchema — O(files) footer reads, the wrong shape at
+  // 100 TB), and old segments' missing columns read as null. Because
+  // the union is computed over the SNAPSHOT's segments, time travel
+  // ([[openAt]]) automatically serves the schema as of that snapshot.
+  // Evolution is ADD-COLUMN ONLY: a changed type for an existing
+  // field fails loudly at open (silent coercion corrupts data).
+
+  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                 segDir: String,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$segDir/_SCHEMA"), true)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                segDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(s"$segDir/_SCHEMA")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try {
+        in.readFully(buf)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(buf, "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
+  }
+
+  /** union of per-segment schemas, first-seen field order. Fields
+    * absent from any contributing segment become nullable (their
+    * rows read as null); a same-name field with a DIFFERENT type is
+    * a contract violation (add-column only), failed loudly.
+    */
+  private[core] def unionSchema(
+      ss: Seq[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    val seenIn = scala.collection.mutable.HashMap.empty[String, Int]
+    ss.foreach(_.fields.foreach { f =>
+      seenIn(f.name) = seenIn.getOrElse(f.name, 0) + 1
+      order.get(f.name) match {
+        case None => order(f.name) = f
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"schema evolution is add-column only: field '${f.name}' " +
+              s"changed type ${g.dataType.simpleString} -> ${f.dataType.simpleString}")
+          if (f.nullable && !g.nullable) order(f.name) = g.copy(nullable = true)
+      }
+    })
+    StructType(order.values.toSeq.map { f =>
+      if (seenIn(f.name) < ss.size) f.copy(nullable = true) else f
+    })
+  }
+
+  /** the metadata-derived schema of the store (as of snapshot
+    * `upTo`, or live), or None when any participating segment
+    * predates the sidecar protocol — all-or-nothing, because a
+    * sidecar-less segment may carry columns the union cannot see,
+    * and an explicit read schema would silently DROP them.
+    */
+  private def storedSchema(spark: SparkSession, dir: String,
+                           upTo: Option[Int]): Option[org.apache.spark.sql.types.StructType] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val ids = snapshots(spark, dir).filter(id => upTo.forall(id <= _))
+    if (ids.isEmpty) None
+    else {
+      val sides = ids.map(id => readSchemaSidecar(fs, s"$root/seg_$id"))
+      if (sides.exists(_.isEmpty)) None
+      else Some(unionSchema(sides.flatten))
+    }
+  }
+
+  /** the store's data frame under the evolution protocol: metadata
+    * schema when every segment carries a sidecar (missing columns of
+    * old segments read as null), otherwise the legacy plain read.
+    */
+  private def dataFrame(spark: SparkSession, dir: String): DataFrame =
+    storedSchema(spark, dir, None) match {
+      case Some(u) => spark.read.schema(u).parquet(s"$dir/data")
+      case None    => spark.read.parquet(s"$dir/data")
+    }
+
   /** write rows + index as segment 0 (reference writeIndexedDf).
     * Only the store-owned `data/` and index subdirs are cleared —
     * never the whole target dir, which may be a path the caller also
@@ -112,7 +205,8 @@ object Store {
     // for the index would recompute the whole upstream (2× cost) and,
     // for a nondeterministic input (sample/rand/changing source),
     // index a DIFFERENT row set than the one persisted
-    val ix = IndexedFrame(spark.read.parquet(s"$dir/data"), spec)
+    val persisted = spark.read.parquet(s"$dir/data")
+    val ix = IndexedFrame(persisted, spec)
     ix.entries.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
     // optional per-entry row-refs artifact (the reference's bitmap
     // payload, Dfs.scala:330-408) — segment-parallel to the f index
@@ -122,6 +216,7 @@ object Store {
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
     writeManifest(fs, s"$dir/index/seg_0", dataNames)
+    writeSchemaSidecar(fs, s"$dir/index/seg_0", persisted.schema)
   }
 
   /** reopen a written frame + its persisted index (openIndexedDf);
@@ -129,7 +224,7 @@ object Store {
     */
   def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame =
     StoredFrame(
-      IndexedFrame(spark.read.parquet(s"$dir/data"), spec),
+      IndexedFrame(dataFrame(spark, dir), spec),
       mergedIndex(spark, dir),
       rowRefsFrame(spark, dir))
 
@@ -171,7 +266,12 @@ object Store {
     val files = ids.flatMap { id =>
       readManifest(fs, s"$root/seg_$id").getOrElse(Seq.empty)
     }.distinct.map(n => s"$dir/data/$n")
-    val data = spark.read.parquet(files: _*)
+    // snapshot-scoped schema: columns appended AFTER upToSeg are
+    // invisible, exactly as the data files are
+    val data = storedSchema(spark, dir, Some(upToSeg)) match {
+      case Some(u) => spark.read.schema(u).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
     val segFrames = ids.map(id => spark.read.parquet(s"$root/seg_$id"))
     val index =
       if (segFrames.size == 1) segFrames.head
@@ -313,6 +413,8 @@ object Store {
           .write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
       writeManifest(fs, s"$root/seg_$segId",
         written.map(p => p.substring(p.lastIndexOf('/') + 1)))
+      writeSchemaSidecar(fs, s"$root/seg_$segId",
+        spark.read.parquet(written: _*).schema)
     }
   }
 
@@ -398,13 +500,14 @@ object Store {
     // union of the old generation's manifests, so "latest" stays
     // time-travel-readable while intermediate snapshots retire with
     // their generation
-    val oldManifests = {
+    val oldSegNames = {
       val rp = new org.apache.hadoop.fs.Path(oldRoot)
-      if (!fs.exists(rp)) Nil
+      if (!fs.exists(rp)) Seq.empty[String]
       else fs.listStatus(rp).map(_.getPath.getName)
         .filter(_.startsWith("seg_")).toSeq.sorted
-        .map(s => readManifest(fs, s"$oldRoot/$s"))
     }
+    val oldManifests = oldSegNames.map(s => readManifest(fs, s"$oldRoot/$s"))
+    val oldSchemas = oldSegNames.map(s => readSchemaSidecar(fs, s"$oldRoot/$s"))
     // sorted (field,value) clustering belongs to the WRITE, not the
     // read ([[mergedIndex]] serves unordered): the folded segment's
     // parquet stats must prune point reads like a write()n one's do
@@ -421,6 +524,10 @@ object Store {
     if (oldManifests.nonEmpty && oldManifests.forall(_.isDefined))
       writeManifest(fs, s"$newRoot/seg_0",
         oldManifests.flatMap(_.get).distinct)
+    // the folded segment's schema is the union of the retired
+    // segments' schemas (same all-or-nothing rule as storedSchema)
+    if (oldSchemas.nonEmpty && oldSchemas.forall(_.isDefined))
+      writeSchemaSidecar(fs, s"$newRoot/seg_0", unionSchema(oldSchemas.flatten))
     fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
     // reclaim generations at least two compacts old (never `gen`
     // itself — in-flight readers may still be planned against it)

@@ -355,4 +355,56 @@ class StoreSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(keys.forall(_ <= 2L))
   }
+
+  test("schema evolution: appended column reads as null for old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    val withQ = data.where($"id" > 2).withColumn("quality", $"v" * 2)
+    Store.append(withQ, dir, spec)
+    val live = Store.open(spark, dir, spec).frame.df
+    assert(live.columns.toSeq === Seq("id", "cat", "v", "quality"))
+    val rows = live.select("id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty)
+    assert(rows(3L) === Some(60.0) && rows(4L) === Some(80.0))
+    // index is unaffected by the extra column
+    val f = Store.open(spark, dir, spec).persistedIndex
+      .where(col("value") === "a").select("f").collect().map(_.getLong(0)).sum
+    assert(f === 2L)
+  }
+
+  test("schema evolution: time travel serves the schema as of the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("ev2").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2).withColumn("quality", $"v" * 2),
+      dir, spec)
+    val snap0 = Store.openAt(spark, dir, spec, 0).frame.df
+    assert(snap0.columns.toSeq === Seq("id", "cat", "v"))
+    val snap1 = Store.openAt(spark, dir, spec, 1).frame.df
+    assert(snap1.columns.toSeq === Seq("id", "cat", "v", "quality"))
+  }
+
+  test("schema evolution: compact folds to one segment with the union schema") {
+    val dir = java.nio.file.Files.createTempDirectory("ev3").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2).withColumn("quality", $"v" * 2),
+      dir, spec)
+    Store.compact(spark, dir)
+    val live = Store.open(spark, dir, spec).frame.df
+    assert(live.columns.toSeq === Seq("id", "cat", "v", "quality"))
+    assert(live.where($"quality".isNull).count() === 2)
+    assert(live.count() === 4)
+  }
+
+  test("schema evolution rejects a type change for an existing field") {
+    val dir = java.nio.file.Files.createTempDirectory("ev4").toString
+    Store.append(data.where($"id" <= 2), dir, spec)
+    Store.append(data.where($"id" > 2).withColumn("v", $"v".cast("string")),
+      dir, spec)
+    val e = intercept[IllegalArgumentException] {
+      Store.open(spark, dir, spec).frame.df.collect()
+    }
+    assert(e.getMessage.contains("add-column only"))
+  }
 }
