@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Exact distributed heavy hitters (SURVEY §2c.31e) — the
+/** Exact distributed heavy hitters (SURVEY §2c.31c) — the
   * Misra-Gries summary (Misra & Gries 1982, "Finding repeated
   * elements") run per partition, then an exact recount of the
   * surviving candidates. The two-pass shape is what makes frequency

@@ -858,7 +858,7 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** ANN index-quality evaluation (§2c.29f) — the measurement a
+  /** ANN index-quality evaluation (§2c.29h) — the measurement a
     * pipeline runs before trusting an approximate index at scale:
     * per query, recall@k of the [[lshTopKPortable]] shortlist against
     * the [[bruteTopK]] ground truth, plus the reciprocal-rank

@@ -829,7 +829,7 @@ object TextAnalysis {
       .withColumn("pass", col("score_micro") >= 0L)
       .orderBy("doc_id")
 
-  /** CCNet/RefinedWeb text normalization (§2c.30e) — the canonical
+  /** CCNet/RefinedWeb text normalization (§2c.30j) — the canonical
     * pre-dedup cleaning recipe ran before any fingerprint or shingle:
     * NFC unicode normalization ([[graft.functions.UnicodeNormalize]],
     * a native codegen'd expression — Spark has no built-in), then

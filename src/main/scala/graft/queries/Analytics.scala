@@ -864,7 +864,7 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // §2b.29 — EXACT rolling median (robust smoothing over event
+    // §2b.22w — EXACT rolling median (robust smoothing over event
     // streams): per user, the last-9-rows window in micro-unit longs,
     // emitted as the (lower, upper) middle-element pair — integer
     // order statistics, no interpolation, so the row hash-checks
@@ -889,7 +889,7 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // §2b.30 — per-user LAG/DELTA FEATURE generation (the feature-
+    // §2b.22x — per-user LAG/DELTA FEATURE generation (the feature-
     // engineering face every training pipeline runs over event
     // streams): value deltas vs the 1- and 2-step lags, inter-event
     // gap in micros, and rolling min/max over the last 4 events — all
@@ -917,7 +917,7 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // §2b.31 — SALTED fact⋈dim join (ops/Salt.saltedJoin): lineitem
+    // §2b.22y — SALTED fact⋈dim join (ops/Salt.saltedJoin): lineitem
     // joins part on a salted (partkey, salt) key with the dim side
     // replicated 8×, then brand revenue. Result-identical to the
     // plain equi-join (the oracle), different shuffle layout: a
