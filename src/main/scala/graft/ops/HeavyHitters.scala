@@ -37,8 +37,19 @@ object HeavyHitters {
     * but with k in the hundreds a direct map walk is already cheap
     * and simpler, so the textbook spelling is used.
     */
-  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
-    val counters = mutable.HashMap.empty[String, Long]
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] =
+    misraGriesFold(mutable.HashMap.empty[String, Long], it, k).keysIterator
+
+  /** the MG fold itself, resumable from carried counters — shared by
+    * the batch pass above and the streaming face
+    * ([[graft.streaming.EventPipeline.heavyHittersStream]]), whose
+    * state is the counter map between micro-batches (MG is a
+    * streaming algorithm: folding batch N+1 into batch N's counters
+    * IS the single-pass summary of the concatenated stream).
+    */
+  private[graft] def misraGriesFold(counters: mutable.HashMap[String, Long],
+                                    it: Iterator[String],
+                                    k: Int): mutable.HashMap[String, Long] = {
     while (it.hasNext) {
       val x = it.next()
       if (x != null) {
@@ -57,7 +68,7 @@ object HeavyHitters {
         }
       }
     }
-    counters.keysIterator
+    counters
   }
 
   /** items of `item` (cast to string) whose exact count times k

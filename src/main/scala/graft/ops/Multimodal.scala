@@ -690,4 +690,53 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  /** near-duplicate IMAGE mining over perceptual dHashes (§2c.34e) —
+    * the image-side sibling of the simhash text family: DISTINCT
+    * 64-bit dHashes (with their corpus mass: count + min-doc
+    * representative) are banded into 16×4-bit keys, candidate hash
+    * pairs share ≥1 band, and survivors verify by exact hamming
+    * distance (xor + popcount on the two 32-bit halves) ≤
+    * `maxHamming`. At the default 15 the banding is LOSSLESS by
+    * pigeonhole (15 differing bits cannot touch all 16 bands), so the
+    * banded route provably equals brute force — spec-asserted — while
+    * never forming the all-pairs space.
+    *
+    * Scale shape: the pair mining runs over the DISTINCT-hash table,
+    * which is ≪ corpus for any real image collection (re-encodes and
+    * crops collapse to few hashes); corpus size enters only the
+    * map-side groupBy that builds it. Each output pair carries both
+    * hashes' masses, so "merge these two exact-dup clusters" is the
+    * downstream action without another corpus pass.
+    */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 15): DataFrame = {
+    val base = hashes.groupBy("phash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("rep"))
+      // fixed-width lowercase hex: halves parse as unsigned 32-bit
+      // values (each fits a signed long), lexicographic hex order ==
+      // numeric order, so `pa < pb` below is a total hash order
+      .withColumn("hi", conv(substring(col("phash"), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("lo", conv(substring(col("phash"), 9, 8), 16, 10)
+        .cast("long"))
+    val nibbles = (0 until 16).map { i =>
+      if (i < 8) shiftrightunsigned(col("lo"), 4 * i).bitwiseAND(lit(15L))
+      else shiftrightunsigned(col("hi"), 4 * (i - 8)).bitwiseAND(lit(15L))
+    }
+    val banded = base.select(col("phash"), col("hi"), col("lo"),
+      col("n"), col("rep"),
+      posexplode(array(nibbles: _*)).as(Seq("band", "key")))
+    def side(s: String) = banded.select(col("band"), col("key"),
+      col("phash").as(s"p$s"), col("hi").as(s"h$s"), col("lo").as(s"l$s"),
+      col("n").as(s"n_$s"), col("rep").as(s"rep_$s"))
+    side("a").join(side("b"), Seq("band", "key"))
+      .where(col("pa") < col("pb"))
+      .dropDuplicates("pa", "pb")
+      .withColumn("dist",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+      .where(col("dist") <= maxHamming)
+      .select(col("pa").as("a_hash"), col("pb").as("b_hash"), col("dist"),
+        col("n_a"), col("n_b"), col("rep_a"), col("rep_b"))
+      .orderBy("a_hash", "b_hash")
+  }
 }

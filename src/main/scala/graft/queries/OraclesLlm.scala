@@ -1410,6 +1410,52 @@ object OraclesLlm {
         |SELECT h.doc_id, h.phash, n_docs, rep
         |FROM hashes h JOIN grp USING (phash) ORDER BY h.doc_id""".stripMargin,
 
+    // mirror of Multimodal.phashNearDups over the same re-derived
+    // payload formula: distinct hashes + mass, 32-bit halves parsed
+    // from the hex, 16×4-bit bands, shared-band candidate pairs,
+    // exact hamming (xor + bit_count) ≤ 15
+    "multimodal_dedup" ->
+      """WITH par AS (
+        |  SELECT doc_id,
+        |         29 + ((doc_id % 16) * 37) % 151 AS a,
+        |         11 + ((doc_id % 16) * 53) % 97 AS b
+        |  FROM documents
+        |), bits AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN (x*a + y*b) % 200 < ((x+1)*a + y*b) % 200
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM par, range(0, 8) t1(y), range(0, 8) t2(x)
+        |), rowbytes AS (
+        |  SELECT doc_id, y, CAST(sum(bit * (1 << x)) AS INT) AS rb
+        |  FROM bits GROUP BY doc_id, y
+        |), hashes AS (
+        |  SELECT doc_id, string_agg(printf('%02x', rb), '' ORDER BY y) AS phash
+        |  FROM rowbytes GROUP BY doc_id
+        |), base AS (
+        |  SELECT phash, count(*) AS n, min(doc_id) AS rep,
+        |         ('0x' || substr(phash, 1, 8))::BIGINT AS hi,
+        |         ('0x' || substr(phash, 9, 8))::BIGINT AS lo
+        |  FROM hashes GROUP BY phash
+        |), banded AS (
+        |  SELECT phash, hi, lo, n, rep, i.i AS band,
+        |         CASE WHEN i.i < 8 THEN (lo >> (4 * i.i)) & 15
+        |              ELSE (hi >> (4 * (i.i - 8))) & 15 END AS key
+        |  FROM base CROSS JOIN range(0, 16) i(i)
+        |), cand AS (
+        |  SELECT DISTINCT a.phash AS pa, b.phash AS pb,
+        |         a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb,
+        |         a.n AS n_a, b.n AS n_b, a.rep AS rep_a, b.rep AS rep_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.phash < b.phash
+        |)
+        |SELECT pa AS a_hash, pb AS b_hash,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+        |    AS dist,
+        |  n_a, n_b, rep_a, rep_b
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 15
+        |ORDER BY a_hash, b_hash""".stripMargin,
+
     "multimodal_audio" ->
       """SELECT doc_id,
         |  CAST(8000 AS BIGINT) AS sample_rate,

@@ -541,6 +541,47 @@ object EventPipeline {
       .toDF("user_id", "bkt_us", "n_events", "value", "filled")
   }
 
+  /** streaming HEAVY HITTERS — the streaming face of
+    * [[graft.ops.HeavyHitters]]: tokens route to `groups` disjoint
+    * substreams by token hash (a token's ENTIRE count lives in one
+    * substream), each substream folds a Misra-Gries summary of
+    * capacity k−1 as its `flatMapGroupsWithState` state. The batch
+    * operator's superset guarantee carries over: an item with global
+    * count > N/k has count > n_g/k within its own substream (n_g ≤ N),
+    * so it survives that substream's summary — the emitted candidate
+    * union is a superset of the true heavy hitters at every batch
+    * boundary, and the exact-recount pass stays a batch job over the
+    * ingested corpus. State per group is ≤ k−1 counters, so total
+    * state is groups·(k−1) entries regardless of stream volume.
+    *
+    * Each micro-batch's tokens fold in SORTED order (per group) and
+    * the batch emits the group's full post-fold candidate set tagged
+    * with a monotone `ver` — deterministic given the batch split, so
+    * the spec can replay the same split sequentially and compare
+    * final candidate sets exactly.
+    */
+  def heavyHittersStream(docs: DataFrame, textCol: String,
+                         k: Int, groups: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(groups)).as("grp"), col("tok"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (grp: Long, it: Iterator[(Long, String)],
+         state: GroupState[(Long, Map[String, Long])]) => {
+          val (ver, carried) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val counters = scala.collection.mutable.HashMap[String, Long](carried.toSeq: _*)
+          graft.ops.HeavyHitters.misraGriesFold(
+            counters, it.map(_._2).toSeq.sorted.iterator, k)
+          state.update((ver + 1, counters.toMap))
+          counters.iterator.map { case (tok, c) => (grp, tok, c, ver + 1) }
+        })
+      .toDF("grp", "tok", "mg_count", "ver")
+  }
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

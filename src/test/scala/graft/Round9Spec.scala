@@ -112,6 +112,36 @@ class Round9Spec extends SparkSpec {
     assert(totalHits >= 45L, s"recall@5 dropped: $totalHits/50")
   }
 
+  // ---- phash near-dup mining -------------------------------------------
+
+  test("phash near-dup banding is lossless at hamming <= 15") {
+    // 16 bands x 4 bits: 15 differing bits cannot touch all 16 bands,
+    // so every pair at dist <= 15 shares a band — banded == brute
+    val rnd = new scala.util.Random(7)
+    val baseHashes = Seq.fill(40)(rnd.nextLong())
+    // planted near pairs at distances 1, 7, 15 (kept) and 16 (cut)
+    def flip(h: Long, k: Int): Long = {
+      val bits = rnd.shuffle((0 until 64).toList).take(k)
+      bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    }
+    val all = (baseHashes ++ Seq(flip(baseHashes.head, 1),
+      flip(baseHashes(1), 7), flip(baseHashes(2), 15),
+      flip(baseHashes(3), 16))).distinct
+    def hex(h: Long) = f"$h%016x"
+    val df = all.zipWithIndex
+      .map { case (h, i) => (i.toLong, hex(h)) }.toDF("doc_id", "phash")
+    val got = graft.ops.Multimodal.phashNearDups(df, maxHamming = 15)
+      .select("a_hash", "b_hash", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- all; b <- all if hex(a) < hex(b)
+      d = java.lang.Long.bitCount(a ^ b) if d <= 15
+    } yield (hex(a), hex(b), d.toLong)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 15L)) // the planted boundary pair survives
+    assert(!got.exists(_._3 > 15L))
+  }
+
   // ---- rolling median -------------------------------------------------
 
   test("rolling median pair brackets the window's sorted middle") {

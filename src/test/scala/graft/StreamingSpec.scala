@@ -7,6 +7,55 @@ import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming heavy hitters: candidates are a superset across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // planted hot token "hot" (count 30 of N=80) + long cold tail
+    val batch1 = Seq.fill(20)("hot doc") ++ (1 to 20).map(i => s"c$i x$i")
+    val batch2 = Seq.fill(10)("hot doc") ++ (21 to 30).map(i => s"c$i x$i")
+    val k = 10
+
+    val stream = MemoryStream[String]
+    val docs = stream.toDF().toDF("text")
+    val q = EventPipeline.heavyHittersStream(docs, "text", k, groups = 4)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+
+      val rows = spark.table("hh").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // final candidate set = each group's highest version
+      val lastVer = rows.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val finals = rows.filter { case (g, _, _, v) => v == lastVer(g) }
+      val cands = finals.map(_._2).toSet
+      // guarantee: the genuinely heavy tokens survive
+      assert(cands.contains("hot") && cands.contains("doc"))
+      // determinism: a sequential MG replay of the same batch split
+      // (per group, sorted within each batch) gives the same sets
+      def grpOf(t: String): Long = {
+        val g = Seq(t).toDF("tok")
+          .select(pmod(xxhash64(col("tok")), lit(4))).head.getLong(0)
+        g
+      }
+      val toks1 = batch1.flatMap(_.split(" ")); val toks2 = batch2.flatMap(_.split(" "))
+      val byGrp1 = toks1.groupBy(grpOf); val byGrp2 = toks2.groupBy(grpOf)
+      for (g <- (byGrp1.keySet ++ byGrp2.keySet)) {
+        val m = graft.ops.HeavyHitters.misraGriesFold(
+          scala.collection.mutable.HashMap.empty[String, Long],
+          byGrp1.getOrElse(g, Nil).sorted.iterator, k)
+        graft.ops.HeavyHitters.misraGriesFold(
+          m, byGrp2.getOrElse(g, Nil).sorted.iterator, k)
+        val got = finals.filter(_._1 == g).map(t => t._2 -> t._3).toMap
+        assert(got === m.toMap, s"group $g")
+      }
+      // bounded state: never more than k-1 candidates per group
+      assert(finals.groupBy(_._1).values.forall(_.length <= k - 1))
+    } finally q.stop()
+  }
+
   test("streaming windowed agg matches the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
