@@ -291,6 +291,33 @@ object Curation {
       .drop("rn", "s", "q")
   }
 
+  /** TOKEN-BUDGETED mixture sampling (§2c.38e — the budget a real
+    * mixture spec is written in: "50B tokens of web, 5B of code",
+    * never doc counts, because doc length varies 100× across
+    * sources): per stratum, docs take the deterministic md5-hash
+    * order ([[sampleMixture]]'s lineage argument — no rand()) and are
+    * taken while the CUMULATIVE token count before the doc is under
+    * the stratum's budget — so the sample always overshoots by less
+    * than one document and a re-run reproduces it exactly. One
+    * window exchange (partitionBy stratum, cumulative sum over the
+    * md5 order); emits (source, doc_id, ntok, cum_before) of the
+    * taken docs.
+    */
+  def sampleTokenBudget(df: DataFrame, stratum: Column, id: Column,
+                        text: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))
+    df.select(stratum.as("source"), id.as("doc_id"),
+        coalesce(size(split(text, " ")).cast("long"), lit(0L)).as("ntok"),
+        hashKey(id).as("__h"))
+      .withColumn("cum_before",
+        coalesce(sum("ntok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .where(col("cum_before") < budget)
+      .select(col("source"), col("doc_id"), col("ntok"), col("cum_before"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Temperature-weighted mixture INTERLEAVING (the training-ORDER
     * complement of [[sampleMixture]]'s quota sampling): each
     * stratum's docs take per-stratum md5-order ranks r = 1..n_s and

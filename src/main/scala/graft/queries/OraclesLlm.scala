@@ -2003,6 +2003,26 @@ object OraclesLlm {
         |  source, doc_id, r, round(pos, 9) AS pos
         |FROM p ORDER BY pos, source, r LIMIT 500""".stripMargin,
 
+    // mirror of Curation.sampleTokenBudget: same md5 order, same
+    // strict cum_before < budget gate, exact long token counts
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    coalesce(len(string_split(text, ' ')), 0)::BIGINT AS ntok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, ntok,
+        |    CAST(coalesce(sum(ntok) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t
+        |)
+        |SELECT source, doc_id, ntok, cum_before
+        |FROM c WHERE cum_before < 800
+        |ORDER BY source, doc_id""".stripMargin,
+
     // mirror of TextAnalysis.normalize: nfc_normalize ↔ the native
     // UnicodeNormalize(NFC) expression, strip_accents ↔ NFD + drop
     // \p{Mn}, then the same lowercase/whitespace-collapse/trim and

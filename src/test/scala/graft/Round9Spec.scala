@@ -112,6 +112,40 @@ class Round9Spec extends SparkSpec {
     assert(totalHits >= 45L, s"recall@5 dropped: $totalHits/50")
   }
 
+  // ---- token-budgeted sampling ------------------------------------------
+
+  test("token budget: overshoot is less than one doc, replay exact") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val take = graft.ops.Curation.sampleTokenBudget(
+      docs, col("source"), col("doc_id"), col("text"), 120L)
+    val got = take.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // per source: every taken doc started under budget; the total
+    // overshoots by strictly less than the last doc's length
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.forall(_._4 < 120L))
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < 120L + maxDoc)
+    }
+    // deterministic: the same call reproduces the same sample
+    val again = graft.ops.Curation.sampleTokenBudget(
+      docs, col("source"), col("doc_id"), col("text"), 120L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq === got.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("token budget: null text counts zero tokens, never drops the doc") {
+    val df = Seq((1L, "a b c", "s"), (2L, null, "s"), (3L, "d e", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Curation.sampleTokenBudget(
+      df, col("source"), col("doc_id"), col("text"), 100L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === 0L)
+  }
+
   // ---- phash near-dup mining -------------------------------------------
 
   test("phash near-dup banding is lossless at hamming <= 15") {
