@@ -691,7 +691,7 @@ object Multimodal {
       }.toDF()
   }
 
-  /** near-duplicate IMAGE mining over perceptual dHashes (§2c.34e) —
+  /** near-duplicate IMAGE mining over perceptual dHashes (§2c.34i) —
     * the image-side sibling of the simhash text family: DISTINCT
     * 64-bit dHashes (with their corpus mass: count + min-doc
     * representative) are banded into 16×4-bit keys, candidate hash
