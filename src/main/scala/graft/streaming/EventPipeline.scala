@@ -541,6 +541,29 @@ object EventPipeline {
       .toDF("user_id", "bkt_us", "n_events", "value", "filled")
   }
 
+  /** streaming TOKEN-BUDGET gate — the streaming face of
+    * [[graft.ops.Curation.sampleTokenBudget]], built on the same
+    * [[statefulTokenFold]] the shard/chunk faces use (one long of
+    * cumulative token count per source): a doc is emitted while the
+    * tokens BEFORE it are under the source's budget, so the take
+    * overshoots by less than one document — the batch operator's
+    * contract. The one documented difference from the batch twin: a
+    * stream cannot re-order history, so the take is in ARRIVAL order
+    * (doc_id within each micro-batch), not the md5 replay order; a
+    * pipeline that needs the reproducible-mixture order runs the
+    * batch operator over the ingested corpus instead.
+    */
+  def tokenBudgetStream(docs: DataFrame, textCol: String, idCol: String,
+                        sourceCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    statefulTokenFold(docs, textCol, idCol, sourceCol) {
+      (part, docId, ntok, st) =>
+        if (st < budget) Some((part, docId, ntok, st)) else None
+    }.toDF("source", "doc_id", "ntok", "cum_before")
+  }
+
   /** streaming HEAVY HITTERS — the streaming face of
     * [[graft.ops.HeavyHitters]]: tokens route to `groups` disjoint
     * substreams by token hash (a token's ENTIRE count lives in one

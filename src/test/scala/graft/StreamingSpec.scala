@@ -7,6 +7,31 @@ import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming token budget takes arrival-order docs under budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // source s: 4+4+4 tokens per doc, budget 9 → docs 1,2,3 emit
+    // (cum_before 0,4,8), doc 4 arrives in batch 2 with cum 12 → cut
+    val b1 = Seq((1L, "a b c d", "s"), (2L, "e f g h", "s"))
+    val b2 = Seq((3L, "i j k l", "s"), (4L, "m n o p", "s"),
+      (10L, "x y", "t"))
+    val stream = MemoryStream[(Long, String, String)]
+    val docs = stream.toDF().toDF("doc_id", "text", "source")
+    val q = EventPipeline.tokenBudgetStream(docs, "text", "doc_id",
+        "source", 9L)
+      .writeStream.format("memory").queryName("tb")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("tb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === Set(("s", 1L, 0L), ("s", 2L, 4L), ("s", 3L, 8L),
+        ("t", 10L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: candidates are a superset across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
