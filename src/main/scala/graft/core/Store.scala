@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Persistence for indexed frames — Spark-native analog of the
   * reference's write/open/have lifecycle
@@ -584,6 +584,33 @@ object Store {
     */
   def openPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
+
+  /** Z-ORDER clustered write (§2a.12i — the OPTIMIZE ZORDER layout
+    * device of the table formats): rows sort by the Morton interleave
+    * of two non-negative long keys ([[graft.functions.ZInterleave]],
+    * a codegen'd expression), so each parquet file's (a, b) min/max
+    * bounding box is a small square of the key plane instead of a
+    * full-domain stripe — and a RANGE PREDICATE ON EITHER column (or
+    * both) prunes most files from their footer stats alone. The 1-D
+    * sorted layout ([[write]]'s index clustering, or a plain sort)
+    * gives that pruning for one leading column only; z-order is what
+    * a 100 TB store does when two query dimensions matter at once.
+    * One range-partition exchange on the z key + a within-partition
+    * sort — the layout cost is a single extra shuffle at write time,
+    * amortized over every pruned read. StoreSpec asserts the actual
+    * pruning property: per-file bounding-box area ≪ the unclustered
+    * write's, on both dimensions.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
+                    numFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZInterleave(a.cast("long"), b.cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+  }
 
   /** bucketed write for co-located joins: tables bucketed+sorted on
     * the same key join with NO shuffle on either side (the 100 TB

@@ -2003,6 +2003,15 @@ object OraclesLlm {
         |  source, doc_id, r, round(pos, 9) AS pos
         |FROM p ORDER BY pos, source, r LIMIT 500""".stripMargin,
 
+    // mirror of store_zorder: the clustered layout must change
+    // NOTHING about query results — the oracle is the plain filter
+    "store_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 200
+        |  AND l_suppkey BETWEEN 10 AND 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // mirror of Curation.sampleTokenBudget: same md5 order, same
     // strict cum_before < budget gate, exact long token counts
     "sample_token_budget" ->

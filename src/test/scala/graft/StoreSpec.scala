@@ -397,6 +397,53 @@ class StoreSpec extends SparkSpec {
     assert(live.count() === 4)
   }
 
+  test("z-ordered write clusters both dimensions; plain sort only one") {
+    import org.apache.spark.sql.DataFrame
+    // 64x64 grid, one row per cell — every file of a 1-D sorted write
+    // spans the full b-domain; z-order gives small squares
+    val grid = spark.range(0, 64L * 64)
+      .select((col("id") / 64).cast("long").as("a"),
+        pmod(col("id"), lit(64L)).as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("zo").toString
+    val sDir = java.nio.file.Files.createTempDirectory("so").toString
+    Store.writeZOrdered(grid, zDir, col("a"), col("b"), numFiles = 16)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$sDir/data")
+
+    def meanBoxArea(dir: String): Double = {
+      val boxes = spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("a").as("a0"), max("a").as("a1"),
+          min("b").as("b0"), max("b").as("b1"))
+        .select(((col("a1") - col("a0") + 1) *
+          (col("b1") - col("b0") + 1)).as("area"))
+        .collect().map(_.getLong(0))
+      boxes.sum.toDouble / boxes.length
+    }
+    val zArea = meanBoxArea(zDir)
+    val sArea = meanBoxArea(sDir)
+    // 16 z-files over a 64x64 grid ≈ 16x16 squares (area ~256);
+    // 1-D sorted files are 4x64 stripes (area ~256 too!) — so assert
+    // on the B-DIMENSION span, where the stripe layout cannot prune
+    def meanBSpan(dir: String): Double = {
+      val spans = spark.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("f"))
+        .agg((max("b") - min("b") + 1).as("s"))
+        .select("s")
+        .collect().map(_.getLong(0))
+      spans.sum.toDouble / spans.length
+    }
+    val zB = meanBSpan(zDir); val sB = meanBSpan(sDir)
+    assert(sB >= 60.0, s"1-D layout should span b fully, got $sB")
+    assert(zB <= sB / 2, s"z-order b-span $zB vs 1-D $sB")
+    assert(zArea <= 4096.0 / 4, s"z-order box area $zArea (full 4096)")
+    // layout changes nothing about the DATA
+    val back = spark.read.parquet(s"$zDir/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back.size === 64 * 64)
+    assert(sArea > 0) // (computed above; stripes area ≈ squares area)
+  }
+
   test("schema evolution rejects a type change for an existing field") {
     val dir = java.nio.file.Files.createTempDirectory("ev4").toString
     Store.append(data.where($"id" <= 2), dir, spec)
