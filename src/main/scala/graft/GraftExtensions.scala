@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, RollingMinHash, SigMatchCount, SimHash64, VecDot, WinnowedHashes, WordShingles}
+import graft.functions.{MinHashSig, RollingMinHash, SigMatchCount, SimHash64, UnicodeNormalize, VecDot, WinnowedHashes, WordShingles, ZInterleave}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions (so pure-SQL users get them too) and
@@ -56,7 +56,32 @@ object GraftExtensions {
         MinHashSig(children.head, GraftExtensions.intLit(children, 1, 16))),
     (new FunctionIdentifier("sig_match_count"),
       new ExpressionInfo(classOf[SigMatchCount].getName, "sig_match_count"),
-      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
+      (children: Seq[Expression]) => SigMatchCount(children(0), children(1))),
+    (new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) =>
+        UnicodeNormalize(children.head, GraftExtensions.formLit(children, 1))),
+    (new FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (children: Seq[Expression]) => ZInterleave(children(0), children(1))))
+
+  /** optional LITERAL normalization-form argument for
+    * unicode_normalize (default NFC); validated at plan time against
+    * java.text.Normalizer's forms so a typo fails the query, not the
+    * executor.
+    */
+  private def formLit(children: Seq[Expression], i: Int): String = {
+    if (children.length <= i) return "NFC"
+    val c = children(i)
+    if (!c.foldable) throw new IllegalArgumentException(
+      s"argument ${i + 1} must be a string literal, got: ${c.sql}")
+    val v = Option(c.eval()).map(_.toString.toUpperCase).getOrElse(
+      throw new IllegalArgumentException(s"argument ${i + 1} must not be null"))
+    if (!Set("NFC", "NFD", "NFKC", "NFKD").contains(v))
+      throw new IllegalArgumentException(
+        s"unknown normalization form '$v' (NFC/NFD/NFKC/NFKD)")
+    v
+  }
 
   /** evaluate an optional LITERAL int argument (defaults if absent).
     * Non-foldable expressions (a column, a nondeterministic call) and

@@ -864,6 +864,41 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // §2b.15b — forecasting revenue change (TPC-H Q6 shape): the
+    // canonical one-scan filter-aggregate — every predicate reaches
+    // the parquet scan (PushedFilters), map-side partial agg, one row
+    // out. Money protocol on the product sum.
+    "q6_forecast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))),
+
+    // §2b.15c — promotion effect (TPC-H Q14 shape): conditional
+    // revenue share — two exact decimal sums in ONE aggregation over
+    // the lineitem⋈part (broadcast dim) month slice, the ratio one
+    // IEEE division rounded at 6dp on both engines.
+    "q14_promo" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+          sum(disc).as("total"))
+        .select(round(lit(100.0) * col("promo").cast("double") /
+          col("total").cast("double"), 6).as("promo_pct"))
+    }),
+
     // §2b.22w — EXACT rolling median (robust smoothing over event
     // streams): per user, the last-9-rows window in micro-unit longs,
     // emitted as the (lower, upper) middle-element pair — integer

@@ -59,6 +59,28 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(sqlSig === dfSig)
   }
+
+  test("unicode_normalize and z_interleave are SQL-callable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    // decomposed é (e + combining acute) composes to one NFC char
+    val n = spark.sql("SELECT length(unicode_normalize('Café')), " +
+      "length(unicode_normalize('Café', 'NFD'))").head()
+    assert(n.getInt(0) === 4 && n.getInt(1) === 5)
+    // Morton interleave: (0b11, 0b00) -> 0b0101; matches the column API
+    val z = spark.sql("SELECT z_interleave(3L, 0L), z_interleave(0L, 3L)")
+      .head()
+    assert(z.getLong(0) === 5L && z.getLong(1) === 10L)
+    val viaCol = Seq((3L, 0L)).toDF("a", "b")
+      .select(graft.functions.ZInterleave(col("a"), col("b"))).head().getLong(0)
+    assert(viaCol === 5L)
+    // a typo'd form fails at plan time, not on the executor
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(e.getMessage.contains("NFX") || e.getMessage.contains("normalization"))
+  }
 }
 
 class ClusterSpec extends SparkSpec {
