@@ -212,4 +212,49 @@ class NullRobustnessSpec extends SparkSpec {
     assert(pairsBacked.head.getLong(0) === 4L &&
       pairsBacked.head.getLong(1) === 0L)
   }
+
+  test("round-9 window/join ops survive null values and null keys") {
+    // null value → null mv: lag deltas go null but rows still emit,
+    // rolling min/max skip the null (Spark agg-over-window contract)
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 00:00:00", Some(1.0)),
+      (2L, 7L, "2024-01-01 00:01:00", None),
+      (3L, 7L, "2024-01-01 00:02:00", Some(3.0)),
+      (4L, 7L, "2024-01-01 00:03:00", Some(2.0))
+    ).toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagged = ev
+      .select(col("event_id"),
+        round(col("value") * 1e6).cast("long").as("mv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy("event_id")))
+      .withColumn("d1", col("mv") - lag("mv", 1).over(
+        Window.partitionBy(lit(1)).orderBy("event_id")))
+      .where(col("rn") >= 3)
+      .collect()
+    assert(lagged.length === 2)
+    assert(lagged.head.isNullAt(3)) // 3.0 - null = null, no throw
+    // heavy hitters: null items are skipped by the MG fold AND the
+    // exact recount (count over a null-filtered candidate join)
+    val hh = graft.ops.HeavyHitters.heavyHitters(
+      Seq(Some("a"), Some("a"), Some("a"), None, Some("b"))
+        .toDF("item"), col("item"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("a", 3L)))
+    // salted join: null fact keys behave exactly like the plain join
+    // (equi-join drops them) — result parity is the whole contract
+    val fact = Seq((Some(1L), 10L), (None, 20L), (Some(2L), 30L))
+      .toDF("fk", "v")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("dk", "name")
+    val salted = graft.ops.Salt.saltedJoin(fact, dim,
+        col("fk"), col("dk"), Seq("v" -> col("v")),
+        Seq("name" -> col("name")), saltFrom = col("v"), buckets = 4)
+      .select("key", "v", "name").collect().map(_.toSeq).toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select(col("fk").as("key"), col("v"), col("name"))
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain && salted.size === 2)
+  }
 }
