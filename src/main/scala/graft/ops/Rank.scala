@@ -38,4 +38,40 @@ object Rank {
       .withColumn(rankCol, col("__ln") + col("__off"))
       .drop("__pid", "__ln", "__off")
   }
+
+  /** append `cumCol` = exact inclusive GLOBAL running sum of
+    * `value` (a long) under `sort` — the same two-phase shape as
+    * [[globalRank]]: range-partition, LOCAL running sum within each
+    * sorted partition, then add the broadcast exclusive per-partition
+    * TOTALS. A naive `sum().over(Window.orderBy(...))` plans a
+    * SinglePartition sort of the whole table — the one-reducer
+    * bottleneck this helper exists to avoid (at 100 TB a Pareto /
+    * cumulative-share query is exactly where that bites).
+    */
+  def globalCumSum(df: DataFrame, sort: Seq[Column], value: Column,
+                   cumCol: String): DataFrame = {
+    require(sort.nonEmpty, "globalCumSum needs at least one sort column")
+    val local = df
+      .withColumn("__v", value.cast("long"))
+      .repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+    // local inclusive running sum: a window keyed on the partition id.
+    // This plans ONE more exchange (hash on __pid — rows move as whole
+    // partitions, every reducer gets exactly one) — two data shuffles
+    // total, but crucially NO SinglePartition stage ever touches the
+    // data; the naive global orderBy window funnels the entire table
+    // through one reducer.
+    val w = Window.partitionBy("__pid").orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = local.withColumn("__lcum", sum("__v").over(w))
+    val offsets = withLocal.groupBy("__pid").agg(sum("__v").as("__t"))
+      .withColumn("__off",
+        coalesce(sum("__t").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, col("__lcum") + col("__off"))
+      .drop("__pid", "__lcum", "__off", "__v")
+  }
 }

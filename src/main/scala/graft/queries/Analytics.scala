@@ -899,6 +899,51 @@ object Analytics {
           col("total").cast("double"), 6).as("promo_pct"))
     }),
 
+    // §2b.26b — PARETO / cumulative-share analysis over customers
+    // ("which heavy hitters make up half the revenue"): per-customer
+    // monetary in EXACT integer cents, ranked desc, with the global
+    // running total via the TWO-PHASE Rank.globalCumSum — no
+    // SinglePartition stage ever touches the data (the naive global
+    // orderBy window funnels the whole table through one reducer —
+    // the 100 TB killer this row exists to demonstrate avoiding).
+    // share = one IEEE division at 6dp; the top-half flag is an
+    // exact integer comparison (cum_before·2 < total).
+    "orders_pareto" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val ranked = graft.ops.Rank.globalCumSum(
+        graft.ops.Rank.globalRank(per,
+          Seq(desc("cents"), asc("custkey")), "rnk"),
+        Seq(desc("cents"), asc("custkey")), col("cents"), "cum")
+      val total = per.agg(sum("cents").as("total"))
+      ranked.crossJoin(broadcast(total))
+        .select(col("custkey"), col("cents"), col("rnk"), col("cum"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("share"),
+          ((col("cum") - col("cents")) * 2 < col("total")).as("top50"))
+        .orderBy("rnk")
+    }),
+
+    // §2b.26c — exact WINDOW PERCENTILES: percent_rank and cume_dist
+    // of order value within its month — both are single IEEE
+    // divisions of exact integers under a TOTAL order (tiebreak on
+    // orderkey), so the engines agree bit-for-bit; one window
+    // exchange on the month key.
+    "window_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("month")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .select(col("o_orderkey"), col("month"),
+          round(percent_rank().over(w), 9).as("pr"),
+          round(cume_dist().over(w), 9).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2b.22w — EXACT rolling median (robust smoothing over event
     // streams): per user, the last-9-rows window in micro-unit longs,
     // emitted as the (lower, upper) middle-element pair — integer

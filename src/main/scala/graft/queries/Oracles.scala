@@ -706,6 +706,40 @@ object Oracles {
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
+    // mirror of orders_pareto: exact cents, same total order, the
+    // window spelling of the two-phase cumulative sum
+    "orders_pareto" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT custkey, cents,
+        |    CAST(row_number() OVER
+        |      (ORDER BY cents DESC, custkey) AS BIGINT) AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM per
+        |), t AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS total FROM per
+        |)
+        |SELECT custkey, cents, rnk, cum,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  (cum - cents) * 2 < total AS top50
+        |FROM r, t ORDER BY rnk""".stripMargin,
+
+    // mirror of window_percentiles: identical formulas, total order
+    "window_percentiles" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month,
+        |  round(percent_rank() OVER w, 9) AS pr,
+        |  round(cume_dist() OVER w, 9) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // mirror of events_rolling_median: same micro-unit longs, same
     // (ts, event_id) frame, the (lower, upper) middle pair of the
     // sorted 9-row window — integer order statistics on both engines

@@ -112,6 +112,23 @@ class Round9Spec extends SparkSpec {
     assert(totalHits >= 45L, s"recall@5 dropped: $totalHits/50")
   }
 
+  // ---- two-phase global cumulative sum -----------------------------------
+
+  test("globalCumSum equals the single-partition window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "v").repartition(7)
+    val got = graft.ops.Rank.globalCumSum(df,
+        Seq(desc("v"), asc("k")), col("v"), "cum")
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("cum",
+        sum("v").over(Window.orderBy(desc("v"), asc("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+  }
+
   // ---- token-budgeted sampling ------------------------------------------
 
   test("token budget: overshoot is less than one doc, replay exact") {
