@@ -621,6 +621,51 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** MinHash ESTIMATOR-QUALITY evaluation (§2c.25g) — the
+    * [[graft.ops.Similarity.recallEval]] posture applied to the dedup
+    * family: for every banding-selected candidate pair, the signature
+    * estimate (matches/k) SIDE BY SIDE with the exact shingle Jaccard
+    * it estimates, plus the signed error — all in exact integer
+    * micro-units (est_micro = matches·(10⁶/k); jac_micro = floored
+    * ⌊inter·10⁶/union⌋), so the whole evaluation — signatures,
+    * banding, estimate, ground truth, comparison — hash-checks
+    * against a DuckDB mirror. This is the measurement that justifies
+    * a minEstJaccard threshold before a 100 TB dedup run: the exact
+    * side costs set-intersection only on the CANDIDATE pairs (banding
+    * bounds them), never the corpus pair space.
+    */
+  def minhashEstimatorEval(df: DataFrame, text: Column, id: Column,
+                           k: Int = 32, bands: Int = 8,
+                           maxBucket: Long = 10000L): DataFrame = {
+    require(1000000 % k == 0, s"k=$k must divide 1e6 for exact micro-units")
+    val banded = Skew.dropHotKeys(
+      bandedSignaturesPortable(df, text, id, k, bands),
+      Seq("band", "bucket"), maxBucket)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.functions.MinHash.sigMatchCount(col("x.sig"), col("y.sig"))
+          .cast("long").as("matches"))
+      .dropDuplicates("a", "b")
+    val sets = df.select(id.as("doc_id"),
+      graft.functions.TokenOps.wordShingles(
+        split(lower(text), " "), 3, distinct = true).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"), col("matches"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("szsum"))
+      .select(col("a"), col("b"), col("matches"), col("inter"),
+        (col("szsum") - col("inter")).as("uni"),
+        (col("matches") * lit(1000000L / k)).as("est_micro"),
+        expr("(inter * 1000000) div (szsum - inter)").as("jac_micro"))
+      .withColumn("err_micro", col("est_micro") - col("jac_micro"))
+      .orderBy("a", "b")
+  }
+
   /** Incremental cross-corpus near-dup detection (§2c.25d): pairs
     * between a NEW batch and an EXISTING corpus — the daily-ingest
     * shape, where re-pairing the corpus against itself (what

@@ -213,6 +213,76 @@ object OraclesLlm {
          |ORDER BY a, b""".stripMargin
     },
 
+    // mirror of Dedup.minhashEstimatorEval: the dedup_minhash_banded
+    // signature/banding chain, then per candidate pair the exact
+    // shingle-set intersection/union beside the estimate — exact
+    // integer micro-units, floored division on both engines
+    "dedup_est_eval" -> {
+      val p = graft.functions.MinHash.MersenneP
+      val perms = graft.functions.MinHash.permParams(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     FOR i IN range(1, greatest(len(toks)-3, 0)+2)])) AS shingle
+         |  FROM base
+         |), xs AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS x
+         |  FROM sh
+         |), perms(i, pa, pb) AS (
+         |  SELECT * FROM (VALUES $perms) t(i, pa, pb)
+         |), sig AS (
+         |  SELECT doc_id, p.i,
+         |         min(((x * p.pa) % $p + p.pb) % $p) AS h
+         |  FROM xs CROSS JOIN perms p
+         |  GROUP BY doc_id, p.i
+         |), sigarr AS (
+         |  SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, t.bd,
+         |         md5(array_to_string(sig[t.bd*4+1:t.bd*4+4], ',')) AS bucket
+         |  FROM sigarr CROSS JOIN range(0, 8) t(bd)
+         |  QUALIFY count(*) OVER (PARTITION BY bd, bucket) <= 10000
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |                  x.sig AS siga, y.sig AS sigb
+         |  FROM banded x JOIN banded y
+         |    ON x.bd = y.bd AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), m AS (
+         |  SELECT a, b, unnest(siga) AS ha, unnest(sigb) AS hb FROM cand
+         |), v AS (
+         |  SELECT a, b,
+         |    CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS matches
+         |  FROM m GROUP BY a, b
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), ix AS (
+         |  SELECT v.a, v.b, count(*) AS inter
+         |  FROM v
+         |  JOIN sh sa ON sa.doc_id = v.a
+         |  JOIN sh sb ON sb.doc_id = v.b AND sb.shingle = sa.shingle
+         |  GROUP BY v.a, v.b
+         |)
+         |SELECT v.a, v.b, v.matches,
+         |  CAST(coalesce(ix.inter, 0) AS BIGINT) AS inter,
+         |  CAST(za.n + zb.n - coalesce(ix.inter, 0) AS BIGINT) AS uni,
+         |  v.matches * 31250 AS est_micro,
+         |  CAST((coalesce(ix.inter, 0) * 1000000)
+         |    // (za.n + zb.n - coalesce(ix.inter, 0)) AS BIGINT) AS jac_micro,
+         |  v.matches * 31250 - CAST((coalesce(ix.inter, 0) * 1000000)
+         |    // (za.n + zb.n - coalesce(ix.inter, 0)) AS BIGINT) AS err_micro
+         |FROM v
+         |LEFT JOIN ix ON ix.a = v.a AND ix.b = v.b
+         |JOIN sz za ON za.doc_id = v.a
+         |JOIN sz zb ON zb.doc_id = v.b
+         |ORDER BY v.a, v.b""".stripMargin
+    },
+
     // end-to-end mirror of Dedup.minhashLshCrossPortable: the same
     // md5 signature + banding CTEs as dedup_minhash_banded, then the
     // INCREMENTAL shape — doc_id % 5 = 3 plays the ingest batch, the
