@@ -74,4 +74,40 @@ object Rank {
       .withColumn(cumCol, col("__lcum") + col("__off"))
       .drop("__pid", "__lcum", "__off", "__v")
   }
+
+  /** [[globalRank]] and [[globalCumSum]] FUSED over one range layout:
+    * a consumer that needs both (the Pareto shape: rank by value AND
+    * the running total in the same order) would otherwise pay the
+    * range-partition sort twice. One repartitionByRange + sort, one
+    * local window, ONE offsets aggregate carrying both the exclusive
+    * row-count and value-total prefixes — the broadcastable
+    * partition-count-sized table again.
+    */
+  def globalRankCumSum(df: DataFrame, sort: Seq[Column], value: Column,
+                       rankCol: String, cumCol: String): DataFrame = {
+    require(sort.nonEmpty, "globalRankCumSum needs at least one sort column")
+    val local = df
+      .withColumn("__v", value.cast("long"))
+      .repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = local
+      .withColumn("__lcum", sum("__v").over(w))
+      .withColumn("__ln", count(lit(1)).over(w))
+    val offsets = withLocal.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__t"))
+      .withColumn("__offn",
+        coalesce(sum("__n").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offv",
+        coalesce(sum("__t").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offn", "__offv")
+    withLocal.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__ln") + col("__offn"))
+      .withColumn(cumCol, col("__lcum") + col("__offv"))
+      .drop("__pid", "__ln", "__lcum", "__offn", "__offv", "__v")
+  }
 }

@@ -913,10 +913,8 @@ object Analytics {
         .groupBy(col("o_custkey").as("custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
-      val ranked = graft.ops.Rank.globalCumSum(
-        graft.ops.Rank.globalRank(per,
-          Seq(desc("cents"), asc("custkey")), "rnk"),
-        Seq(desc("cents"), asc("custkey")), col("cents"), "cum")
+      val ranked = graft.ops.Rank.globalRankCumSum(per,
+        Seq(desc("cents"), asc("custkey")), col("cents"), "rnk", "cum")
       val total = per.agg(sum("cents").as("total"))
       ranked.crossJoin(broadcast(total))
         .select(col("custkey"), col("cents"), col("rnk"), col("cum"),

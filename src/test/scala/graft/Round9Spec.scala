@@ -127,6 +127,16 @@ class Round9Spec extends SparkSpec {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === naive)
+    // the FUSED rank+cumsum agrees with both single-purpose helpers
+    val fused = graft.ops.Rank.globalRankCumSum(df,
+        Seq(desc("v"), asc("k")), col("v"), "rnk", "cum")
+      .select("k", "rnk", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rankOnly = graft.ops.Rank.globalRank(df,
+        Seq(desc("v"), asc("k")), "rnk")
+      .select("k", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.view.mapValues(_._2).toMap === naive)
+    assert(fused.view.mapValues(_._1).toMap === rankOnly)
   }
 
   // ---- token-budgeted sampling ------------------------------------------
