@@ -219,13 +219,25 @@ object Bench {
       val allTime = (prev.get("q1_agg").toSeq ++
         (if (canarySamples.nonEmpty) Seq(canarySamples.min) else Nil))
         .minOption.getOrElse(0.0)
+      // QUALIFYING artifacts only: a contended run records an inflated
+      // q1_agg, and several consecutive ones would ratchet the median
+      // up until an equally contended run reads canary_ratio ~1.0 and
+      // ships as an official record — the gate gating itself open.
+      // Disqualified runs therefore never move the reference; and as a
+      // backstop the median is clamped to 1.5× the all-time minimum
+      // (total worst-case acceptance 1.5×clamp · 1.5×canary_ok =
+      // 2.25× the all-time-clean q1_agg — drift beyond that is a real
+      // machine change that SHOULD block official records until
+      // investigated).
       val recentQ1 = artifacts
+        .filter(_.qualifies)
         .flatMap(a => """bench_(\d+)\.json""".r.findFirstMatchIn(a.file)
           .flatMap(m => a.queries.get("q1_agg")
             .map(q => (m.group(1).toLong, q))))
         .sortBy(-_._1).take(7).map(_._2)
       if (recentQ1.size >= 3)
-        math.max(allTime, recentQ1.sorted.apply(recentQ1.size / 2))
+        math.max(allTime,
+          math.min(recentQ1.sorted.apply(recentQ1.size / 2), allTime * 1.5))
       else allTime
     }
     // MEDIAN sample vs ref: sustained contention (the failure mode the
@@ -280,7 +292,22 @@ object Bench {
       .getOrElse(Artifact("this_run_unqualified", total, resMap, false, fingerprint))
     val selJson = s""""selection":{"from":"${official.file}","this_run_total":$total,"this_run_qualifies":$qualifies,"candidates":${candidates.size}}"""
     val officialQs = names.map(n => n -> official.queries.getOrElse(n, resMap(n)))
-    val fullLine = s"""{"metric":"total","value":${officialQs.map(_._2).sum},"unit":"sec","queries":${qJson(officialQs)},"errors":$errJson,"regressions":$regressions,$selJson,$protocolFields}"""
+    // SELF-CONSISTENCY (r9 verdict): the official line's regressions
+    // must describe the official line's OWN per-query values — splicing
+    // this run's regressions next to a different artifact's queries map
+    // shipped a record claiming 16× regressions its own values
+    // contradicted. The run-local environment fields (sentinel/canary/
+    // qualification) keep their meaning but are namespaced this_run_*
+    // so no reader can attribute them to the selected artifact; the
+    // verbatim bench_history record (thisRunJson above) keeps the
+    // original names.
+    val officialRegressions = officialQs.flatMap { case (k, v) =>
+      prev.get(k).filter(p => p >= 0.3 && v > p * 1.5)
+        .map(p => "\"" + k + "\":" + math.round(v / p * 100.0) / 100.0)
+    }.mkString("{", ",", "}")
+    val officialProtocolFields =
+      s""""reps":$reps,"this_run_sentinel_start_sec":$sentStart,"this_run_sentinel_end_sec":$sentEnd,"this_run_sentinel_ratio":${r2(sentRatio)},"this_run_canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"this_run_canary_ratio":${r2(canaryRatio)},"this_run_canary_ok":$canaryOk,"this_run_qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
+    val fullLine = s"""{"metric":"total","value":${officialQs.map(_._2).sum},"unit":"sec","queries":${qJson(officialQs)},"errors":$errJson,"regressions":$officialRegressions,$selJson,$officialProtocolFields}"""
     println(fullLine)
     // The driver records only the LAST ~2000 chars of output; at 135
     // queries the full line is ~4.5 KB, so its head ("metric"/"value")

@@ -399,6 +399,16 @@ object Store {
           val n = p.substring(p.lastIndexOf('/') + 1)
           n.startsWith("_") || n.startsWith(".")
         }).toSet
+    // VALIDATE BEFORE MUTATING: a type-changed column rejected only by
+    // unionSchema at open()/compact() time would already have
+    // persisted its data files and sidecar — leaving the store
+    // unreadable (both open and compact throw) with no in-API repair
+    // path. Checking the incoming batch against the existing segments'
+    // union here makes the contract violation fail while the store is
+    // still intact. Sidecar-less legacy stores skip the check (their
+    // physical schema is unknowable without footer sniffing).
+    storedSchema(spark, dir, None)
+      .foreach(existing => unionSchema(Seq(existing, batch.schema)))
     val before = dataFiles()
     batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
     val written = (dataFiles() -- before).toSeq.sorted
@@ -603,8 +613,24 @@ object Store {
     */
   def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
                     numFiles: Int = 16): Unit = {
-    import org.apache.spark.sql.functions.col
-    val z = graft.functions.ZInterleave(a.cast("long"), b.cast("long"))
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    // CONTRACT CHECK (ZInterleave's scaladoc delegates it here): the
+    // interleave reads the LOW 32 BITS only — a negative key or one
+    // using bits above 31 would silently produce a broken Morton
+    // order (data stays correct, but the clustering/pruning property
+    // the layout exists for is destroyed with no signal). Fail the
+    // write instead; the check is codegen'd per row alongside the
+    // interleave itself.
+    val bound = lit((1L << 32) - 1)
+    def checked(c: Column, name: String): Column =
+      when(c < 0L || c > bound,
+        raise_error(concat(
+          lit(s"writeZOrdered: key '$name' out of [0, 2^32): "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c)
+    val z = graft.functions.ZInterleave(checked(al, "a"), checked(bl, "b"))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

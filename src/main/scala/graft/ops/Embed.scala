@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Embedding storage transforms — the step between "embeddings
@@ -33,7 +34,7 @@ object Embed {
     def codes(sc: Column): Column = transform(col("v"), x => {
       val num = x * 254L + sc
       val den = sc * 2L
-      ((num - pmod(num, den)) / den).cast("long")
+      floorDiv(num, den).cast("long")
     })
     df.select(id.as("vec_id"), vm.as("v"))
       .select(col("vec_id"), s.as("scale_micro"), col("v"))
@@ -53,9 +54,17 @@ object Embed {
     * toward zero in Spark but floors in DuckDB; subtracting the
     * positive modulus first makes the numerator exactly divisible,
     * so both agree (the k-means/quantize identity, SURVEY §6).
+    * The division itself is Catalyst's INTEGRAL `div` (long→long) —
+    * Column `/` is double division, which past 2^53 can be off by
+    * one on exactly-divisible longs (the gram sums here reach ~1e16
+    * and power-iteration vectors ~3e17), silently breaking the
+    * bit-identical-to-DuckDB contract.
     */
-  private def floorDiv(num: Column, den: Column): Column =
-    (num - pmod(num, den)) / den
+  private def floorDiv(num: Column, den: Column): Column = {
+    val exact = num - pmod(num, den)
+    GraftShims.column(new IntegralDivide(
+      GraftShims.expression(exact), GraftShims.expression(den)))
+  }
 
   /** Top principal component of the embedding corpus by POWER
     * ITERATION on the (uncentered-scale, integer) Gram matrix — the

@@ -79,15 +79,29 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(item.cast("string").as("item"))
-    val cands = items.as[String]
-      .mapPartitions(it => misraGries(it, k))
-      .toDF("item").distinct()
+    // ONE Misra-Gries pass emits BOTH the surviving candidates and the
+    // partition's row count n_p (a sentinel row with a null item), so
+    // the grand total N = Σ n_p comes from the same scan — two scans
+    // of the input total (this pass + the recount), not three.
+    // localCheckpoint materializes the ≤ partitions·k-row summary so
+    // the candidate and total branches below don't each re-run the
+    // base-table pass.
+    val summary = items.as[String]
+      .mapPartitions { it =>
+        var n = 0L
+        val counting = it.map { x => n += 1; x }
+        val survivors = misraGries(counting, k).toArray // drains `it`
+        survivors.iterator.map(key => (key, 0L)) ++
+          Iterator((null: String, n))
+      }
+      .toDF("item", "np").localCheckpoint()
+    val cands = summary.where(col("item").isNotNull)
+      .select("item").distinct()
+    val total = summary.agg(sum("np").as("n")).select(col("n"))
     // exact recount restricted to candidates (broadcast: the
-    // candidate set is ≤ partitions·(k−1) rows by construction);
-    // total N from the same single pass via a grand-total rollup
+    // candidate set is ≤ partitions·(k−1) rows by construction)
     val counted = items.join(broadcast(cands), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
-    val total = items.agg(count(lit(1)).as("n")).select(col("n"))
     counted.crossJoin(broadcast(total))
       .where(col("cnt") * lit(k.toLong) > col("n"))
       .select(col("item"), col("cnt"))

@@ -33,7 +33,19 @@ object Rank {
       .withColumn("__off",
         coalesce(sum("__n").over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
+      // GUARD: `__ln` is the low-33-bit record index of
+      // monotonically_increasing_id — a range partition past 2^33 rows
+      // would WRAP it silently. Unreachable at sane partition counts
+      // (2^33 rows ≈ hundreds of GB in one partition), but the check is
+      // free here: it runs on the partition-count-sized offsets rows,
+      // and `__off` is always consumed so it cannot be pruned away.
+      .select(col("__pid"),
+        when(col("__n") > lit((1L << 33) - 1),
+          raise_error(concat(lit("globalRank: a range partition holds "),
+            col("__n"),
+            lit(" rows (> 2^33-1, the per-partition id bound) — " +
+              "repartition finer"))).cast("long"))
+          .otherwise(col("__off")).as("__off"))
     local.join(broadcast(offsets), "__pid")
       .withColumn(rankCol, col("__ln") + col("__off"))
       .drop("__pid", "__ln", "__off")

@@ -444,14 +444,39 @@ class StoreSpec extends SparkSpec {
     assert(sArea > 0) // (computed above; stripes area ≈ squares area)
   }
 
-  test("schema evolution rejects a type change for an existing field") {
+  test("z-ordered write rejects out-of-contract keys loudly") {
+    // a negative key (or one using bits above 31) would silently break
+    // the Morton order — the clustering property the layout exists for
+    // — so the write must fail, not produce a structurally-broken store
+    def rootMsgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    val bad = Seq((-1L, 3L), (2L, 4L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zneg").toString
+    val e = intercept[Exception] {
+      Store.writeZOrdered(bad, dir, col("a"), col("b"), numFiles = 2)
+    }
+    assert(rootMsgs(e).exists(_.contains("writeZOrdered")), rootMsgs(e))
+    val big = Seq((1L << 32, 3L)).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      Store.writeZOrdered(big, dir, col("a"), col("b"), numFiles = 2)
+    }
+    assert(rootMsgs(e2).exists(_.contains("writeZOrdered")), rootMsgs(e2))
+  }
+
+  test("schema evolution rejects a type change BEFORE mutating the store") {
     val dir = java.nio.file.Files.createTempDirectory("ev4").toString
     Store.append(data.where($"id" <= 2), dir, spec)
-    Store.append(data.where($"id" > 2).withColumn("v", $"v".cast("string")),
-      dir, spec)
+    // the violating append must fail while the store is still intact —
+    // a rejection only at open()/compact() time would come AFTER the
+    // incompatible data files and sidecar persisted, leaving the store
+    // unreadable with no in-API repair path (r9 advice)
     val e = intercept[IllegalArgumentException] {
-      Store.open(spark, dir, spec).frame.df.collect()
+      Store.append(data.where($"id" > 2).withColumn("v", $"v".cast("string")),
+        dir, spec)
     }
     assert(e.getMessage.contains("add-column only"))
+    // and the store remains fully readable with the original rows
+    assert(Store.open(spark, dir, spec).frame.df.count() === 2L)
   }
 }
