@@ -418,6 +418,148 @@ object Dedup {
         .withColumn("doc_id", col("doc_id") + offset))
   }
 
+  // -------------------------------------------- exact duplicated extents
+
+  /** The (doc_id, p, w) token-window stream shared by the
+    * ExactSubstr operators: 1-based token position p and the md5 of
+    * the `n`-token window starting there. Full 128-bit md5 (not the
+    * truncated 60-bit family) — the extent operators' EXACTNESS claim
+    * rides on window equality, and at 100 TB window count the 60-bit
+    * space would see birthday collisions; every stage is plain SQL
+    * (split / slice / md5) so consumers hash-oracle end-to-end.
+    */
+  private def tokenWindows(df: DataFrame, text: Column, id: Column,
+                           n: Int): DataFrame =
+    df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .where(col("toks").isNotNull && size(col("toks")) >= n)
+      // same parallelism barrier as portableKgramFps: spread the doc
+      // rows before the per-window md5 build or a small corpus file
+      // runs the whole kernel on one core
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), (size(col("toks")) - (n - 1)).cast("long")))
+          .as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(slice(col("toks"), col("p").cast("int"), lit(n)), " "))
+          .as("w"))
+
+  /** ExactSubstr-grade duplicated-extent dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array dedup recipe production LLM pipelines shipped
+    * alongside MinHash): emit every MAXIMAL extent of ≥ `minTokens`
+    * exactly-equal consecutive tokens shared between two documents,
+    * as (a, b, a_start, b_start, len_tokens, extent_md5).
+    *
+    * The published operator builds a corpus suffix array — a
+    * single-node data structure. The Spark-first spelling reaches the
+    * SAME extents from the window stream: a duplicated extent of
+    * length L ≥ N contains exactly L−N+1 matching N-token windows at
+    * CONSECUTIVE positions on one (a, b, pa−pb) alignment diagonal,
+    * so (1) equi-join the window stream on the window hash (never a
+    * suffix sort, never all-pairs — the shuffle key is a uniform
+    * 128-bit hash), (2) merge consecutive matches per diagonal with
+    * the gaps-and-islands window (bounded per doc pair, the
+    * sessionize shape), (3) read the maximal extent off each island:
+    * [min pa, max pa + N − 1]. Maximality is exact: the window at
+    * min−1 failing while min's window matches pins the mismatch to
+    * token min−1 (and symmetrically at the right end) — ExactSubstrSpec
+    * proves extent-set equality against a brute-force
+    * all-diagonals token scan on a planted corpus.
+    *
+    * `maxWindowFreq` is the shared skew cap ([[Skew.dropHotKeys]]):
+    * a boilerplate window shared by c docs would fan out c² pair
+    * rows. Dropping over-cap windows bounds the join (the identical
+    * mechanism and caveat as every banded family here); the spec runs
+    * with the cap inactive to pin the exact semantics.
+    *
+    * Scale shape: window stream is O(total tokens) rows built
+    * map-only; ONE exchange on `w`; pair space = true duplication
+    * (capped); islands window partitions by (a, b, diag) — per-pair
+    * bounded; the extent_md5 rejoin touches only extent rows × one
+    * more scan of the matched docs' tokens.
+    */
+  def exactSubstrExtents(df: DataFrame, text: Column, id: Column,
+                         minTokens: Int = 12,
+                         maxWindowFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = minTokens
+    val win = tokenWindows(df, text, id, n)
+    val capped = Skew.dropHotKeys(win, Seq("w"), maxWindowFreq)
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val isl = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    val extents = pairs
+      .withColumn("g", col("pa") - row_number().over(isl))
+      .groupBy("a", "b", "diag", "g")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (max("pa") - min("pa") + n).cast("long").as("len_tokens"))
+      .select("a", "b", "a_start", "b_start", "len_tokens")
+    // extent_md5: the duplicated text itself (hashed), read back off
+    // doc a's token array — extent rows only, one slice per extent
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+    extents.join(toks, extents("a") === toks("doc_id"))
+      .select(col("a"), col("b"), col("a_start"), col("b_start"),
+        col("len_tokens"),
+        md5(array_join(slice(col("toks"), col("a_start").cast("int"),
+          col("len_tokens").cast("int")), " ")).as("extent_md5"))
+      .orderBy("a", "b", "a_start", "b_start", "len_tokens")
+  }
+
+  /** The SCRUB face of [[exactSubstrExtents]] — what Lee et al.'s
+    * pipeline actually ships: remove every duplicated occurrence but
+    * one from the corpus. Keep-lowest-doc semantics (deterministic,
+    * the dedup_exact/keep_id convention): a window occurrence in doc
+    * d is scrubbed iff the same window also occurs in some doc with a
+    * SMALLER doc_id; the covered token positions (union of scrubbed
+    * windows) are dropped and the remaining tokens rejoined. Output
+    * per doc: original token count, scrubbed-token count, md5 of the
+    * scrubbed text — the before/after a curation run reports.
+    * Within-doc repeats in the keeper doc are kept (cross-doc
+    * occurrences are the published target; documented, spec-pinned).
+    *
+    * Scale shape: grouped min(doc_id) per window + join back on `w`
+    * (both sides the SAME window-stream exchange → ReusedExchange);
+    * covered-position explode is matches×N rows — proportional to
+    * duplicated volume, not corpus volume; final per-doc rebuild is
+    * one groupBy(doc_id) over the token stream.
+    */
+  def exactSubstrScrub(df: DataFrame, text: Column, id: Column,
+                       minTokens: Int = 12,
+                       maxWindowFreq: Long = 1000L): DataFrame = {
+    val n = minTokens
+    val win = tokenWindows(df, text, id, n)
+    val capped = Skew.dropHotKeys(win, Seq("w"), maxWindowFreq)
+    val minDoc = capped.groupBy("w").agg(min("doc_id").as("keep_id"))
+    val covered = capped.join(minDoc, "w")
+      .where(col("doc_id") > col("keep_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val tokPos = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .where(col("toks").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    tokPos.join(covered, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum("cov"), lit(0)).cast("long").as("n_scrubbed"),
+        md5(array_join(transform(
+          filter(array_sort(collect_list(
+            struct(col("p"), col("tok"), col("cov")))),
+            s => s.getField("cov").isNull),
+          s => s.getField("tok")), " ")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** deterministic permutation family h_i(x) = (a_i·x + b_i) mod p

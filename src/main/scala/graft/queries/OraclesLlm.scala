@@ -436,6 +436,101 @@ object OraclesLlm {
         |FROM sel JOIN cnt ON sel.h = cnt.h
         |GROUP BY sel.doc_id ORDER BY sel.doc_id""".stripMargin,
 
+    // end-to-end mirror of Dedup.exactSubstrExtents over the same
+    // plantSpanDups corpus: 12-token window md5s, row-count cap 1000,
+    // doc-pair window matches, gaps-and-islands merge per alignment
+    // diagonal, maximal extent + md5 of the extent text itself.
+    "dedup_exact_substring" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           || substr(text, 1, 240) || ' '
+        |           || repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM aug WHERE text IS NOT NULL
+        |), win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         md5(array_to_string(toks[i:i+11], ' ')) AS w
+        |  FROM toks CROSS JOIN LATERAL
+        |    unnest(range(1, greatest(len(toks) - 11, 0) + 1)) t(i)
+        |  WHERE len(toks) >= 12
+        |), capped AS (
+        |  SELECT doc_id, p, w FROM win
+        |  QUALIFY count(*) OVER (PARTITION BY w) <= 1000
+        |), pr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p AS pb
+        |  FROM capped x JOIN capped y
+        |    ON x.w = y.w AND x.doc_id < y.doc_id
+        |), isl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa)
+        |      AS g
+        |  FROM pr
+        |), ext AS (
+        |  SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+        |         CAST(max(pa) - min(pa) + 12 AS BIGINT) AS len_tokens
+        |  FROM isl GROUP BY a, b, diag, g
+        |)
+        |SELECT e.a, e.b, e.a_start, e.b_start, e.len_tokens,
+        |       md5(array_to_string(
+        |         t.toks[e.a_start : e.a_start + e.len_tokens - 1], ' '))
+        |         AS extent_md5
+        |FROM ext e JOIN toks t ON t.doc_id = e.a
+        |ORDER BY a, b, a_start, b_start, len_tokens""".stripMargin,
+
+    // end-to-end mirror of Dedup.exactSubstrScrub over the same
+    // corpus: keep-lowest-doc per window, covered positions = union
+    // of scrubbed 12-token window spans, scrubbed text rebuilt from
+    // the surviving tokens in position order.
+    "dedup_exact_substring_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           || substr(text, 1, 240) || ' '
+        |           || repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM aug WHERE text IS NOT NULL
+        |), win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         md5(array_to_string(toks[i:i+11], ' ')) AS w
+        |  FROM toks CROSS JOIN LATERAL
+        |    unnest(range(1, greatest(len(toks) - 11, 0) + 1)) t(i)
+        |  WHERE len(toks) >= 12
+        |), capped AS (
+        |  SELECT doc_id, p, w FROM win
+        |  QUALIFY count(*) OVER (PARTITION BY w) <= 1000
+        |), mindoc AS (
+        |  SELECT w, min(doc_id) AS keep_id FROM capped GROUP BY w
+        |), covered AS (
+        |  SELECT DISTINCT c.doc_id, c.p + q.q AS p
+        |  FROM capped c JOIN mindoc m ON c.w = m.w
+        |  CROSS JOIN LATERAL unnest(range(0, 12)) q(q)
+        |  WHERE c.doc_id > m.keep_id
+        |), tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM toks CROSS JOIN LATERAL
+        |    unnest(range(1, len(toks) + 1)) t(i)
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_scrubbed,
+        |       md5(coalesce(array_to_string(
+        |         list(t.tok ORDER BY t.p) FILTER (WHERE c.p IS NULL), ' '),
+        |         '')) AS scrubbed_md5
+        |FROM tokpos t LEFT JOIN covered c
+        |  ON t.doc_id = c.doc_id AND t.p = c.p
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // mirror of Dedup.containmentPairs over plantContainedDocs: the
     // aug CTE re-derives the planted truncated re-crawls (200-char
     // prefixes at doc_id+3000000), then the ngram_jaccard machinery
