@@ -613,29 +613,44 @@ object Store {
     */
   def writeZOrdered(df: DataFrame, dir: String, a: Column, b: Column,
                     numFiles: Int = 16): Unit = {
-    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+    import org.apache.spark.sql.functions.{col, floor, least, lit, max, min}
     val al = a.cast("long")
     val bl = b.cast("long")
-    // CONTRACT CHECK (ZInterleave's scaladoc delegates it here): the
-    // interleave reads the LOW 32 BITS only — a negative key or one
-    // using bits above 31 would silently produce a broken Morton
-    // order (data stays correct, but the clustering/pruning property
-    // the layout exists for is destroyed with no signal). Fail the
-    // write instead; the check is codegen'd per row alongside the
-    // interleave itself.
-    val bound = lit((1L << 32) - 1)
-    def checked(c: Column, name: String): Column =
-      when(c < 0L || c > bound,
-        raise_error(concat(
-          lit(s"writeZOrdered: key '$name' out of [0, 2^32): "),
-          c.cast("string"))).cast("long"))
-        .otherwise(c)
-    val z = graft.functions.ZInterleave(checked(al, "a"), checked(bl, "b"))
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    // DOMAIN NORMALIZATION (what the table formats' OPTIMIZE ZORDER
+    // does before interleaving): each key is min/max-scaled to a
+    // 16-bit bucket id, then the BUCKETS are Morton-interleaved.
+    // Interleaving raw values breaks on unequal domains — with
+    // a ∈ [0, 2^20) and b ∈ [0, 2^14) the top 6 z bits come from `a`
+    // alone, so the top-level file split degenerates to a 1-D sort on
+    // `a` and a b-range predicate prunes almost nothing (measured:
+    // 58% of rows still read; buckets cut it to ~12% — ZOrderStudy,
+    // SURVEY §5). Normalization also makes ANY long domain (negative
+    // keys included) legal and well-ordered — the contract hole
+    // ZInterleave's low-32-bit read would otherwise leave opens only
+    // on 2^32-wide BUCKET ids, which cannot occur. The min/max pass
+    // is one agg over the write set — write-time cost, amortized over
+    // every pruned read. Scaling is double-math: it shapes the LAYOUT
+    // only (the data columns are untouched), so float rounding at
+    // bucket edges is harmless.
+    val stats = df.agg(min(al), max(al), min(bl), max(bl)).head()
+    val clustered =
+      if (stats.isNullAt(0) || stats.isNullAt(2)) df // empty/all-null keys
+      else {
+        def bucket(c: Column, lo: Long, hi: Long): Column =
+          if (hi == lo) lit(0L)
+          else least(lit(65535L), floor(
+            (c.cast("double") - lit(lo.toDouble)) /
+              (lit(hi.toDouble) - lit(lo.toDouble) + 1.0) * 65536.0)
+            .cast("long"))
+        val z = graft.functions.ZInterleave(
+          bucket(al, stats.getLong(0), stats.getLong(1)),
+          bucket(bl, stats.getLong(2), stats.getLong(3)))
+        df.withColumn("__z", z)
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+    clustered.write.mode(SaveMode.Overwrite).parquet(s"$dir/data")
   }
 
   /** bucketed write for co-located joins: tables bucketed+sorted on

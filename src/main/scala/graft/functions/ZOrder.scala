@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * bit-twiddling spread (Morton 1966 / the standard "interleave by
   * magic masks" sequence), codegen'd — one expression, no UDF.
   *
-  * Negative inputs are sign-flipped into unsigned order (x XOR
-  * Long.MinValue >>> 32 would lose the ordering of the low half; the
-  * callers bucket/cast first — the store's writeZOrdered contract is
-  * non-negative keys, validated there).
+  * Reads the LOW 32 BITS only: callers must pass values in
+  * [0, 2^32) or the order is meaningless. The store's writeZOrdered
+  * guarantees this by construction — it min/max-scales each key to a
+  * 16-bit bucket id before interleaving (which also fixes the
+  * unequal-domain degeneration; see writeZOrdered's doc), so ANY
+  * long domain, negative keys included, arrives here well-bounded.
   */
 case class ZInterleave(left: Expression, right: Expression)
     extends BinaryExpression {

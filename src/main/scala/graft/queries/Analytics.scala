@@ -688,6 +688,29 @@ object Analytics {
       graft.ops.Graph.pageRank(edges, col("a"), col("b"), iterations = 5)
     }),
 
+    // §2b.28d — CONVERGENCE-GATED PageRank (rows-only: the stopping
+    // round is data-dependent, so no fixed SQL unroll exists; the
+    // fixed-5 twin above IS the hash oracle — GraphMlSpec proves the
+    // two operators share each prefix exactly, for both checkpoint
+    // cadences, and PageRankStudy measures flat per-round cost at 20
+    // rounds on the 3× corpus). The trade graph is bipartite, so the
+    // hub↔leaf oscillation decays at the damping factor (~0.85ⁿ):
+    // epsilon 300000 micro fires around round 7 — the row
+    // demonstrably CONVERGES below its cap rather than just running
+    // out. Mod-10 customer subsample keeps this driver row at point-
+    // query cost; the operator itself is the full-scale path.
+    "graph_pagerank_converged" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .where(pmod(col("o_custkey"), lit(10)) === 0)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      graft.ops.Graph.pageRankConverged(edges, col("a"), col("b"),
+        maxIterations = 12, epsilonMicro = 300000L)._1
+    }),
+
     // §2b.28b — per-node triangle counts over the co-purchase graph
     // (parts co-occurring in ≥2 orders — the support gate keeps the
     // graph sparse and meaningful): degree-oriented wedge join
@@ -717,6 +740,30 @@ object Analytics {
       // test is unchanged
       val li = Tables.lineitem(s, d)
         .where(pmod(col("l_partkey"), lit(10)) === 0)
+      val edges = li.as("la").join(li.as("lb"),
+          col("la.l_orderkey") === col("lb.l_orderkey") &&
+          col("la.l_partkey") < col("lb.l_partkey"))
+        .groupBy(col("la.l_partkey").as("a"), col("lb.l_partkey").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      graft.ops.Dedup.clusters(edges)
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .orderBy("id")
+    }),
+
+    // §2b.28e — connected components over the FULL co-purchase graph
+    // (no mod-10 subsample): the operator at its real corpus graph
+    // size. Rows-only by necessity — a DuckDB WITH RECURSIVE closure
+    // over the full graph is O(n²) on the 3× corpus's dense giant
+    // component (exactly why 28c subsamples its oracle); evidence is
+    // the hash-oracled subsampled twin above plus the label-sanity
+    // spec (labels are component-minimal and edge-consistent:
+    // every edge's endpoints carry the same label, every label is
+    // the min id of its member set — checked in Round10Spec).
+    "graph_components_full" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
       val edges = li.as("la").join(li.as("lb"),
           col("la.l_orderkey") === col("lb.l_orderkey") &&
           col("la.l_partkey") < col("lb.l_partkey"))

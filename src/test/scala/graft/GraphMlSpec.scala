@@ -32,6 +32,35 @@ class GraphMlSpec extends SparkSpec {
     assert(total > 7L * 1000000L - 10L * 5L * 2L)
   }
 
+  test("pageRankConverged: fixed-k prefix identical, converges, flags") {
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+      ("p", "q")).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // epsilon 0 never converges early → exactly maxIterations rounds,
+    // and the result must equal the fixed-iteration operator — for
+    // BOTH checkpoint cadences (cadence must never change values)
+    val fixed5 = asMap(Graph.pageRank(edges, col("a"), col("b"),
+      iterations = 5))
+    val (c1, n1) = Graph.pageRankConverged(edges, col("a"), col("b"),
+      maxIterations = 5, epsilonMicro = 0L, checkpointEvery = 1)
+    val (c3, n3) = Graph.pageRankConverged(edges, col("a"), col("b"),
+      maxIterations = 5, epsilonMicro = 0L, checkpointEvery = 3)
+    assert(n1 == 5 && n3 == 5)
+    assert(asMap(c1) === fixed5)
+    assert(asMap(c3) === fixed5)
+    // convergence stops before the cap: the star's hub↔leaf
+    // oscillation decays geometrically at the damping factor
+    // (0.85ⁿ·1e6 ≤ 1000 micro at n ≈ 43), so with cap 60 the gate
+    // must fire in the mid-40s — early, and well past the fixed-5
+    // horizon the hash-oracled twin pins
+    val (cv, nv) = Graph.pageRankConverged(edges, col("a"), col("b"),
+      maxIterations = 60, epsilonMicro = 1000L)
+    assert(nv < 60 && nv > 5, s"expected mid-range convergence, ran $nv")
+    val rv = asMap(cv)
+    assert(rv("p") == rv("q") && rv("h") > rv("l1"))
+  }
+
   test("kmeans: separated blobs recover their blobs exactly") {
     // two tight blobs far apart; k=2, init = two lowest ids = one
     // per blob (ids interleaved so init starts one centroid in each)

@@ -444,24 +444,31 @@ class StoreSpec extends SparkSpec {
     assert(sArea > 0) // (computed above; stripes area ≈ squares area)
   }
 
-  test("z-ordered write rejects out-of-contract keys loudly") {
-    // a negative key (or one using bits above 31) would silently break
-    // the Morton order — the clustering property the layout exists for
-    // — so the write must fail, not produce a structurally-broken store
-    def rootMsgs(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .flatMap(c => Option(c.getMessage)).toSeq
-    val bad = Seq((-1L, 3L), (2L, 4L)).toDF("a", "b")
-    val dir = java.nio.file.Files.createTempDirectory("zneg").toString
-    val e = intercept[Exception] {
-      Store.writeZOrdered(bad, dir, col("a"), col("b"), numFiles = 2)
-    }
-    assert(rootMsgs(e).exists(_.contains("writeZOrdered")), rootMsgs(e))
-    val big = Seq((1L << 32, 3L)).toDF("a", "b")
-    val e2 = intercept[Exception] {
-      Store.writeZOrdered(big, dir, col("a"), col("b"), numFiles = 2)
-    }
-    assert(rootMsgs(e2).exists(_.contains("writeZOrdered")), rootMsgs(e2))
+  test("z-order clusters negative and wildly-unequal key domains") {
+    // bucket normalization makes ANY long domain legal and well-
+    // ordered — the raw-interleave contract hole (negative keys /
+    // bits above 31 silently breaking the Morton order) cannot occur.
+    // 64×64 grid, a ∈ [-32, 31] (negative half), b ∈ [0, 63·2^26]
+    // (wide domain — raw interleave would put every significant b bit
+    // above every a bit and degenerate to a 1-D b sort)
+    val grid = spark.range(0, 64L * 64)
+      .select(((col("id") / 64).cast("long") - 32L).as("a"),
+        (pmod(col("id"), lit(64L)) * (1L << 26)).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("zdom").toString
+    Store.writeZOrdered(grid, dir, col("a"), col("b"), numFiles = 16)
+    val spans = spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("a") - min("a") + 1)).cast("long").as("sa"),
+        ((max("b") - min("b")) / (1L << 26) + 1).cast("long").as("sb"))
+      .collect()
+    val meanA = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val meanB = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    // 16 files over a 64×64 grid ≈ 16×16 squares: BOTH dimensions'
+    // per-file spans must be far below the 64-wide full-domain stripe
+    assert(meanA <= 32.0, s"a-span $meanA")
+    assert(meanB <= 32.0, s"b-span $meanB")
+    // layout changes nothing about the data
+    assert(spark.read.parquet(s"$dir/data").count() === 64L * 64)
   }
 
   test("schema evolution rejects a type change BEFORE mutating the store") {
