@@ -257,6 +257,38 @@ object Curation {
       .drop("rn")
   }
 
+  /** Per-domain quota under a quality gate (§2c.37d — RefinedWeb §3's
+    * per-domain cap, with `stratum` standing in for the domain): among
+    * docs passing `pass`, keep at most `cap` per stratum in
+    * deterministic md5-hash order, and report each survivor's rank
+    * plus the stratum's passing count (the kept/eligible accounting a
+    * curation run publishes — n_pass > cap reads "this domain was
+    * capped"). The gate is an arbitrary boolean Column, so any quality
+    * operator here (Gopher/C4/classifier) composes.
+    *
+    * Scale shape: the gate filters BEFORE the exchange (map-side —
+    * failing docs never shuffle); then ONE window exchange clustering
+    * by stratum carries both window functions (rank for the cap,
+    * unbounded count for the accounting). The rank≤cap pattern plans
+    * WindowGroupLimit, so map partitions prune to cap rows per stratum
+    * before the shuffle — a mega-domain degrades to its own sort, not
+    * a global one. Determinism: md5 order, no rand() — exact on
+    * replay, oracle-checkable (the sampleStratified lineage argument).
+    */
+  def domainCap(df: DataFrame, stratum: Column, id: Column,
+                pass: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
+    df.where(pass)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_pass",
+        count(lit(1)).over(Window.partitionBy(stratum)).cast("long"))
+      .where(col("rn") <= cap)
+      .select(stratum.as("source"), id.as("doc_id"), col("rn"),
+        col("n_pass"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Temperature-flattened mixture sampling (§2c.38): per-stratum
     * quota ∝ sqrt(stratum size) — the α=0.5 power-law flattening used
     * to rebalance source/language mixtures for LM training (small

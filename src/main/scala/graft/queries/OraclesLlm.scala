@@ -1857,6 +1857,21 @@ object OraclesLlm {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
+    // mirror of Curation.domainCap: quality gate first (integer length
+    // bounds), then per-source md5-order rank and eligible count, cap
+    // 15
+    "sample_domain_cap" ->
+      """SELECT source, doc_id, rn, n_pass FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_pass
+        |  FROM documents
+        |  WHERE length(text) BETWEEN 100 AND 400
+        |) WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin,
+
     // the naive global-window spelling IS the oracle; the measured
     // query computes the same permutation with the two-phase rank
     "shuffle_global" ->

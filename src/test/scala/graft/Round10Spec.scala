@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 class Round10Spec extends SparkSpec {
 
+  test("domainCap: caps bind exactly, gate respected, md5-prefix kept") {
+    val docs = Tables.documents(spark, sfDir)
+    val gate = length(col("text")).between(100, 400)
+    val cap = 15
+    val got = graft.ops.Curation.domainCap(docs, col("source"),
+      col("doc_id"), gate, cap).collect()
+    // ground truth: per-source passing docs in md5 order
+    val passing = docs.where(gate)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._2))).toMap
+    // (1) survivor count per source = min(cap, n_passing) — the cap
+    // binds exactly when it binds and never truncates below it
+    val bySrc = got.groupBy(_.getString(0))
+    assert(passing.keySet === bySrc.keySet)
+    passing.foreach { case (src, ps) =>
+      assert(bySrc(src).length === math.min(cap, ps.length), src)
+      // (2) survivors are exactly the md5-order PREFIX of passing docs
+      assert(bySrc(src).map(_.getLong(1)).sorted.toSeq ===
+        ps.take(cap).map(_._2).sorted.toSeq, src)
+      // (3) n_pass reports the source's true eligible count
+      assert(bySrc(src).forall(_.getLong(3) == ps.length), src)
+    }
+    // both branches are exercised on this corpus
+    assert(passing.values.exists(_.length > cap), "no source capped")
+    assert(passing.values.exists(_.length < cap), "every source capped")
+  }
+
   test("graph_components_full: labels edge-consistent and component-minimal") {
     val li = Tables.lineitem(spark, sfDir)
     val edges = li.as("la").join(li.as("lb"),
