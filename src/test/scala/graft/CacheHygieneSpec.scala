@@ -38,6 +38,17 @@ class CacheHygieneSpec extends SparkSpec with Eventually {
         "checkpoint blocks not reclaimed after GC")
     }
 
+  // suites share one SparkSession: earlier suites' checkpoint-backed
+  // operators (clusters, heavyHitters, pageRankConverged, …) may have
+  // UNREFERENCED blocks the ContextCleaner hasn't collected yet. The
+  // contract under test is "reclaimable, never pinned" — so drain
+  // (GC + wait) once up front; anything that survives GC here really
+  // is a leak and fails loudly.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    drainCheckpoints()
+  }
+
   test("ngramJaccard materializes with zero persistent state") {
     noop(Dedup.ngramJaccard(docs, col("text"), col("doc_id")))
     assertNoPinnedState()
