@@ -483,7 +483,6 @@ object Dedup {
   def exactSubstrExtents(df: DataFrame, text: Column, id: Column,
                          minTokens: Int = 12,
                          maxWindowFreq: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = minTokens
     val win = tokenWindows(df, text, id, n)
     val capped = Skew.dropHotKeys(win, Seq("w"), maxWindowFreq)
@@ -491,9 +490,20 @@ object Dedup {
         col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.p").as("pa"), col("y.p").as("pb"))
-      .withColumn("diag", col("pa") - col("pb"))
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+    extentsOf(pairs, toks, n)
+  }
+
+  /** gaps-and-islands merge + extent hash shared by [[exactSubstrExtents]]
+    * and [[exactSubstrIncremental]]: `pairs` = (a, b, pa, pb) window
+    * matches, `aToks` = (doc_id, toks) for the a side's extent slice.
+    */
+  private def extentsOf(pairs: DataFrame, aToks: DataFrame,
+                        n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val isl = Window.partitionBy("a", "b", "diag").orderBy("pa")
     val extents = pairs
+      .withColumn("diag", col("pa") - col("pb"))
       .withColumn("g", col("pa") - row_number().over(isl))
       .groupBy("a", "b", "diag", "g")
       .agg(min("pa").as("a_start"), min("pb").as("b_start"),
@@ -501,13 +511,43 @@ object Dedup {
       .select("a", "b", "a_start", "b_start", "len_tokens")
     // extent_md5: the duplicated text itself (hashed), read back off
     // doc a's token array — extent rows only, one slice per extent
-    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
-    extents.join(toks, extents("a") === toks("doc_id"))
+    extents.join(aToks, extents("a") === aToks("doc_id"))
       .select(col("a"), col("b"), col("a_start"), col("b_start"),
         col("len_tokens"),
         md5(array_join(slice(col("toks"), col("a_start").cast("int"),
           col("len_tokens").cast("int")), " ")).as("extent_md5"))
       .orderBy("a", "b", "a_start", "b_start", "len_tokens")
+  }
+
+  /** INCREMENTAL ExactSubstr — the ingest-time face of
+    * [[exactSubstrExtents]] (the same relationship
+    * [[minhashLshCross]] has to the batch LSH): maximal duplicated
+    * extents between an ARRIVING BATCH and the existing corpus only.
+    * The batch's window stream joins the corpus's window table — the
+    * corpus is never self-paired, so per-batch cost scales with the
+    * batch (plus one corpus window build, which a production ingest
+    * pipeline persists once beside the store, exactly as the banded
+    * MinHash signature table is persisted — the window table IS this
+    * family's signature artifact). Output rows are (a=corpus doc,
+    * b=batch doc, a_start, b_start, len_tokens, extent_md5) — the
+    * same shape as the batch operator, so the downstream scrub/
+    * survivor logic is shared. The corpus side carries the hot-window
+    * cap (boilerplate lives in the corpus; the arriving batch is
+    * assumed honest-sized).
+    */
+  def exactSubstrIncremental(batch: DataFrame, corpus: DataFrame,
+                             text: Column, id: Column,
+                             minTokens: Int = 12,
+                             maxWindowFreq: Long = 1000L): DataFrame = {
+    val n = minTokens
+    val wc = Skew.dropHotKeys(
+      tokenWindows(corpus, text, id, n), Seq("w"), maxWindowFreq)
+    val wb = tokenWindows(batch, text, id, n)
+    val pairs = wc.as("x").join(wb.as("y"), col("x.w") === col("y.w"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val toks = corpus.select(id.as("doc_id"), split(text, " ").as("toks"))
+    extentsOf(pairs, toks, n)
   }
 
   /** The SCRUB face of [[exactSubstrExtents]] — what Lee et al.'s

@@ -483,6 +483,53 @@ object OraclesLlm {
         |FROM ext e JOIN toks t ON t.doc_id = e.a
         |ORDER BY a, b, a_start, b_start, len_tokens""".stripMargin,
 
+    // end-to-end mirror of Dedup.exactSubstrIncremental: the planted
+    // docs (doc_id ≥ 2000000) as the arriving batch vs the base
+    // corpus; corpus-side-only hot cap, no self-pairing.
+    "dedup_exact_substring_incr" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           || substr(text, 1, 240) || ' '
+        |           || repeat(md5(CAST(doc_id + 2000000 AS VARCHAR)) || ' ', 8)
+        |           AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM aug WHERE text IS NOT NULL
+        |), win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         md5(array_to_string(toks[i:i+11], ' ')) AS w
+        |  FROM toks CROSS JOIN LATERAL
+        |    unnest(range(1, greatest(len(toks) - 11, 0) + 1)) t(i)
+        |  WHERE len(toks) >= 12
+        |), wc AS (
+        |  SELECT doc_id, p, w FROM win WHERE doc_id < 2000000
+        |  QUALIFY count(*) OVER (PARTITION BY w) <= 1000
+        |), wb AS (
+        |  SELECT doc_id, p, w FROM win WHERE doc_id >= 2000000
+        |), pr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p AS pb
+        |  FROM wc x JOIN wb y ON x.w = y.w
+        |), isl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa)
+        |      AS g
+        |  FROM pr
+        |), ext AS (
+        |  SELECT a, b, min(pa) AS a_start, min(pb) AS b_start,
+        |         CAST(max(pa) - min(pa) + 12 AS BIGINT) AS len_tokens
+        |  FROM isl GROUP BY a, b, diag, g
+        |)
+        |SELECT e.a, e.b, e.a_start, e.b_start, e.len_tokens,
+        |       md5(array_to_string(
+        |         t.toks[e.a_start : e.a_start + e.len_tokens - 1], ' '))
+        |         AS extent_md5
+        |FROM ext e JOIN toks t ON t.doc_id = e.a
+        |ORDER BY a, b, a_start, b_start, len_tokens""".stripMargin,
+
     // end-to-end mirror of Dedup.exactSubstrScrub over the same
     // corpus: keep-lowest-doc per window, covered positions = union
     // of scrubbed 12-token window spans, scrubbed text rebuilt from

@@ -96,6 +96,26 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("incremental extents equal the batch operator's cross pairs") {
+    val aug = corpus
+    val batch = aug.where(col("doc_id") >= 2000000L)
+    val base = aug.where(col("doc_id") < 2000000L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val inc = rows(Dedup.exactSubstrIncremental(batch, base,
+      col("text"), col("doc_id"), minTokens = N,
+      maxWindowFreq = Long.MaxValue))
+    // batch operator over the union, restricted to (corpus, batch)
+    // pairs — ids are disjoint with corpus < batch, so a<b picks
+    // exactly the cross orientation
+    val full = rows(Dedup.exactSubstrExtents(aug, col("text"),
+        col("doc_id"), minTokens = N, maxWindowFreq = Long.MaxValue))
+      .filter(e => e._1 < 2000000L && e._2 >= 2000000L)
+    assert(inc.nonEmpty)
+    assert(inc === full)
+  }
+
   test("scrub: keep-lowest-doc semantics on constructed duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma"
