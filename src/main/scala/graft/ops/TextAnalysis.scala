@@ -823,9 +823,11 @@ object TextAnalysis {
         coalesce(sum("w_milli"), lit(0L)).as("score_milli"))
       .select(col("doc_id"), col("n_tokens"), col("n_hit"),
         col("score_milli"),
-        ((col("score_milli") * 1000L -
-          pmod(col("score_milli") * 1000L, col("n_tokens"))) /
-          col("n_tokens")).cast("long").as("score_micro"))
+        // integral `div` (not Column `/`, which is double division —
+        // off-by-one past 2^53; score_milli·1000 is ~1e10 here but the
+        // exact spelling removes the cliff, same as Embed.floorDiv)
+        expr("((score_milli * 1000 - pmod(score_milli * 1000, n_tokens))" +
+          " div n_tokens)").cast("long").as("score_micro"))
       .withColumn("pass", col("score_micro") >= 0L)
       .orderBy("doc_id")
 
