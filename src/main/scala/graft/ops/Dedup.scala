@@ -427,7 +427,16 @@ object Dedup {
     * rides on window equality, and at 100 TB window count the 60-bit
     * space would see birthday collisions; every stage is plain SQL
     * (split / slice / md5) so consumers hash-oracle end-to-end.
+    *
+    * PUBLIC because it is this family's persistable artifact (the
+    * banded-signature analog): a production ingest pipeline builds it
+    * once over the corpus, persists it beside the store, and feeds it
+    * to [[exactSubstrIncremental]] /
+    * [[graft.streaming.EventPipeline.extentDedupStream]] per batch.
     */
+  def exactSubstrWindows(df: DataFrame, text: Column, id: Column,
+                         n: Int = 12): DataFrame = tokenWindows(df, text, id, n)
+
   private def tokenWindows(df: DataFrame, text: Column, id: Column,
                            n: Int): DataFrame =
     df.select(id.as("doc_id"), split(text, " ").as("toks"))

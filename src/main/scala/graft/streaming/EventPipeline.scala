@@ -222,6 +222,47 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** streaming ExactSubstr ingest gate — the streaming face of
+    * [[graft.ops.Dedup.exactSubstrIncremental]] (§2c.27k): flag each
+    * arriving doc that shares a DUPLICATED EXTENT ≥ n tokens with the
+    * corpus. The flag needs no islands merge, because a shared
+    * n-token window ⟺ an extent of ≥ n tokens exists — window
+    * presence IS the detection, exactly (the batch face then names
+    * the maximal extents offline). Plan: stateless per-doc window
+    * explode (split/slice/md5 — plain projections, stream-safe), one
+    * stream-static equi-join against the corpus's persisted window
+    * table ([[graft.ops.Dedup.exactSubstrWindows]] — this family's
+    * banded-signature analog) with the SAME hot-window cap as the
+    * batch face, then watermark-bounded dropDuplicates (the only
+    * state). Size-routed broadcast like [[crossDedupStream]]: the
+    * static window set is counted once at stream construction.
+    */
+  def extentDedupStream(docs: DataFrame, textCol: String, idCol: String,
+                        tsCol: String, corpusWindows: DataFrame,
+                        minTokens: Int = 12, maxWindowFreq: Long = 1000L,
+                        broadcastWindowLimit: Long = 5_000_000L): DataFrame = {
+    val n = minTokens
+    val cappedRaw = graft.ops.Skew
+      .dropHotKeys(corpusWindows, Seq("w"), maxWindowFreq)
+      .select("w").distinct()
+    val capped =
+      if (corpusWindows.count() <= broadcastWindowLimit) broadcast(cappedRaw)
+      else cappedRaw
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        split(col(textCol), " ").as("toks"))
+      .where(col("toks").isNotNull && size(col("toks")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("p"),
+        col("toks"))
+      .select(col("doc_id"), col("ts"),
+        md5(array_join(slice(col("toks"), col("p"), lit(n)), " ")).as("w"))
+      .join(capped, Seq("w"))
+      .select("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** streaming shard packing — the streaming face of
     * [[graft.ops.Sharding.assignShards]] (§2c.35b): continuous
     * token-budgeted training-shard assignment over an ingest stream,

@@ -858,4 +858,44 @@ class StreamingSpec extends SparkSpec {
       assert(!streamed.exists(r => r._2 == 103L || r._3 == 103L))
     } finally q.stop()
   }
+
+  test("streaming extent dedup flags the batch incremental face's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val corpusWin = graft.ops.Dedup.exactSubstrWindows(
+      corpus, col("text"), col("doc_id"))
+    // arriving: one doc embedding a ≥12-token slice of a corpus doc
+    // inside novel filler, one fully-novel doc; split across TWO
+    // micro-batches with a second copy-carrier in batch 2
+    val slice0 = corpus.where(col("doc_id") === 0L)
+      .select(col("text")).head().getString(0)
+      .split(" ").take(20).mkString(" ")
+    val novel = (1 to 30).map(i => s"novelword$i").mkString(" ")
+    val b1 = Seq((5000L, s"$novel $slice0"), (5001L, novel))
+    val b2 = Seq((5002L, s"$slice0 $novel"))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipeline.extentDedupStream(docs, "text", "doc_id", "ts",
+        corpusWin)
+      .writeStream.format("memory").queryName("extdedup")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(b1.map { case (i, s) => (i, s, t) }: _*)
+      q.processAllAvailable()
+      stream.addData(b2.map { case (i, s) => (i, s, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("extdedup").select("doc_id")
+        .as[Long].collect().toSet
+      // the batch face over the same arriving rows flags the same set
+      val batch = graft.ops.Dedup.exactSubstrIncremental(
+          (b1 ++ b2).toDF("doc_id", "text"), corpus,
+          col("text"), col("doc_id"))
+        .select("b").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(5000L, 5002L))
+    } finally q.stop()
+  }
 }
