@@ -267,25 +267,35 @@ object Curation {
     * operator here (Gopher/C4/classifier) composes.
     *
     * Scale shape: the gate filters BEFORE the exchange (map-side —
-    * failing docs never shuffle); then ONE window exchange clustering
-    * by stratum carries both window functions (rank for the cap,
-    * unbounded count for the accounting). The rank≤cap pattern plans
-    * WindowGroupLimit, so map partitions prune to cap rows per stratum
-    * before the shuffle — a mega-domain degrades to its own sort, not
-    * a global one. Determinism: md5 order, no rand() — exact on
-    * replay, oracle-checkable (the sampleStratified lineage argument).
+    * failing docs never shuffle). The n_pass accounting is a SEPARATE
+    * grouped count broadcast-joined back (one row per stratum), NOT a
+    * second window over the rank partition: a count window sitting
+    * between the row_number window and the rn≤cap filter blocks the
+    * WindowGroupLimit pushdown (the filter cannot cross a window it
+    * doesn't partition-key-match), so a mega-domain would fully
+    * shuffle and sort (r10 ADVICE). With the filter DIRECTLY above
+    * the rank window, Spark plans WindowGroupLimit (plan-asserted,
+    * PlanAuditSpec): map partitions prune to cap rows per stratum
+    * before the exchange — a mega-domain degrades to a top-cap heap,
+    * not its own full sort. Determinism: md5 order, no rand() — exact
+    * on replay, oracle-checkable (the sampleStratified lineage
+    * argument).
     */
   def domainCap(df: DataFrame, stratum: Column, id: Column,
                 pass: Column, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    val gated = df.where(pass)
+    val counts = gated.groupBy(stratum.as("s"))
+      .agg(count(lit(1)).cast("long").as("n_pass"))
     val w = Window.partitionBy(stratum).orderBy(hashKey(id), id)
-    df.where(pass)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_pass",
-        count(lit(1)).over(Window.partitionBy(stratum)).cast("long"))
+    gated
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") <= cap)
-      .select(stratum.as("source"), id.as("doc_id"), col("rn"),
-        col("n_pass"))
+      // null-SAFE equality, as in sampleMixture: a null stratum is a
+      // legitimate group and must meet its own count row
+      .join(broadcast(counts), stratum <=> col("s"))
+      .select(stratum.as("source"), id.as("doc_id"),
+        col("rn").cast("long").as("rn"), col("n_pass"))
       .orderBy("source", "doc_id")
   }
 

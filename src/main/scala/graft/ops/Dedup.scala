@@ -309,17 +309,14 @@ object Dedup {
     */
   private def portableKgramFps(df: DataFrame, text: Column, id: Column,
                                k: Int, sampleMod: Int): DataFrame =
-    df.select(id.as("doc_id"), text.as("__text"))
-      .where(col("__text").isNotNull && length(col("__text")) >= k)
-      // PARALLELISM barrier, not a distribution need: a small corpus
-      // file scans as few (here one) input splits, which would run
-      // the whole md5-per-k-gram build single-threaded; spreading the
-      // (id, text) doc rows first costs one pass of the text bytes
-      // and unlocks every core. The EXPLICIT partition count matters:
-      // with repartition(col) alone AQE sees a ~MB exchange and
-      // coalesces it straight back to one partition
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+    Skew.spread(
+      df.select(id.as("doc_id"), text.as("__text"))
+        .where(col("__text").isNotNull && length(col("__text")) >= k),
+      // PARALLELISM barrier, not a distribution need ([[Skew.spread]]):
+      // a small corpus file scans as few (here one) input splits,
+      // which would run the whole md5-per-k-gram build
+      // single-threaded; an already-parallel input passes through
+      col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("__text")) - (k - 1))).as("i"),
         col("__text"))
@@ -439,20 +436,41 @@ object Dedup {
 
   private def tokenWindows(df: DataFrame, text: Column, id: Column,
                            n: Int): DataFrame =
-    df.select(id.as("doc_id"), split(text, " ").as("toks"))
-      .where(col("toks").isNotNull && size(col("toks")) >= n)
-      // same parallelism barrier as portableKgramFps: spread the doc
-      // rows before the per-window md5 build or a small corpus file
-      // runs the whole kernel on one core
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+    Skew.spread(
+      df.select(id.as("doc_id"), split(text, " ").as("toks"))
+        .where(col("toks").isNotNull && size(col("toks")) >= n),
+      // gated parallelism barrier ([[Skew.spread]], shared with
+      // portableKgramFps): spread the doc rows before the per-window
+      // md5 build only when a small corpus file would otherwise run
+      // the whole kernel on one core
+      col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1L), (size(col("toks")) - (n - 1)).cast("long")))
           .as("p"),
         col("toks"))
       .select(col("doc_id"), col("p"),
+        // the window width rides as COLUMN METADATA on `w` (zero data
+        // cost; Spark persists it through parquet), so a consumer fed
+        // a window table built with a different n can fail loudly
+        // instead of silently matching nothing — see [[windowN]]
         md5(array_join(slice(col("toks"), col("p").cast("int"), lit(n)), " "))
-          .as("w"))
+          .as("w", new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("graft.window_n", n.toLong).build()))
+
+  /** the window width a window table was built with, if recorded
+    * (tables persisted before the metadata protocol return None)
+    */
+  def windowN(windows: DataFrame): Option[Long] = {
+    val md = windows.schema("w").metadata
+    if (md.contains("graft.window_n")) Some(md.getLong("graft.window_n"))
+    else None
+  }
+
+  private def requireWindowN(windows: DataFrame, n: Int): Unit =
+    windowN(windows).foreach(stored => require(stored == n.toLong,
+      s"corpus window table was built with n=$stored but the operator " +
+        s"runs with minTokens=$n — matches would be silently wrong; " +
+        s"rebuild the window table with exactSubstrWindows(n=$n)"))
 
   /** ExactSubstr-grade duplicated-extent dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
@@ -507,8 +525,8 @@ object Dedup {
     * and [[exactSubstrIncremental]]: `pairs` = (a, b, pa, pb) window
     * matches, `aToks` = (doc_id, toks) for the a side's extent slice.
     */
-  private def extentsOf(pairs: DataFrame, aToks: DataFrame,
-                        n: Int): DataFrame = {
+  private def extentsOf(pairs: DataFrame, toks: DataFrame,
+                        n: Int, sliceBatchSide: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isl = Window.partitionBy("a", "b", "diag").orderBy("pa")
     val extents = pairs
@@ -519,11 +537,17 @@ object Dedup {
         (max("pa") - min("pa") + n).cast("long").as("len_tokens"))
       .select("a", "b", "a_start", "b_start", "len_tokens")
     // extent_md5: the duplicated text itself (hashed), read back off
-    // doc a's token array — extent rows only, one slice per extent
-    extents.join(aToks, extents("a") === aToks("doc_id"))
+    // one side's token array — extent rows only, one slice per
+    // extent. The sides are interchangeable (the extent's tokens are
+    // exactly-equal on both by construction); the indexed incremental
+    // face slices the BATCH (b) side so the corpus data is never
+    // touched.
+    val (side, start) =
+      if (sliceBatchSide) ("b", "b_start") else ("a", "a_start")
+    extents.join(toks, extents(side) === toks("doc_id"))
       .select(col("a"), col("b"), col("a_start"), col("b_start"),
         col("len_tokens"),
-        md5(array_join(slice(col("toks"), col("a_start").cast("int"),
+        md5(array_join(slice(col("toks"), col(start).cast("int"),
           col("len_tokens").cast("int")), " ")).as("extent_md5"))
       .orderBy("a", "b", "a_start", "b_start", "len_tokens")
   }
@@ -552,11 +576,54 @@ object Dedup {
     val wc = Skew.dropHotKeys(
       tokenWindows(corpus, text, id, n), Seq("w"), maxWindowFreq)
     val wb = tokenWindows(batch, text, id, n)
-    val pairs = wc.as("x").join(wb.as("y"), col("x.w") === col("y.w"))
+    crossPairExtents(wc, wb,
+      corpus.select(id.as("doc_id"), split(text, " ").as("toks")),
+      sliceBatchSide = false, n)
+  }
+
+  /** INDEX-ONLY incremental ExactSubstr — [[exactSubstrIncremental]]
+    * served from the PERSISTED corpus window table (the
+    * bm25_indexed posture): in steady state the corpus data is never
+    * scanned — the batch's windows equi-join the window artifact, and
+    * the extent text is sliced off the BATCH side's tokens, which is
+    * legal because a duplicated extent's token sequence is
+    * exactly-equal on both sides by construction (so the emitted
+    * extent_md5 is identical to the a-side slice the batch operator
+    * computes — the two faces share one oracle). `corpusWindows` must
+    * be [[exactSubstrWindows]] output built with the same
+    * `minTokens`; a mismatched table fails loudly via the window-n
+    * column metadata.
+    */
+  def exactSubstrIncrementalIndexed(batch: DataFrame,
+                                    corpusWindows: DataFrame,
+                                    text: Column, id: Column,
+                                    minTokens: Int = 12,
+                                    maxWindowFreq: Long = 1000L): DataFrame = {
+    val n = minTokens
+    requireWindowN(corpusWindows, n)
+    val wc = Skew.dropHotKeys(corpusWindows, Seq("w"), maxWindowFreq)
+    val batchToks = batch.select(id.as("doc_id"), split(text, " ").as("toks"))
+    crossPairExtents(wc, tokenWindows(batch, text, id, n), batchToks,
+      sliceBatchSide = true, n)
+  }
+
+  /** shared batch×corpus pairing for the two incremental faces.
+    * PRECONDITION: batch and corpus doc_id sets are DISJOINT (the
+    * ingest contract — a batch is new docs). The a≠b guard below
+    * makes the one silently-corrupting overlap case — a doc paired
+    * with ITSELF, which would emit full-length self-extents and
+    * poison downstream scrub/survivor accounting — structurally
+    * impossible; two DIFFERENT docs sharing one id remain the
+    * caller's contract violation (undetectable from ids alone).
+    */
+  private def crossPairExtents(corpusWin: DataFrame, batchWin: DataFrame,
+                               toks: DataFrame, sliceBatchSide: Boolean,
+                               n: Int): DataFrame = {
+    val pairs = corpusWin.as("x").join(batchWin.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.p").as("pa"), col("y.p").as("pb"))
-    val toks = corpus.select(id.as("doc_id"), split(text, " ").as("toks"))
-    extentsOf(pairs, toks, n)
+    extentsOf(pairs, toks, n, sliceBatchSide)
   }
 
   /** The SCRUB face of [[exactSubstrExtents]] — what Lee et al.'s
@@ -590,10 +657,10 @@ object Dedup {
         explode(sequence(col("p"), col("p") + (n - 1))).as("p"))
       .distinct()
       .withColumn("cov", lit(1))
-    val tokPos = df.select(id.as("doc_id"), split(text, " ").as("toks"))
-      .where(col("toks").isNotNull)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+    val tokPos = Skew.spread(
+      df.select(id.as("doc_id"), split(text, " ").as("toks"))
+        .where(col("toks").isNotNull),
+      col("doc_id"))
       .select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
@@ -755,12 +822,10 @@ object Dedup {
       min(pmod(pmod(col("x") * a, lit(MersenneP)) + b, lit(MersenneP)))
         .as(s"h$i")
     }
-    // repartition = parallelism barrier (see substringPairsPortable):
-    // without it the map-side partial aggregation of the md5'd shingle
-    // stream runs inside however few splits the corpus file scans as
-    shingles(
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism, id),
-      text, id)
+    // gated parallelism barrier ([[Skew.spread]]): without it the
+    // map-side partial aggregation of the md5'd shingle stream runs
+    // inside however few splits a small corpus file scans as
+    shingles(Skew.spread(df, id), text, id)
       .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -1141,9 +1206,8 @@ object Dedup {
     val fpBits = (0 until 60)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    // repartition = parallelism barrier (see substringPairsPortable)
-    val fp = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, id)
+    // gated parallelism barrier ([[Skew.spread]])
+    val fp = Skew.spread(df, id)
       .select(id.as("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), x.as("x"))
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)

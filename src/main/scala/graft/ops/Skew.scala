@@ -143,4 +143,27 @@ object Skew {
           .otherwise(lit(true)))
       .drop(keys.map(c => s"__hot_$c"): _*)
   }
+
+  /** GATED parallelism barrier for the per-doc kernel builds (k-gram /
+    * token-window md5 streams, signature folds): spread `df` across
+    * the session's cores by hash of `key` — but ONLY when the input is
+    * actually under-parallel (a small corpus file scanning as one or
+    * two splits). A pre-partitioned input — a 100 TB table whose scan
+    * already has thousands of splits, or a prior spread — passes
+    * through untouched: the unconditional exchange was a gratuitous
+    * full shuffle of the corpus ahead of each kernel's one real
+    * exchange (r10 verdict finding). The partition probe compiles the
+    * physical plan but runs NO job; a streaming input cannot be
+    * probed and keeps the barrier (its micro-batches are small, so
+    * the exchange is cheap and still unlocks the cores). When the
+    * barrier does fire, the EXPLICIT target count matters:
+    * with repartition(col) alone AQE sees a ~MB exchange and
+    * coalesces it straight back to one partition.
+    */
+  private[graft] def spread(df: DataFrame,
+                            key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!df.isStreaming && df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
 }

@@ -490,12 +490,12 @@ object TextAnalysis {
     */
   def rollingFingerprintPortable(df: DataFrame, text: Column, id: Column,
                                  window: Int = 16): DataFrame =
-    df.select(id.as("doc_id"), coalesce(text, lit("")).as("__text"))
-      // parallelism barrier, not a distribution need (the
-      // portableKgramFps note): few input splits would otherwise run
-      // the whole md5-per-window build on a few cores
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+    Skew.spread(
+      df.select(id.as("doc_id"), coalesce(text, lit("")).as("__text")),
+      // gated parallelism barrier, not a distribution need
+      // ([[Skew.spread]]): few input splits would otherwise run the
+      // whole md5-per-window build on a few cores
+      col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1),
           greatest(length(col("__text")) - (window - 1), lit(1)))).as("i"),

@@ -98,7 +98,15 @@ object OraclesLlm {
         |FROM bg JOIN lw ON bg.b = lw.b
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
-  val all: Map[String, String] = Map(
+  val all: Map[String, String] = mapped +
+    // the index-only incremental spelling serves IDENTICAL rows to
+    // the from-scratch incremental (the extent's tokens are
+    // exactly-equal on both sides, so the b-side slice hashes the
+    // same text) — same mirror, so artifact-vs-fresh drift is a hash
+    // mismatch, the bm25_indexed convention
+    ("dedup_exact_substring_indexed" -> mapped("dedup_exact_substring_incr"))
+
+  private lazy val mapped: Map[String, String] = Map(
     "search_bm25" -> bm25Sql,
     // the persisted-postings spelling serves the IDENTICAL result —
     // same mirror, so any drift between the from-scratch and indexed

@@ -196,12 +196,20 @@ object EventPipeline {
     // Skew.dropHotKeys): a mass-boilerplate bucket is dropped, both to
     // bound the per-doc join fan-out and so the two faces flag the
     // SAME docs
+    // MATERIALIZED once at stream construction (localCheckpoint, the
+    // cache-hygiene contract): a stream-static join re-plans the
+    // static side EVERY micro-batch, so an un-persisted capped band
+    // derivation would re-run the cap (and whatever derivation the
+    // caller handed in) per batch — per-batch cost scaling with the
+    // corpus, contradicting this face's cost claim (r10 ADVICE). The
+    // checkpointed blocks also make the count below free-ish.
     val cappedRaw = graft.ops.Skew
       .dropHotKeys(corpusBands, Seq("band", "bucket"), maxBucket)
       .select(col("band"), col("bucket"),
         col("sig").as("csig"), col("doc_id").as("corpus_id"))
+      .localCheckpoint(true)
     val capped =
-      if (corpusBands.count() <= broadcastBandLimit) broadcast(cappedRaw)
+      if (cappedRaw.count() <= broadcastBandLimit) broadcast(cappedRaw)
       else cappedRaw
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
@@ -242,11 +250,22 @@ object EventPipeline {
                         minTokens: Int = 12, maxWindowFreq: Long = 1000L,
                         broadcastWindowLimit: Long = 5_000_000L): DataFrame = {
     val n = minTokens
+    // FAIL LOUDLY on a window table built with a different n (the
+    // column metadata exactSubstrWindows stamps): a mismatched table
+    // would silently match nothing
+    graft.ops.Dedup.windowN(corpusWindows).foreach(stored =>
+      require(stored == n.toLong,
+        s"corpusWindows built with n=$stored but minTokens=$n"))
+    // MATERIALIZED once at stream construction (see crossDedupStream):
+    // the stream-static join re-plans the static side per micro-batch;
+    // without the checkpoint the cap + distinct would re-run over the
+    // corpus window table every batch (r10 ADVICE)
     val cappedRaw = graft.ops.Skew
       .dropHotKeys(corpusWindows, Seq("w"), maxWindowFreq)
       .select("w").distinct()
+      .localCheckpoint(true)
     val capped =
-      if (corpusWindows.count() <= broadcastWindowLimit) broadcast(cappedRaw)
+      if (cappedRaw.count() <= broadcastWindowLimit) broadcast(cappedRaw)
       else cappedRaw
     docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),

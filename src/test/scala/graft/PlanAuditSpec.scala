@@ -124,6 +124,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("sample_domain_cap prunes per-stratum before the exchange (WindowGroupLimit)") {
+    // r10 ADVICE: the n_pass count window used to sit between the
+    // rank window and the rn<=cap filter, blocking the pushdown — a
+    // mega-domain fully sorted. The count is now a broadcast-joined
+    // grouped count, so the filter sits directly on the rank window
+    // and WindowGroupLimit fires (partial below the exchange + final)
+    val p = plan("sample_domain_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sample_mixture broadcasts the quota side") {
     val p = plan("sample_mixture")
     assert(p.contains("BroadcastHashJoin"), p)
