@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Persistence for indexed frames — Spark-native analog of the
   * reference's write/open/have lifecycle
@@ -160,7 +161,7 @@ object Store {
                            upTo: Option[Int]): Option[org.apache.spark.sql.types.StructType] = {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
-    val ids = snapshots(spark, dir).filter(id => upTo.forall(id <= _))
+    val ids = segSnapshots(spark, dir).filter(id => upTo.forall(id <= _))
     if (ids.isEmpty) None
     else {
       val sides = ids.map(id => readSchemaSidecar(fs, s"$root/seg_$id"))
@@ -169,15 +170,209 @@ object Store {
     }
   }
 
-  /** the store's data frame under the evolution protocol: metadata
-    * schema when every segment carries a sidecar (missing columns of
-    * old segments read as null), otherwise the legacy plain read.
+  // --------------------------------------------------- tombstone deletes
+  // Row-level DELETE as merge-on-read delete vectors (the
+  // Iceberg/Delta device) on the store's own manifest protocol: a
+  // delete writes a TOMBSTONE unit `del_<id>` into the live index
+  // root — the deleted key set (`keys` parquet), a NEGATIVE index
+  // segment (`ixdelta`: the victims' (field,value,f) with f negated,
+  // so merge-on-read nets the index with no data rescan), the key
+  // column name (`_KEYCOL`), committed atomically by `_COMMITTED`.
+  // Tombstone ids share the segment id counter, which totally orders
+  // deletes against appends: a tombstone applies to the data of
+  // segments with SMALLER ids only, so a key re-appended after its
+  // delete is live again (the table-format semantics), and openAt
+  // time travel composes — a snapshot read applies exactly the
+  // tombstones committed at or before it. compact() folds live
+  // tombstones into the data (physical delete: surviving rows
+  // rewritten, old files left for the retained generation's readers
+  // and reclaimed by vacuum()).
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                            p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val buf = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+    val in = fs.open(path)
+    try { in.readFully(buf); new String(buf, "UTF-8").trim }
+    finally in.close()
+  }
+
+  /** committed tombstones of the live generation: (id, keyCol), id
+    * ascending
+    */
+  private[core] def committedTombstones(spark: SparkSession,
+                                        dir: String): Seq[(Int, String)] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) Nil
+    else fs.listStatus(rp).map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("del_") => s.drop(4) }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/del_$id/_COMMITTED")))
+      .sorted
+      .map(id => (id, readSmallText(fs, s"$root/del_$id/_KEYCOL")))
+  }
+
+  /** anti-join `df` against the key sets of `dels` (grouped by key
+    * column so same-column tombstones probe as ONE union)
+    */
+  private def applyTombstones(spark: SparkSession, root: String,
+                              df: DataFrame,
+                              dels: Seq[(Int, String)]): DataFrame =
+    dels.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (keyCol, ds)) =>
+        val keys = ds.map { case (id, _) =>
+          spark.read.parquet(s"$root/del_$id/keys")
+        }.reduce(_ unionByName _).distinct()
+          .select(col("key").as("__graft_del_key"))
+        acc.join(keys, acc(keyCol) === col("__graft_del_key"), "left_anti")
+    }
+
+  /** all data files under `<dir>/data`, as paths RELATIVE to it
+    * (recursive — appendBatch writes per-batch subdirs); `_`/`.`
+    * prefixed names skipped at every level
+    */
+  private def dataFilesRel(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Set[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$dir/data")
+    if (!fs.exists(base)) Set.empty
+    else {
+      def walk(p: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+          else Seq(s"$prefix$n")
+        }
+      walk(base, "").toSet
+    }
+  }
+
+  /** The store's data as of snapshot `upTo` (None = live): planned
+    * over exactly the files the committed segments' manifests name —
+    * the table-format posture (orphans from crashed writes are
+    * invisible; no directory-listing race), which manifest-less
+    * LEGACY stores fall back from to the plain directory read — with
+    * the applicable tombstones anti-joined, SCOPED by the id order: a
+    * tombstone deletes only from segments that precede it, so a
+    * re-appended key survives. Segments between consecutive
+    * tombstones share one applicable set, so the plan is
+    * (#tombstones+1) scan branches, not #segments — and compact
+    * returns the store to a single clean branch.
+    */
+  private def dataAsOf(spark: SparkSession, dir: String,
+                       upTo: Option[Int]): DataFrame = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val segIds = segSnapshots(spark, dir).filter(id => upTo.forall(id <= _))
+    val dels = committedTombstones(spark, dir)
+      .filter(d => upTo.forall(d._1 <= _))
+    val schema = storedSchema(spark, dir, upTo)
+    def read(files: Seq[String]): DataFrame = schema match {
+      case Some(u) => spark.read.schema(u).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
+    if (segIds.isEmpty) {
+      // legacy (pre-manifest) layout — delete() refuses such stores,
+      // so no tombstones can exist here
+      spark.read.parquet(s"$dir/data")
+    } else {
+      val parts = segIds.groupBy(s => dels.count(_._1 > s)).toSeq
+        .flatMap { case (nApplicable, ids) =>
+          val files = ids
+            .flatMap(id => readManifest(fs, s"$root/seg_$id").getOrElse(Nil))
+            .distinct.map(n => s"$dir/data/$n")
+          if (files.isEmpty) None
+          else Some(applyTombstones(spark, root, read(files),
+            dels.takeRight(nApplicable)))
+        }
+      if (parts.nonEmpty) parts.reduce(_ unionByName _)
+      else schema match {
+        case Some(u) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], u)
+        case None => spark.read.parquet(s"$dir/data")
+      }
+    }
+  }
+
+  /** the store's LIVE data frame: manifest-scoped, schema-evolved,
+    * tombstones applied — see [[dataAsOf]]
     */
   private def dataFrame(spark: SparkSession, dir: String): DataFrame =
-    storedSchema(spark, dir, None) match {
-      case Some(u) => spark.read.schema(u).parquet(s"$dir/data")
-      case None    => spark.read.parquet(s"$dir/data")
-    }
+    dataAsOf(spark, dir, None)
+
+  /** Row-level DELETE: remove every live row whose `keyCol` value
+    * appears in `keys` (any single-column frame; values cast to the
+    * data column's type). Merge-on-read: nothing is rewritten — the
+    * call writes one tombstone unit (key set + negative index
+    * segment) and costs one scan of the MATCHING rows to index them,
+    * never a corpus rewrite; every open/openAt/rowsOf read serves the
+    * post-delete state, and [[compact]] later folds the tombstones
+    * into the data physically. Returns the tombstone's snapshot id.
+    *
+    * Applies to data appended BEFORE the delete only — a key
+    * re-appended afterwards is live (the Iceberg/Delta semantics).
+    * When the store carries row-refs, `keyCol` must be the refs key
+    * column — deleting by any other column would leave the refs
+    * artifact serving deleted rows (checked against `spec`). Single
+    * writer, like append/compact.
+    */
+  def delete(spark: SparkSession, dir: String, spec: IndexSpec,
+             keyCol: String, keys: DataFrame): Int = {
+    spec.rowRefs.foreach(rk => require(rk == keyCol,
+      s"store has row-refs keyed on '$rk' — delete must key on it too " +
+        s"(got '$keyCol'), or the refs artifact would serve deleted rows"))
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    require(segSnapshots(spark, dir).nonEmpty,
+      s"delete requires a manifest-carrying store; rewrite legacy " +
+        s"stores with write() first ($dir)")
+    val id = nextUnitId(fs, root)
+    val live = dataAsOf(spark, dir, None)
+    require(live.columns.contains(keyCol),
+      s"no column '$keyCol' in store data (${live.columns.mkString(",")})")
+    val kt = live.schema(keyCol).dataType
+    val inCol = keys.columns.head
+    val k = keys.select(col(inCol).cast(kt).as("key")).distinct()
+    // commit protocol: keys + ixdelta + keycol first, marker LAST —
+    // a crash leaves an uncommitted unit no reader ever applies
+    k.write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/keys")
+    val persisted = spark.read.parquet(s"$root/del_$id/keys")
+      .select(col("key").as("__graft_del_key"))
+    // index the victims read back from the PERSISTED key set (the
+    // write()/append() read-back discipline: a nondeterministic keys
+    // plan must not net a different row set than the one recorded)
+    val victims = live.join(persisted,
+      col(keyCol) === col("__graft_del_key"), "left_semi")
+    IndexedFrame(victims, spec).entries
+      .select(col("field"), col("value"), (-col("f")).as("f"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/ixdelta")
+    val kc = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_KEYCOL"), true)
+    try kc.write(keyCol.getBytes("UTF-8")) finally kc.close()
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_COMMITTED")).close()
+    id
+  }
+
+  /** next id in the SHARED segment/tombstone counter (their total
+    * order is what scopes deletes against appends)
+    */
+  private def nextUnitId(fs: org.apache.hadoop.fs.FileSystem,
+                         root: String): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) 0
+    else fs.listStatus(rp).map(_.getPath.getName)
+      .collect {
+        case s if s.startsWith("seg_") => s.drop(4)
+        case s if s.startsWith("del_") => s.drop(4)
+      }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .foldLeft(-1)(math.max) + 1
+  }
 
   /** write rows + index as segment 0 (reference writeIndexedDf).
     * Only the store-owned `data/` and index subdirs are cleared —
@@ -228,11 +423,17 @@ object Store {
       mergedIndex(spark, dir),
       rowRefsFrame(spark, dir))
 
-  /** Available snapshot ids of the live generation, ascending — each
-    * append segment with a manifest is one snapshot; pass an id to
-    * [[openAt]].
+  /** Available snapshot ids of the live generation, ascending: each
+    * append segment with a manifest is one snapshot, and each
+    * committed tombstone is one too (openAt at a tombstone id reads
+    * "just after that delete"); pass an id to [[openAt]].
     */
-  def snapshots(spark: SparkSession, dir: String): Seq[Int] = {
+  def snapshots(spark: SparkSession, dir: String): Seq[Int] =
+    (segSnapshots(spark, dir) ++
+      committedTombstones(spark, dir).map(_._1)).sorted
+
+  /** DATA-segment snapshot ids only (manifest-carrying seg_ units) */
+  private[core] def segSnapshots(spark: SparkSession, dir: String): Seq[Int] = {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     val rp = new org.apache.hadoop.fs.Path(root)
@@ -259,32 +460,29 @@ object Store {
              upToSeg: Int): StoredFrame = {
     import org.apache.spark.sql.functions._
     val (root, _) = currentIndexRoot(spark, dir)
-    val (fs, _) = fsFor(spark, dir)
-    val ids = snapshots(spark, dir).filter(_ <= upToSeg)
-    require(ids.nonEmpty,
+    val segIds = segSnapshots(spark, dir).filter(_ <= upToSeg)
+    val delIds = committedTombstones(spark, dir).map(_._1)
+      .filter(_ <= upToSeg)
+    require(segIds.nonEmpty,
       s"no snapshot <= $upToSeg in $dir (available: ${snapshots(spark, dir)})")
-    val files = ids.flatMap { id =>
-      readManifest(fs, s"$root/seg_$id").getOrElse(Seq.empty)
-    }.distinct.map(n => s"$dir/data/$n")
-    // snapshot-scoped schema: columns appended AFTER upToSeg are
-    // invisible, exactly as the data files are
-    val data = storedSchema(spark, dir, Some(upToSeg)) match {
-      case Some(u) => spark.read.schema(u).parquet(files: _*)
-      case None    => spark.read.parquet(files: _*)
-    }
-    val segFrames = ids.map(id => spark.read.parquet(s"$root/seg_$id"))
+    // snapshot-scoped data: files of manifests 0..upToSeg, tombstones
+    // committed at or before upToSeg applied with their segment
+    // scoping — columns/rows/deletes after upToSeg are all invisible
+    val data = dataAsOf(spark, dir, Some(upToSeg))
+    val segFrames = segIds.map(id => spark.read.parquet(s"$root/seg_$id"))
+    val delFrames = delIds.map(id =>
+      spark.read.parquet(s"$root/del_$id/ixdelta"))
     val index =
-      if (segFrames.size == 1) segFrames.head
-      else segFrames.reduce(_ unionByName _)
-        .groupBy("field", "value").agg(sum("f").as("f"))
-    val rows = {
-      val present = ids.filter(id => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$root/rows_$id")))
-      if (present.isEmpty) None
-      else Some(present.map(id => spark.read.parquet(s"$root/rows_$id"))
-        .reduce(_ unionByName _))
-    }
-    StoredFrame(IndexedFrame(data, spec), index, rows)
+      if (segFrames.size == 1 && delFrames.isEmpty) segFrames.head
+      else {
+        val summed = (segFrames ++ delFrames).reduce(_ unionByName _)
+          .groupBy("field", "value").agg(sum("f").as("f"))
+        // a fully-deleted entry nets to zero and must disappear, as
+        // if its rows never existed
+        if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
+      }
+    StoredFrame(IndexedFrame(data, spec), index,
+      refsAsOf(spark, dir, Some(upToSeg)))
   }
 
   /** write-if-absent then open (haveIndexedDf). "Present" means BOTH
@@ -327,15 +525,15 @@ object Store {
     * already serializes batches; schedule compact between batches
     * (e.g. inside the same foreachBatch, every N batches).
     *
-    * DELIVERY: at-least-once, like any foreachBatch sink without a
-    * transactional target — the data append and the index-segment
-    * write are two separate commits, so a crash between them leaves
-    * the batch's rows unindexed until the streaming engine redelivers
-    * the batch (which then re-appends the rows: duplicates the
-    * downstream exact-dedup pass absorbs, the reason dedup_exact
-    * keys on content hash). Exactly-once needs an idempotent target
-    * layout (e.g. batchId-keyed segments), which this minimal store
-    * does not implement.
+    * DELIVERY: at-least-once — the data append and the index-segment
+    * write are two separate commits. A crash between them leaves the
+    * crashed batch's data files ORPHANED but INVISIBLE (the
+    * manifest-scoped read plans only over committed segments' files;
+    * vacuum reclaims orphans), so redelivery re-appends the rows
+    * exactly once into a fresh segment — but a redelivery of a batch
+    * whose first attempt DID commit appends it twice. For true
+    * exactly-once under redelivery use [[appendBatch]], whose
+    * batchId-keyed segments make the re-append a no-op.
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = batch.sparkSession
@@ -376,13 +574,9 @@ object Store {
       fs.delete(rootPath, true)
       root = s"$dir/index_g1"; gen = 1
     }
-    val liveRoot = new org.apache.hadoop.fs.Path(root)
-    val segId =
-      if (!fs.exists(liveRoot)) 0
-      else fs.listStatus(liveRoot)
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("seg_") => s.drop(4).toInt }
-        .foldLeft(-1)(math.max) + 1
+    // shared counter with tombstones: the seg/del total order is what
+    // scopes deletes against later appends (a re-appended key lives)
+    val segId = nextUnitId(fs, root)
     // capture which data files THIS append writes (listing diff —
     // legal under the single-writer contract above), so the index
     // segment is built from a READ-BACK of exactly those files: the
@@ -407,6 +601,11 @@ object Store {
     // union here makes the contract violation fail while the store is
     // still intact. Sidecar-less legacy stores skip the check (their
     // physical schema is unknowable without footer sniffing).
+    // COST: storedSchema reads every segment's schema sidecar —
+    // O(segments) small reads per append. That is the deliberate
+    // price of fail-before-mutate; an append-heavy store keeps it
+    // cheap by compacting (which folds the segments back to one) —
+    // the same cadence merge-on-read amplification already demands.
     storedSchema(spark, dir, None)
       .foreach(existing => unionSchema(Seq(existing, batch.schema)))
     val before = dataFiles()
@@ -426,6 +625,86 @@ object Store {
       writeSchemaSidecar(fs, s"$root/seg_$segId",
         spark.read.parquet(written: _*).schema)
     }
+  }
+
+  /** IDEMPOTENT batchId-keyed append — the exactly-once face of
+    * [[append]] for streaming ingest (the gap append's DELIVERY note
+    * names): the batch's data files live under their OWN subdir
+    * `<dir>/data/batch_<id>` (an Overwrite target, so a partial crash
+    * leaves nothing a retry cannot cleanly replace) and the segment
+    * id IS the batchId, so redelivery of a batch the store already
+    * committed is a NO-OP — the store is untouched, byte for byte.
+    * The commit point is the segment's `_MANIFEST`, written LAST:
+    * until it exists the batch is invisible to every reader (the
+    * manifest-scoped read), so the crash windows are
+    *   - before/during the data write: retry Overwrites the subdir;
+    *   - between data and index: no manifest, data invisible; retry
+    *     rewrites both;
+    *   - after the manifest: retry is the no-op.
+    * Net: at-least-once redelivery × this layout = exactly-once
+    * visibility. Returns true iff this call committed the batch.
+    *
+    * Usable directly as the foreachBatch sink:
+    * `.foreachBatch((b, id) => Store.appendBatch(b, dir, spec, id))`
+    * — Structured Streaming redelivers with the SAME batchId after a
+    * restart, which is exactly the key this layout needs.
+    *
+    * OWNERSHIP: the stream owns the store's id namespace (segment id
+    * = batchId). Do not interleave [[append]] (it takes max+1, which
+    * would collide with a future batch), and run [[delete]] only at
+    * ids below the next batch — checked: a tombstone at or above this
+    * batchId fails loudly. Single writer, as for append/compact.
+    */
+  def appendBatch(batch: DataFrame, dir: String, spec: IndexSpec,
+                  batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    require(batchId >= 0 && batchId <= Int.MaxValue.toLong,
+      s"batchId out of segment-id range: $batchId")
+    val segId = batchId.toInt
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(rootPath)) {
+      require(!fs.listStatus(rootPath).exists(st =>
+          !st.getPath.getName.startsWith("seg_") &&
+          !st.getPath.getName.startsWith("rows_") &&
+          !st.getPath.getName.startsWith("del_") &&
+          !st.getPath.getName.startsWith("_")),
+        s"appendBatch requires a segment-mode store; migrate legacy " +
+          s"layouts via append() or rewrite with write() ($dir)")
+      require(!committedTombstones(spark, dir).exists(_._1 >= segId),
+        s"a tombstone at id >= $segId exists — its delete would " +
+          s"wrongly scope over this later batch; compact first or " +
+          s"delete at reserved ids below the stream's next batch")
+    }
+    // IDEMPOTENCE GATE: manifest presence == committed
+    if (readManifest(fs, s"$root/seg_$segId").isDefined) return false
+    // fail-before-mutate schema validation, as in append()
+    storedSchema(spark, dir, None)
+      .foreach(existing => unionSchema(Seq(existing, batch.schema)))
+    val sub = s"batch_$segId"
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$sub")
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/data/$sub"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq.sorted
+    // read-back discipline (see append): index exactly what persisted
+    val persisted =
+      if (names.nonEmpty) spark.read.parquet(s"$dir/data/$sub")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val ix = IndexedFrame(persisted, spec)
+    // single-task write for an empty batch's entries so the segment
+    // parquet always has a readable footer
+    val entries = if (names.nonEmpty) ix.entries else ix.entries.repartition(1)
+    entries.write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
+    if (spec.rowRefs.isDefined) {
+      val refs = if (names.nonEmpty) ix.rowRefs else ix.rowRefs.repartition(1)
+      refs.write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
+    }
+    writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
+    writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
+    true
   }
 
   /** merge-on-read over all index segments: union of the per-segment
@@ -457,10 +736,21 @@ object Store {
       if (!fs.exists(rootPath)) Array.empty[String]
       else fs.listStatus(rootPath).map(_.getPath.getName)
         .filter(_.startsWith("seg_"))
+    val delFrames = committedTombstones(spark, dir).map { case (id, _) =>
+      spark.read.parquet(s"$root/del_$id/ixdelta")
+    }
     if (segs.isEmpty) spark.read.parquet(root)
-    else if (segs.length == 1) spark.read.parquet(s"$root/${segs.head}")
-    else spark.read.parquet(s"$root/seg_*")
-      .groupBy("field", "value").agg(sum("f").as("f"))
+    else if (segs.length == 1 && delFrames.isEmpty)
+      spark.read.parquet(s"$root/${segs.head}")
+    else {
+      // tombstone ixdeltas ride the same sum: the negated victim
+      // counts net the deleted rows out with no data rescan, and a
+      // fully-deleted entry (f = 0) disappears
+      val summed = (Seq(spark.read.parquet(s"$root/seg_*")) ++ delFrames)
+        .reduce(_ unionByName _)
+        .groupBy("field", "value").agg(sum("f").as("f"))
+      if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
+    }
   }
 
   /** the persisted row-refs (field, value, row_key) across all
@@ -471,13 +761,43 @@ object Store {
     * per-segment (field,value) parquet stats still prune point reads.
     */
   private[core] def rowRefsFrame(spark: SparkSession,
-                                 dir: String): Option[DataFrame] = {
+                                 dir: String): Option[DataFrame] =
+    refsAsOf(spark, dir, None)
+
+  /** row-refs as of a snapshot, tombstones applied with the same
+    * segment scoping as the data (delete() requires the delete key
+    * to BE the refs key column, so the anti-join is on row_key). The
+    * delete-free path stays the single glob read with no per-segment
+    * planning.
+    */
+  private def refsAsOf(spark: SparkSession, dir: String,
+                       upTo: Option[Int]): Option[DataFrame] = {
     val (root, _) = currentIndexRoot(spark, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasRows = fs.exists(rootPath) &&
-      fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("rows_"))
-    if (hasRows) Some(spark.read.parquet(s"$root/rows_*")) else None
+    val segIds =
+      if (!fs.exists(rootPath)) Seq.empty[Int]
+      else fs.listStatus(rootPath).map(_.getPath.getName).toSeq
+        .collect { case s if s.startsWith("rows_") => s.drop(5).toInt }
+        .filter(id => upTo.forall(id <= _)).sorted
+    if (segIds.isEmpty) None
+    else {
+      val dels = committedTombstones(spark, dir)
+        .filter(d => upTo.forall(d._1 <= _))
+      if (dels.isEmpty && upTo.isEmpty)
+        Some(spark.read.parquet(s"$root/rows_*"))
+      else Some(segIds.groupBy(s => dels.count(_._1 > s)).toSeq
+        .map { case (nApplicable, ids) =>
+          val refs = spark.read.parquet(
+            ids.map(id => s"$root/rows_$id"): _*)
+          dels.takeRight(nApplicable).foldLeft(refs) { case (acc, (id, _)) =>
+            val keys = spark.read.parquet(s"$root/del_$id/keys")
+              .select(col("key").as("__graft_del_key"))
+            acc.join(keys, acc("row_key") === col("__graft_del_key"),
+              "left_anti")
+          }
+        }.reduce(_ unionByName _))
+    }
   }
 
   /** fold all index segments into one — run when a stream has
@@ -505,6 +825,7 @@ object Store {
     val (fs, base) = fsFor(spark, dir)
     val (oldRoot, gen) = currentIndexRoot(spark, dir)
     val newRoot = s"$dir/index_g${gen + 1}"
+    val dels = committedTombstones(spark, dir)
     // snapshot history COLLAPSES at compact (documented: like table-
     // format log compaction): the folded seg_0's manifest is the
     // union of the old generation's manifests, so "latest" stays
@@ -518,26 +839,58 @@ object Store {
     }
     val oldManifests = oldSegNames.map(s => readManifest(fs, s"$oldRoot/$s"))
     val oldSchemas = oldSegNames.map(s => readSchemaSidecar(fs, s"$oldRoot/$s"))
+    // the folded segment KEEPS the max retired unit id — ids never
+    // rewind across a compact. This is what makes compaction safe
+    // under appendBatch's exactly-once protocol: a crash between an
+    // in-foreachBatch compact and the engine's epoch commit redelivers
+    // the just-folded batchId, and the idempotence gate must still
+    // find a committed segment at that id (a seg_0 rename would read
+    // as "not yet appended" and duplicate the batch).
+    val foldId = {
+      val rp = new org.apache.hadoop.fs.Path(oldRoot)
+      if (!fs.exists(rp)) 0
+      else math.max(0, nextUnitId(fs, oldRoot) - 1)
+    }
+    // PHYSICAL DELETE: with live tombstones, compact folds them into
+    // the data — the surviving rows are rewritten as fresh files and
+    // the folded segment's manifest names ONLY those, so the new
+    // generation is tombstone-free and every read is one clean scan
+    // branch again. The superseded files are NOT touched here (the
+    // retained generation's readers still plan over them); vacuum()
+    // reclaims everything the live manifests no longer reference.
+    // The mergedIndex/rowRefsFrame checkpoints above already carry
+    // the tombstones netted/anti-joined, so index, refs and data fold
+    // consistently inside the same atomic publish.
+    val manifestEntries: Option[Seq[String]] =
+      if (dels.isEmpty) {
+        // only when EVERY old segment carried a manifest is the union
+        // a faithful snapshot description (a legacy store stays legacy)
+        if (oldManifests.nonEmpty && oldManifests.forall(_.isDefined))
+          Some(oldManifests.flatMap(_.get).distinct)
+        else None
+      } else {
+        val before = dataFilesRel(fs, dir)
+        dataAsOf(spark, dir, None)
+          .write.mode(SaveMode.Append).parquet(s"$dir/data")
+        Some((dataFilesRel(fs, dir) -- before).toSeq.sorted)
+      }
     // sorted (field,value) clustering belongs to the WRITE, not the
     // read ([[mergedIndex]] serves unordered): the folded segment's
     // parquet stats must prune point reads like a write()n one's do
     merged.orderBy("field", "value")
-      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_0")
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_$foldId")
     // row-refs fold to one re-clustered segment inside the same
     // atomic publish (the _COMMITTED marker below covers both)
     rows.foreach(_
       .repartitionByRange(col("field"), col("value"), col("row_key"))
       .sortWithinPartitions("field", "value", "row_key")
-      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_0"))
-    // only when EVERY old segment carried a manifest is the union a
-    // faithful snapshot description (a legacy store stays legacy)
-    if (oldManifests.nonEmpty && oldManifests.forall(_.isDefined))
-      writeManifest(fs, s"$newRoot/seg_0",
-        oldManifests.flatMap(_.get).distinct)
+      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_$foldId"))
+    manifestEntries.foreach(writeManifest(fs, s"$newRoot/seg_$foldId", _))
     // the folded segment's schema is the union of the retired
     // segments' schemas (same all-or-nothing rule as storedSchema)
     if (oldSchemas.nonEmpty && oldSchemas.forall(_.isDefined))
-      writeSchemaSidecar(fs, s"$newRoot/seg_0", unionSchema(oldSchemas.flatten))
+      writeSchemaSidecar(fs, s"$newRoot/seg_$foldId",
+        unionSchema(oldSchemas.flatten))
     fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
     // reclaim generations at least two compacts old (never `gen`
     // itself — in-flight readers may still be planned against it)
@@ -572,8 +925,37 @@ object Store {
     // here gen IS the live generation (inside compact it is the one
     // being superseded), so "strictly below gen" spares exactly the
     // live index and reclaims everything else, retained or legacy
-    val (_, gen) = currentIndexRoot(spark, dir)
+    val (root, gen) = currentIndexRoot(spark, dir)
     reclaimBelow(fs, base, dir, gen)
+    // DATA files the live generation's manifests no longer reference
+    // are unreachable by any future read — crashed appends' orphans,
+    // and the pre-fold copies a tombstone-folding compact left for
+    // the (just reclaimed) previous generation's readers. Legacy
+    // stores (no manifests) are served by the plain directory read,
+    // where every file is live — skip.
+    val segIds = segSnapshots(spark, dir)
+    if (segIds.nonEmpty) {
+      val referenced = segIds.flatMap(id =>
+        readManifest(fs, s"$root/seg_$id").getOrElse(Nil)).toSet
+      (dataFilesRel(fs, dir) -- referenced).foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/$rel"), false)
+      }
+      // prune batch subdirs emptied by the reclaim
+      val dp = new org.apache.hadoop.fs.Path(s"$dir/data")
+      if (fs.exists(dp)) fs.listStatus(dp).foreach { st =>
+        if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+          fs.delete(st.getPath, false)
+      }
+      // uncommitted tombstone units (a delete() that died before its
+      // marker) are invisible to every reader — reclaim them too
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("del_") && !fs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/$n/_COMMITTED")))
+          fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Hive-layout partitioned write: `<dir>/data/<col>=<value>/…`. A

@@ -200,6 +200,24 @@ object Oracles {
         |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
         |) GROUP BY field, value ORDER BY field, value""".stripMargin,
 
+    // live store after delete(%7 keys) then re-append(%21 subset):
+    // the anti-join spelling, with the re-appended rows unioned back
+    // (they postdate the tombstone, so the segment scoping keeps them)
+    "store_delete" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderkey % 21 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // merged index after delete = the index of the surviving rows
+    "store_delete_index" ->
+      """SELECT 'o_orderpriority' AS field, o_orderpriority AS value,
+        |       count(*) AS f
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 2 ORDER BY field, value""".stripMargin,
+
     "merge_index" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value

@@ -198,6 +198,41 @@ object RefSurface {
         .orderBy("row_key")
     }),
 
+    // §2a.12j — row-level DELETE (merge-on-read tombstones on the
+    // manifest protocol — the capability every curation drop-list
+    // needs; the reference's only update path is whole-merge rewrite,
+    // Dfs.scala:476-487): write orders, delete the %7 keys, re-append
+    // the %21 subset (proving deletes scope to EARLIER segments — a
+    // re-appended key is live), read the store. Oracle = the anti-join
+    // spelling over the same parquet.
+    "store_delete" -> ((s, d) => {
+      val dir = s"/tmp/graft_stored_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val dspec = IndexSpec(Seq("o_orderpriority"))
+      Store.write(orders, dir, dspec)
+      Store.delete(s, dir, dspec, "o_orderkey",
+        orders.where(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      Store.append(orders.where(col("o_orderkey") % 21 === 0), dir, dspec)
+      Store.open(s, dir, dspec).frame.df
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2a.12k — the INDEX side of delete: the persisted merged index
+    // after a tombstone nets the victims' counts out (the negative
+    // ixdelta segment — no data rescan at read time) and must equal
+    // the index computed over the surviving rows directly.
+    "store_delete_index" -> ((s, d) => {
+      val dir = s"/tmp/graft_storedi_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val dspec = IndexSpec(Seq("o_orderpriority"))
+      Store.write(orders, dir, dspec)
+      Store.delete(s, dir, dspec, "o_orderkey",
+        orders.where(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      Store.open(s, dir, dspec).persistedIndex
+        .orderBy("field", "value")
+    }),
+
     // §2a.12d — partition-pruned reopen: documents written Hive-
     // partitioned by source, reopened with a partition predicate —
     // the scan lists only the matching directory (PartitionFilters;

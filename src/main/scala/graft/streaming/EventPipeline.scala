@@ -665,6 +665,27 @@ object EventPipeline {
       .toDF("grp", "tok", "mg_count", "ver")
   }
 
+  /** EXACTLY-ONCE store ingest — the foreachBatch sink over
+    * [[graft.core.Store.appendBatch]]: Structured Streaming
+    * redelivers a failed epoch with the SAME batchId, and the
+    * batchId-keyed segment layout makes the re-append a no-op, so
+    * restart/redelivery never duplicates a row in the store (the
+    * at-least-once gap [[graft.core.Store.append]]'s DELIVERY note
+    * used to name). `compactEvery` > 0 folds index segments every N
+    * batches from INSIDE the same foreachBatch — the single-writer
+    * contract's sanctioned compaction point.
+    */
+  def storeIngest(docs: DataFrame, dir: String, spec: graft.core.IndexSpec,
+                  compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => {
+        graft.core.Store.appendBatch(b, dir, spec, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          graft.core.Store.compact(b.sparkSession, dir)
+        ()
+      })
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

@@ -96,7 +96,9 @@ class StoreSpec extends SparkSpec {
     // the compacted index is a NEW committed generation with one segment
     val segs = new java.io.File(s"$dir/index_g1").listFiles()
       .filter(_.getName.startsWith("seg_"))
-    assert(segs.map(_.getName).toSeq === Seq("seg_0"))
+    // the fold keeps the max retired unit id (ids never rewind —
+    // what appendBatch's idempotence gate needs across a compact)
+    assert(segs.map(_.getName).toSeq === Seq("seg_1"))
     assert(new java.io.File(s"$dir/index_g1/_COMMITTED").exists())
     val afterIx = Store.open(spark, dir, spec).persistedIndex
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -255,8 +257,9 @@ class StoreSpec extends SparkSpec {
       .view.mapValues(_.length.toLong).toMap
     assert(refs === f)
     // compact folds refs into the new generation alongside the index
+    // (at the preserved max id, like the seg fold)
     Store.compact(spark, dir)
-    assert(new java.io.File(s"$dir/index_g1/rows_0").isDirectory)
+    assert(new java.io.File(s"$dir/index_g1/rows_1").isDirectory)
     val st2 = Store.open(spark, dir, refsSpec)
     assert(st2.rowsOf("cat", "a").collect().map(_.getLong(0)).toSet ===
       Set(1L, 3L))
@@ -332,16 +335,17 @@ class StoreSpec extends SparkSpec {
     Store.append(data.where($"id" <= 2), dir, spec)
     Store.append(data.where($"id" > 2), dir, spec)
     Store.compact(spark, dir)
-    // one snapshot survives and it serves the full data + index
-    assert(Store.snapshots(spark, dir) === Seq(0))
-    val st = Store.openAt(spark, dir, spec, 0)
+    // one snapshot survives — at the max retired id (ids never
+    // rewind) — and it serves the full data + index
+    assert(Store.snapshots(spark, dir) === Seq(1))
+    val st = Store.openAt(spark, dir, spec, 1)
     assert(st.frame.df.count() === 4)
     assert(st.f("cat", "a").head().getLong(0) === 2L)
     // snapshots keep working across a post-compact append
     Store.append(Seq((5L, "a", 50.0)).toDF("id", "cat", "v"), dir, spec)
-    assert(Store.snapshots(spark, dir) === Seq(0, 1))
-    assert(Store.openAt(spark, dir, spec, 0).frame.df.count() === 4)
-    assert(Store.openAt(spark, dir, spec, 1).frame.df.count() === 5)
+    assert(Store.snapshots(spark, dir) === Seq(1, 2))
+    assert(Store.openAt(spark, dir, spec, 1).frame.df.count() === 4)
+    assert(Store.openAt(spark, dir, spec, 2).frame.df.count() === 5)
   }
 
   test("openAt serves row-refs of only the snapshot's segments") {
