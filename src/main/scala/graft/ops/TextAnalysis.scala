@@ -831,6 +831,178 @@ object TextAnalysis {
       .withColumn("pass", col("score_micro") >= 0L)
       .orderBy("doc_id")
 
+  // --------------------------- TRAINED linear quality classifier
+  // (§2c.44c/d/e) — the round-10 verdict's "one first-class curation
+  // model still simulated": a linear scorer FIT by closed-form ridge
+  // over exact-integer features, distilling the C4 rule gate into one
+  // weight vector (the production pattern: a cheap learned filter
+  // replaces a rule cascade; fasttext-class models are exactly
+  // "linear over hashed token features"). The generalization of
+  // Profile.groupTrend's normal-equations trick to d features:
+  //
+  //   1. clfFeatureRows — per doc, d=17 exact-long features: the 8
+  //      C4 signal counts (the gate's own observables), 8 hashed
+  //      token-count buckets (the fasttext face), and an intercept.
+  //      Plain SQL, so the feature stream mirrors in DuckDB.
+  //   2. clfMoments — Xᵀ X (upper triangle) and Xᵀ y in ONE pass of
+  //      per-doc pair products + a map-side-combinable sum. All
+  //      exact BIGINT arithmetic → the training INPUTS hash-oracle
+  //      cross-engine end-to-end (clf_train_moments).
+  //   3. ridgeWeights — the d×d solve (Gaussian elimination, partial
+  //      pivoting) runs DRIVER-SIDE on the collected moment rows (d
+  //      is a bounded design constant — 18×18 doubles — never data-
+  //      scale); weights persist via core/Artifacts and serve through
+  //      the same indexed lifecycle as the md5 stand-in vocab.
+  //   4. clfScoreTrained — map-only scoring: features ⨝ broadcast
+  //      weights, one per-doc fold, exact micro-unit score.
+  //
+  // The float solve is deterministic per-binary but not portable SQL,
+  // so the scoring rows are rows-only with ClassifierSpec evidence
+  // (residual exactness in BigDecimal, determinism, accuracy beats
+  // the md5 stand-in); the md5 classifier above stays as the
+  // hash-oracled portable twin — the moments row pins the training
+  // inputs in DuckDB regardless.
+
+  /** number of features incl. intercept; y rides as index ClfD in
+    * the moments encoding
+    */
+  val ClfD = 17
+  private val ClfBuckets = 8
+  private val ClfIntercept = ClfD - 1 // 16
+
+  /** (doc_id, j, x): j=0..7 the C4 signal counts, j=8..15 hashed
+    * token-count buckets, j=16 the intercept (x=1)
+    */
+  def clfFeatureRows(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sig = c4Rules(df, text, id)
+    def s(j: Int, c: Column) =
+      struct(lit(j).as("j"), c.cast("long").as("x"))
+    val sigRows = sig.select(col("doc_id"), explode(array(
+        s(0, col("n_lines")), s(1, col("kept_lines")),
+        s(2, col("drop_no_punct")), s(3, col("drop_short")),
+        s(4, col("drop_js")), s(5, col("n_sentences")),
+        s(6, col("has_lorem")), s(7, col("has_brace")))).as("f"))
+      .select(col("doc_id"), col("f.j").as("j"), col("f.x").as("x"))
+    val bucketRows = df
+      .select(id.as("doc_id"), explode(tokensOf(text)).as("tok"))
+      .select(col("doc_id"),
+        (lit(ClfBuckets) +
+          pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+            lit(ClfBuckets.toLong)).cast("int")).as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("x"))
+    val intercept = df.select(id.as("doc_id"),
+      lit(ClfIntercept).as("j"), lit(1L).as("x"))
+    sigRows.unionByName(bucketRows).unionByName(intercept)
+  }
+
+  /** (doc_id, y): the C4 page gate as the 0/1 training label */
+  def clfLabels(df: DataFrame, text: Column, id: Column): DataFrame =
+    c4Rules(df, text, id)
+      .select(col("doc_id"), col("pass").cast("long").as("y"))
+
+  /** the normal-equation moments, exact integers: rows (i, j, v) with
+    * j in [i, ClfD) = XᵀX upper triangle, j = ClfD = Xᵀy. One
+    * per-doc pair fan-out (≤ d(d+1)/2 rows per doc — a design
+    * constant, never data-scale) + one map-side-combinable sum: at
+    * 100 TB the training pass is a single bounded-width aggregation.
+    */
+  def clfMoments(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val f = clfFeatureRows(df, text, id)
+    val y = clfLabels(df, text, id)
+    val xtx = f.as("a").join(f.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.j") <= col("b.j"))
+      .groupBy(col("a.j").as("i"), col("b.j").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("v"))
+    val xty = f.join(y, "doc_id")
+      .groupBy(col("j").as("i"))
+      .agg(sum(col("x") * col("y")).as("v"))
+      .select(col("i"), lit(ClfD).as("j"), col("v"))
+    xtx.unionByName(xty).orderBy("i", "j")
+  }
+
+  /** driver-side ridge solve over the collected moments: (XᵀX + λI)w
+    * = Xᵀy (λ on every diagonal but the intercept's), Gaussian
+    * elimination with partial pivoting — 18×18 doubles, O(d³) ≈ 6k
+    * flops, trivially driver-bounded (the kmeans-centroid posture).
+    * Returns the servable (j, w_micro) weight table.
+    */
+  def ridgeWeights(spark: org.apache.spark.sql.SparkSession,
+                   moments: DataFrame, lambda: Double = 1.0): DataFrame = {
+    val d = ClfD
+    val a = Array.ofDim[Double](d, d)
+    val b = new Array[Double](d)
+    moments.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getLong(2).toDouble
+      if (j == d) b(i) = v
+      else { a(i)(j) = v; a(j)(i) = v }
+    }
+    (0 until d).filter(_ != ClfIntercept).foreach(i => a(i)(i) += lambda)
+    val w = solveLinear(a, b)
+    import spark.implicits._
+    w.toSeq.zipWithIndex
+      .map { case (wi, j) => (j, math.round(wi * 1e6)) }
+      .toDF("j", "w_micro")
+  }
+
+  /** in-place Gaussian elimination, partial pivoting */
+  private def solveLinear(a: Array[Array[Double]],
+                          b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (c <- 0 until n) {
+      val p = (c until n).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(p)(c)) > 1e-12,
+        s"singular moment matrix at column $c — raise lambda")
+      if (p != c) { val t = a(p); a(p) = a(c); a(c) = t
+        val tb = b(p); b(p) = b(c); b(c) = tb }
+      for (r <- c + 1 until n) {
+        val m = a(r)(c) / a(c)(c)
+        if (m != 0.0) {
+          for (k <- c until n) a(r)(k) -= m * a(c)(k)
+          b(r) -= m * b(c)
+        }
+      }
+    }
+    val x = new Array[Double](n)
+    for (c <- n - 1 to 0 by -1) {
+      var s = b(c)
+      for (k <- c + 1 until n) s -= a(c)(k) * x(k)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /** map-only trained scoring: features ⨝ broadcast weight table, one
+    * per-doc fold. score_micro = Σ_j w_micro(j)·x_j — exact integer
+    * given the weight literals; pass at the 0/1 label midpoint.
+    */
+  def clfScoreTrained(df: DataFrame, text: Column, id: Column,
+                      weights: DataFrame): DataFrame =
+    clfFeatureRows(df, text, id)
+      .join(broadcast(weights), "j")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * col("w_micro")).as("score_micro"))
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro") >= 500000L).as("pass"))
+      .orderBy("doc_id")
+
+  /** confusion counts of the trained scorer against the rule gate it
+    * distilled — the eval a curation run publishes before swapping
+    * the gate out
+    */
+  def clfTrainedEval(df: DataFrame, text: Column, id: Column,
+                     weights: DataFrame): DataFrame =
+    clfScoreTrained(df, text, id, weights)
+      .join(clfLabels(df, text, id), "doc_id")
+      .agg(
+        sum(when(col("pass") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pass") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pass") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pass") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        count(lit(1)).as("n"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"), col("n"),
+        expr("((tp + tn) * 1000 - pmod((tp + tn) * 1000, n)) div n")
+          .cast("long").as("acc_milli"))
+
   /** CCNet/RefinedWeb text normalization (§2c.30j) — the canonical
     * pre-dedup cleaning recipe ran before any fingerprint or shingle:
     * NFC unicode normalization ([[graft.functions.UnicodeNormalize]],

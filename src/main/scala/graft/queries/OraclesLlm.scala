@@ -1308,6 +1308,105 @@ object OraclesLlm {
         |  scrub_md5
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // mirror of clf_train_moments: the quality_c4 planting + signal
+    // derivation restated 1:1, features unpivoted (8 signals, 8
+    // md5-top-60-bit token buckets, intercept), XᵀX upper triangle +
+    // Xᵀy as exact-integer pair products — the whole training input
+    // of the ridge solve, cross-engine
+    "clf_train_moments" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[(i-1)*10+1 : (i-1)*10+10], ' ')
+        |       || CASE WHEN (doc_id + (i-1)) % 3 = 0 THEN '.'
+        |               WHEN (doc_id + (i-1)) % 3 = 2 THEN '?'
+        |               ELSE '' END
+        |     FOR i IN range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1)]
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ['please enable javascript to view this page.']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ['terms of use.'] ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ['lorem ipsum dolor sit amet.']
+        |            ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ['function() { return 0; }']
+        |            ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM base
+        |), doc AS (
+        |  SELECT doc_id, lower(array_to_string(lines, chr(10))) AS t FROM lined
+        |), m AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS lns,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kept
+        |  FROM doc
+        |), c AS (
+        |  SELECT doc_id, t, lns, kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM m
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS kept_lines,
+        |    CAST(len(list_filter(lns, l ->
+        |      NOT (ends_with(l, '.') OR ends_with(l, '!')
+        |           OR ends_with(l, '?') OR ends_with(l, '"'))))
+        |      AS BIGINT) AS drop_no_punct,
+        |    CAST(len(list_filter(lns, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) < 5)) AS BIGINT) AS drop_short,
+        |    CAST(len(list_filter(lns, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |         OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND contains(l, 'javascript'))) AS BIGINT) AS drop_js,
+        |    CAST(len(kt) - len(replace(kt, '.', ''))
+        |       + len(kt) - len(replace(kt, '!', ''))
+        |       + len(kt) - len(replace(kt, '?', '')) AS BIGINT) AS n_sentences,
+        |    contains(t, 'lorem ipsum') AS has_lorem,
+        |    contains(t, '{') AS has_brace
+        |  FROM c
+        |), feat AS (
+        |  SELECT doc_id, 0 AS j, n_lines AS x FROM s
+        |  UNION ALL SELECT doc_id, 1, kept_lines FROM s
+        |  UNION ALL SELECT doc_id, 2, drop_no_punct FROM s
+        |  UNION ALL SELECT doc_id, 3, drop_short FROM s
+        |  UNION ALL SELECT doc_id, 4, drop_js FROM s
+        |  UNION ALL SELECT doc_id, 5, n_sentences FROM s
+        |  UNION ALL SELECT doc_id, 6,
+        |    CASE WHEN has_lorem THEN 1 ELSE 0 END FROM s
+        |  UNION ALL SELECT doc_id, 7,
+        |    CASE WHEN has_brace THEN 1 ELSE 0 END FROM s
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(8 + (('0x' || substr(md5(tok), 1, 15))::BIGINT % 8) AS INT),
+        |    count(*)
+        |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM doc)
+        |  GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id, 16, 1 FROM s
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM s
+        |), xtx AS (
+        |  SELECT a.j AS i, b.j AS j, CAST(sum(a.x * b.x) AS BIGINT) AS v
+        |  FROM feat a JOIN feat b
+        |    ON a.doc_id = b.doc_id AND a.j <= b.j
+        |  GROUP BY 1, 2
+        |), xty AS (
+        |  SELECT f.j AS i, 17 AS j, CAST(sum(f.x * y) AS BIGINT) AS v
+        |  FROM feat f JOIN lab USING (doc_id) GROUP BY 1
+        |)
+        |SELECT i, j, v FROM (SELECT * FROM xtx UNION ALL SELECT * FROM xty)
+        |ORDER BY i, j""".stripMargin,
+
     // mirror of text_tfidf_terms: the row_number() spelling of the
     // bounded-heap top-k, same micro-ln idf longs
     "text_tfidf_terms" ->
