@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,11 +126,84 @@ case class VecLshSig(child: Expression, planes: Array[Double], nbits: Int, dim: 
     copy(child = newChild)
 }
 
+/** unit-normalize an array<float> in ONE codegen'd loop: norm
+  * accumulated in index order as double (identical accumulation to
+  * `sqrt(vec_dot(v, v))`), floored at 1e-30, each element divided in
+  * double and rounded back to float — bit-identical to the staged
+  * `transform(v, x -> (x / nrm)::float)` spelling it replaces, which
+  * was CodegenFallback (interpreted per element on every corpus row
+  * of the PQ/IVF-PQ encode path — the r11 standing-audit finding).
+  */
+case class VecUnit(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_unit requires array<float> input, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "vec_unit"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    val nrm = math.max(math.sqrt(s), 1e-30)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      out(i) = (x.getFloat(i).toDouble / nrm).toFloat; i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val nrm = ctx.freshName("nrm")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = (double)$a.getFloat($i);
+         |  $s += v * v;
+         |}
+         |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-30);
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecUnit =
+    copy(child = newChild)
+}
+
 object VecMath {
   /** codegen'd Σ aᵢ·bᵢ as double */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(
       VecDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** codegen'd one-loop unit normalization (see [[VecUnit]]) */
+  def vecUnit(v: Column): Column =
+    GraftShims.column(VecUnit(GraftShims.expression(v)))
 
   /** ‖a‖₂ via the codegen'd dot */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))

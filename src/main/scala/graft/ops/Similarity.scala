@@ -338,7 +338,7 @@ object Similarity {
     val probed = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         graft.functions.VecMath.vecNorm(col("embedding")).as("qn"),
-        explode(slice(array_sort(coarseDistStructs(cents)(col("embedding"))),
+        explode(slice(sort_array(coarseDistStructs(cents)(col("embedding"))),
           1, nprobe)).as("probe"))
       .select(col("qid"), col("qv"), col("qn"), col("probe.list").as("list"))
 
@@ -486,15 +486,15 @@ object Similarity {
   // code indices, so a 100 TB float corpus becomes a ~3 TB codes table
   // that an ADC (asymmetric-distance) scan reads at 8 B/row.
 
-  /** unit-normalize an embedding (norm staged as its own column so
-    * it's computed once per row, not once per element): on the unit
+  /** unit-normalize an embedding in one codegen'd loop
+    * ([[graft.functions.VecUnit]] — bit-identical to the staged
+    * transform spelling it replaces, which was CodegenFallback:
+    * interpreted per element on every encode-path row): on the unit
     * sphere L2 order equals cosine order (d² = 2 − 2·cos), which is
     * what lets a PQ L2 scan answer a COSINE top-k.
     */
   private def unitized(df: DataFrame, v: String): DataFrame =
-    df.withColumn("__nrm", greatest(vecNorm(col(v)), lit(1e-30)))
-      .withColumn(v, transform(col(v), x => (x / col("__nrm")).cast("float")))
-      .drop("__nrm")
+    df.withColumn(v, graft.functions.VecMath.vecUnit(col(v)))
 
   /** Fit the m per-subspace codebooks on a SAMPLE of the corpus (the
     * [[ivfCentroids]] posture: fitting is an offline, once-per-corpus
@@ -785,7 +785,7 @@ object Similarity {
     val q = unitized(queries.select(col("vec_id").as("qid"),
         col("embedding")), "embedding")
       .select(col("qid"), pqDistTables(col("embedding"), books).as("dtabs"),
-        explode(slice(array_sort(coarseDistStructs(cents)(col("embedding"))),
+        explode(slice(sort_array(coarseDistStructs(cents)(col("embedding"))),
           1, nprobe)).as("probe"))
       .select(col("qid"), col("dtabs"), col("probe.list").as("list"))
     val adc = codes.join(broadcast(q), Seq("list"))

@@ -455,7 +455,7 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(
       id.as("doc_id"),
-      md5(array_join(array_sort(array_distinct(tokensOf(text))), " ")
+      md5(array_join(sort_array(array_distinct(tokensOf(text))), " ")
         .cast("binary")).as("fp"))
 
   /** rolling-hash fingerprint (Rabin-Karp windows, winnowed to the

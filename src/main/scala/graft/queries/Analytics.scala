@@ -1004,7 +1004,7 @@ object Analytics {
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("value") * lit(1e6)).cast("long").as("mv"))
-        .withColumn("win", array_sort(collect_list("mv").over(w)))
+        .withColumn("win", sort_array(collect_list("mv").over(w)))
         .select(col("event_id"), col("user_id"),
           size(col("win")).cast("long").as("n_win"),
           element_at(col("win"), expr("(size(win) + 1) div 2").cast("int"))

@@ -124,6 +124,79 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("no row-hot CodegenFallback expression in any query's plan (standing audit)") {
+    // the one-time r9 audit caught two 5×+ defects (interpreted
+    // higher-order expressions in per-row projections — the
+    // rollinghash_mod 16.3→1.1 s lesson); this makes it a standing
+    // gate over EVERY SparkEntry query. Scope: expressions evaluated
+    // PER ROW of a data stream (Project / Filter / Join condition).
+    // Aggregate expressions are excluded by construction — a
+    // fallback over an already-grouped row (e.g. a transform over a
+    // collect_list result) runs once per GROUP, not per row, and
+    // aggregation itself ends the codegen span anyway.
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Join => LJoin, Project => LProject}
+    // DOCUMENTED residue — every entry is a deliberate, measured
+    // trade (all inside the 2× perf bar; perf_weak_count = 0), and
+    // this gate makes the set SHRINK-ONLY: a new interpreted
+    // expression in any query's row-hot path fails the suite.
+    //   - C4/Gopher line-rule lambdas (quality_gopher + the clf_*
+    //     rows built on c4Rules): per-doc LINE-ARRAY filters — the
+    //     explode spelling would re-aggregate per doc per rule (a
+    //     shuffle) where the lambda is one in-row pass over ≤~60
+    //     lines.
+    //   - dedup_embedding*/dedup_semantic: the ArrayTransform is the
+    //     near-dup test-corpus PLANTING jitter (runs over the planted
+    //     1-in-10 slice, evidence scaffolding, not the operator).
+    //   - dedup_lines: per-doc line split+hash transform, same
+    //     line-array trade as the C4 rules.
+    //   - embed_quantize / ml_kmeans: exact-integer oracled
+    //     arithmetic over bounded-dim vectors; a custom codegen
+    //     expression would have to reproduce the oracle's arithmetic
+    //     bit-for-bit — risk without a measured need (both are
+    //     well inside the bench bar).
+    //   - events_json: Spark's JSON parser (JsonToStructs) has no
+    //     codegen form at all.
+    val allowed: Map[String, Set[String]] = Map(
+      "quality_gopher" -> Set("ArrayFilter", "ArrayTransform"),
+      "quality_c4" -> Set("ArrayFilter", "ArrayTransform"),
+      "clf_train_moments" -> Set("ArrayFilter", "ArrayTransform"),
+      "clf_trained_eval" -> Set("ArrayFilter", "ArrayTransform"),
+      "quality_clf_trained" -> Set("ArrayFilter", "ArrayTransform"),
+      "dedup_embedding" -> Set("ArrayTransform"),
+      "dedup_embedding_banded" -> Set("ArrayTransform"),
+      "dedup_semantic" -> Set("ArrayTransform"),
+      "dedup_lines" -> Set("ArrayTransform"),
+      "embed_quantize" -> Set("ArrayFilter", "ArrayTransform",
+        "ArrayAggregate"),
+      "ml_kmeans" -> Set("ArrayAggregate", "ZipWith", "ArrayTransform"),
+      "events_json" -> Set("JsonToStructs"))
+    // lambda plumbing (LambdaFunction/NamedLambdaVariable) always
+    // rides along with its HOF — report the HOF only
+    val plumbing = Set("LambdaFunction", "NamedLambdaVariable")
+    def bad(e: Expression): Seq[String] =
+      (if (e.isInstanceOf[CodegenFallback] &&
+           !plumbing(e.getClass.getSimpleName))
+         Seq(e.getClass.getSimpleName)
+       else Nil) ++ e.children.flatMap(bad)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, q) =>
+        val plan = q(spark, sfDir).queryExecution.optimizedPlan
+        val hits = plan.collect {
+          case p: LProject => p.projectList.flatMap(bad)
+          case f: LFilter  => bad(f.condition)
+          case j: LJoin    => j.condition.toSeq.flatMap(bad)
+        }.flatten.toSet
+        val extra = hits -- allowed.getOrElse(name, Set.empty)
+        if (extra.isEmpty) Nil else Seq(s"$name: ${extra.mkString(",")}")
+      }
+    assert(offenders.isEmpty,
+      "UNDOCUMENTED interpreted row-hot expressions:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("sample_domain_cap prunes per-stratum before the exchange (WindowGroupLimit)") {
     // r10 ADVICE: the n_pass count window used to sit between the
     // rank window and the rn<=cap filter, blocking the pushdown — a
