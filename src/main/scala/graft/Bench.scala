@@ -240,6 +240,23 @@ object Bench {
           math.min(recentQ1.sorted.apply(recentQ1.size / 2), allTime * 1.5))
       else allTime
     }
+    // surface WHEN the 1.5× clamp binds (r10 ADVICE): a qualifying
+    // median above 1.5× the all-time q1_agg minimum means the host is
+    // persistently slower than the record epoch — official records
+    // stay blocked by design, but the condition must be readable off
+    // the bench line, not only by diffing raw artifacts
+    val canaryClampEngaged = {
+      val allTime = (prev.get("q1_agg").toSeq ++
+        (if (canarySamples.nonEmpty) Seq(canarySamples.min) else Nil))
+        .minOption.getOrElse(0.0)
+      val recentQ1 = artifacts.filter(_.qualifies)
+        .flatMap(a => """bench_(\d+)\.json""".r.findFirstMatchIn(a.file)
+          .flatMap(m => a.queries.get("q1_agg")
+            .map(q => (m.group(1).toLong, q))))
+        .sortBy(-_._1).take(7).map(_._2)
+      recentQ1.size >= 3 && allTime > 0 &&
+        recentQ1.sorted.apply(recentQ1.size / 2) > allTime * 1.5
+    }
     // MEDIAN sample vs ref: sustained contention (the failure mode the
     // start/end sentinel is blind to) inflates most samples; a single
     // GC pause or scheduler hiccup inflates one and must not
@@ -270,7 +287,7 @@ object Bench {
     def r2(x: Double) = math.round(x * 100.0) / 100.0
     val canaryJson = canarySamples.map(r2).mkString("[", ",", "]")
     val protocolFields =
-      s""""reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${r2(sentRatio)},"canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_ratio":${r2(canaryRatio)},"canary_ok":$canaryOk,"qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
+      s""""reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${r2(sentRatio)},"canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_clamp_engaged":$canaryClampEngaged,"canary_ratio":${r2(canaryRatio)},"canary_ok":$canaryOk,"qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
 
     // this run's own record — always written to bench_history verbatim
     val thisRunJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"errors":$errJson,"regressions":$regressions,$protocolFields}"""
@@ -306,7 +323,7 @@ object Bench {
         .map(p => "\"" + k + "\":" + math.round(v / p * 100.0) / 100.0)
     }.mkString("{", ",", "}")
     val officialProtocolFields =
-      s""""reps":$reps,"this_run_sentinel_start_sec":$sentStart,"this_run_sentinel_end_sec":$sentEnd,"this_run_sentinel_ratio":${r2(sentRatio)},"this_run_canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"this_run_canary_ratio":${r2(canaryRatio)},"this_run_canary_ok":$canaryOk,"this_run_qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
+      s""""reps":$reps,"this_run_sentinel_start_sec":$sentStart,"this_run_sentinel_end_sec":$sentEnd,"this_run_sentinel_ratio":${r2(sentRatio)},"this_run_canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_clamp_engaged":$canaryClampEngaged,"this_run_canary_ratio":${r2(canaryRatio)},"this_run_canary_ok":$canaryOk,"this_run_qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
     val fullLine = s"""{"metric":"total","value":${officialQs.map(_._2).sum},"unit":"sec","queries":${qJson(officialQs)},"errors":$errJson,"regressions":$officialRegressions,$selJson,$officialProtocolFields}"""
     println(fullLine)
     // The driver records only the LAST ~2000 chars of output; at 135
