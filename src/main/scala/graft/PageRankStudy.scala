@@ -67,8 +67,48 @@ object PageRankStudy {
         s"final_delta=${times.last._2}")
     }
 
+    // the r11 FUSED round (what pageRankConverged now ships): prev
+    // rank carried through the round's join, lazy checkpoint mark,
+    // the delta aggregate is the round's ONE action — vs study()'s
+    // two-action shape (checkpoint materialization THEN a separate
+    // probe join job over the checkpointed tables)
+    def studyFused(rounds: Int): Unit = {
+      val dir0 = edges.select(col("a").as("src"), col("b").as("dst"))
+      val e2 = dir0.unionAll(dir0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      val deg = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = e2.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint()
+      var ranks = deg.select(col("src").as("node"),
+        lit(1000000L).as("rank_micro")).localCheckpoint()
+      val times = (1 to rounds).map { _ =>
+        val t0 = System.nanoTime()
+        val next = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+          .select(col("dst"),
+            expr("((rank_micro * 85) div (deg * 100))").as("contrib"))
+          .groupBy("dst")
+          .agg((lit(150000L) + sum("contrib")).as("rank_micro"))
+          .select(col("dst").as("node"), col("rank_micro"))
+          .join(ranks.select(col("node"),
+            col("rank_micro").as("prev_micro")), "node")
+          .localCheckpoint(false)
+        val delta = next
+          .agg(coalesce(max(abs(col("rank_micro") - col("prev_micro"))),
+            lit(0L))).head().getLong(0)
+        ranks = next.select("node", "rank_micro")
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, delta)
+      }
+      val ts = times.map(_._1)
+      println(f"STUDY pagerank fused rounds=$rounds " +
+        f"r1=${ts.head}%.2f r5=${ts(4)}%.2f r10=${ts(9)}%.2f " +
+        f"r15=${ts(14)}%.2f r20=${ts(19)}%.2f total=${ts.sum}%.1f s " +
+        s"final_delta=${times.last._2}")
+    }
+
     study("1", 1, 20)
     study("5", 5, 20)
+    studyFused(20)
     spark.stop()
   }
 }

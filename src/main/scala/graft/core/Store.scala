@@ -569,6 +569,22 @@ object Store {
       org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs, g1seg,
         false /* keep source until committed */,
         spark.sparkContext.hadoopConfiguration)
+      // the migrated segment gets a MANIFEST naming the legacy data
+      // files (they ARE its data) and a schema sidecar (one footer
+      // read, once) — so the migrated store is FULLY modern: every
+      // segment committed, reads manifest-scoped, and the
+      // committed-segments-only serving rule (a crashed append's
+      // ghost segment is invisible) applies uniformly. Both ride
+      // inside the same _COMMITTED publish.
+      val dataPath0 = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val legacyNames =
+        if (!fs.exists(dataPath0)) Seq.empty[String]
+        else fs.listStatus(dataPath0).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+      writeManifest(fs, s"$dir/index_g1/seg_0", legacyNames)
+      if (legacyNames.nonEmpty)
+        writeSchemaSidecar(fs, s"$dir/index_g1/seg_0",
+          spark.read.parquet(s"$dir/data").schema)
       fs.create(new org.apache.hadoop.fs.Path(s"$dir/index_g1/_COMMITTED"))
         .close()
       fs.delete(rootPath, true)
@@ -736,17 +752,28 @@ object Store {
       if (!fs.exists(rootPath)) Array.empty[String]
       else fs.listStatus(rootPath).map(_.getPath.getName)
         .filter(_.startsWith("seg_"))
+    // COMMITTED segments only when the store is manifest-mode: a
+    // crashed append may have written its index segment but died
+    // before the manifest (the commit point) — its data files are
+    // invisible to the manifest-scoped read, so its index entries
+    // must be equally invisible or f() counts ghost rows. A fully
+    // pre-manifest (legacy-append) store serves all segments, as its
+    // data read is the plain directory scan.
+    val committed = segSnapshots(spark, dir)
+    val segPaths =
+      if (committed.nonEmpty) committed.map(id => s"$root/seg_$id")
+      else segs.toSeq.sorted.map(n => s"$root/$n")
     val delFrames = committedTombstones(spark, dir).map { case (id, _) =>
       spark.read.parquet(s"$root/del_$id/ixdelta")
     }
     if (segs.isEmpty) spark.read.parquet(root)
-    else if (segs.length == 1 && delFrames.isEmpty)
-      spark.read.parquet(s"$root/${segs.head}")
+    else if (segPaths.length == 1 && delFrames.isEmpty)
+      spark.read.parquet(segPaths.head)
     else {
       // tombstone ixdeltas ride the same sum: the negated victim
       // counts net the deleted rows out with no data rescan, and a
       // fully-deleted entry (f = 0) disappears
-      val summed = (Seq(spark.read.parquet(s"$root/seg_*")) ++ delFrames)
+      val summed = (Seq(spark.read.parquet(segPaths: _*)) ++ delFrames)
         .reduce(_ unionByName _)
         .groupBy("field", "value").agg(sum("f").as("f"))
       if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
@@ -775,16 +802,23 @@ object Store {
     val (root, _) = currentIndexRoot(spark, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segIds =
+    val present =
       if (!fs.exists(rootPath)) Seq.empty[Int]
       else fs.listStatus(rootPath).map(_.getPath.getName).toSeq
         .collect { case s if s.startsWith("rows_") => s.drop(5).toInt }
         .filter(id => upTo.forall(id <= _)).sorted
+    // committed segments only, as in mergedIndex: a crashed append's
+    // rows_ segment (written before the manifest) must not serve refs
+    // for data the manifest-scoped read does not show
+    val committedSegs = segSnapshots(spark, dir)
+    val segIds =
+      if (committedSegs.isEmpty) present
+      else present.filter(committedSegs.toSet)
     if (segIds.isEmpty) None
     else {
       val dels = committedTombstones(spark, dir)
         .filter(d => upTo.forall(d._1 <= _))
-      if (dels.isEmpty && upTo.isEmpty)
+      if (dels.isEmpty && upTo.isEmpty && segIds == present)
         Some(spark.read.parquet(s"$root/rows_*"))
       else Some(segIds.groupBy(s => dels.count(_._1 > s)).toSeq
         .map { case (nApplicable, ids) =>

@@ -131,6 +131,28 @@ class StoreDeleteSpec extends SparkSpec {
     assert(st.persistedIndex.count() === 0)
   }
 
+  test("a crashed append's index and refs segments are as invisible as its data") {
+    // the manifest is the commit point for the WHOLE unit: an append
+    // that wrote data + index + refs but died before its manifest
+    // must contribute nothing anywhere — data (manifest-scoped read),
+    // index (f would count ghost rows), refs (rowsOf would serve
+    // ghost keys)
+    val dir = tmp("ghost")
+    Store.write(data, dir, refSpec)
+    Store.append(Seq((9L, "z", 90.0)).toDF("id", "cat", "v"), dir, refSpec)
+    assert(new java.io.File(s"$dir/index/seg_1/_MANIFEST").delete())
+    val st = Store.open(spark, dir, refSpec)
+    assert(liveIds(st) === Seq(1L, 2L, 3L, 4L))
+    assert(!ixMap(st).contains("z"))
+    assert(st.rowsOf("cat", "z").collect().isEmpty)
+    // redelivery completes it and everything reappears consistently
+    Store.append(Seq((9L, "z", 90.0)).toDF("id", "cat", "v"), dir, refSpec)
+    val st2 = Store.open(spark, dir, refSpec)
+    assert(liveIds(st2) === Seq(1L, 2L, 3L, 4L, 9L))
+    assert(ixMap(st2)("z") === 1L)
+    assert(st2.rowsOf("cat", "z").collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
   test("appendBatch: redelivery of a committed batch is a byte-identical no-op") {
     val dir = tmp("batch")
     val b0 = data.where($"id" <= 2)

@@ -162,6 +162,12 @@ class StoreSpec extends SparkSpec {
       .write.parquet(s"$dir/index")                  // legacy (orphan)
     graft.core.IndexedFrame(data, spec).entries
       .write.parquet(s"$dir/index_g1/seg_0")         // migrated copy
+    // the current migration publishes a manifest (the legacy data
+    // files) inside the same commit — fabricate what it writes
+    val names = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val mw = new java.io.PrintWriter(s"$dir/index_g1/seg_0/_MANIFEST")
+    try mw.print(names.sorted.mkString("\n")) finally mw.close()
     new java.io.File(s"$dir/index_g1/_COMMITTED").createNewFile()
     Store.append(data.select($"id" + 10, $"cat", $"v").toDF("id", "cat", "v"),
       dir, spec)
