@@ -358,6 +358,41 @@ object Store {
     id
   }
 
+  /** predicate DELETE — the `DELETE WHERE` face of [[delete]]: keys
+    * are resolved from the live data under `condition` (one pruned
+    * scan of the matching rows' key column), then the tombstone
+    * protocol applies unchanged. Returns the tombstone's snapshot id.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, spec: IndexSpec,
+                  keyCol: String, condition: Column): Int =
+    delete(spark, dir, spec, keyCol,
+      dataAsOf(spark, dir, None).where(condition).select(keyCol))
+
+  /** UPSERT (merge-by-key) — the CDC / re-curation path ("replace
+    * these docs with their rescrubbed versions, add the new ones"):
+    * one tombstone for the batch's keys followed by one append of the
+    * batch. Correct BY the segment scoping — the tombstone deletes
+    * only pre-existing rows and the appended segment postdates it, so
+    * matched keys are replaced, unmatched keys are inserts, untouched
+    * rows stay. Cost: O(matching rows) to net the index + O(batch) to
+    * append — never a corpus rewrite (the reference's only update
+    * path, `Dfs.scala:476-487`, rewrites the whole merge). IDEMPOTENT
+    * on content: re-upserting the same batch deletes its own previous
+    * copy and re-appends identical rows (spec-pinned). The batch must
+    * be key-unique (duplicate keys in one batch all land — they
+    * cannot tombstone each other). Returns the append's snapshot id.
+    *
+    * Like every write here: single writer; when the store carries
+    * row-refs, `keyCol` must be the refs key column (delegated check).
+    */
+  def upsert(batch: DataFrame, dir: String, spec: IndexSpec,
+             keyCol: String): Int = {
+    val spark = batch.sparkSession
+    delete(spark, dir, spec, keyCol, batch.select(keyCol))
+    append(batch, dir, spec)
+    segSnapshots(spark, dir).max
+  }
+
   /** next id in the SHARED segment/tombstone counter (their total
     * order is what scopes deletes against appends)
     */

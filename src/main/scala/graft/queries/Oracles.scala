@@ -218,6 +218,15 @@ object Oracles {
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 2 ORDER BY field, value""".stripMargin,
 
+    // upsert(%5 keys with status X) == CASE over the original rows:
+    // matched keys replaced, everything else untouched
+    "store_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "merge_index" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value

@@ -233,6 +233,25 @@ object RefSurface {
         .orderBy("field", "value")
     }),
 
+    // §2a.12m — UPSERT (merge-by-key), the CDC / re-curation path:
+    // the %5 keys are re-written with a changed status (one tombstone
+    // + one append — never a corpus rewrite; matched keys replaced by
+    // the segment scoping, everything else untouched). Oracle = the
+    // CASE spelling over the same parquet.
+    "store_upsert" -> ((s, d) => {
+      val dir = s"/tmp/graft_storeu_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val dspec = IndexSpec(Seq("o_orderstatus"))
+      Store.write(orders, dir, dspec)
+      Store.upsert(
+        orders.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+        dir, dspec, "o_orderkey")
+      Store.open(s, dir, dspec).frame.df
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // §2a.12d — partition-pruned reopen: documents written Hive-
     // partitioned by source, reopened with a partition predicate —
     // the scan lists only the matching directory (PartitionFilters;

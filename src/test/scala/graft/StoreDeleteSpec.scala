@@ -131,6 +131,40 @@ class StoreDeleteSpec extends SparkSpec {
     assert(st.persistedIndex.count() === 0)
   }
 
+  test("upsert replaces matched keys, inserts new ones, and is content-idempotent") {
+    val dir = tmp("ups")
+    Store.write(data, dir, spec)
+    val batch = Seq((2L, "q", 21.0), (9L, "q", 90.0)).toDF("id", "cat", "v")
+    Store.upsert(batch, dir, spec, "id")
+    def state() = {
+      val st = Store.open(spark, dir, spec)
+      (st.frame.df.select("id", "cat", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq, ixMap(st))
+    }
+    val (rows1, ix1) = state()
+    assert(rows1 === Seq((1L, "a", 10.0), (2L, "q", 21.0), (3L, "a", 30.0),
+      (4L, "c", 40.0), (9L, "q", 90.0)))
+    assert(ix1 === Map("a" -> 2L, "c" -> 1L, "q" -> 2L)) // b replaced by q
+    // content idempotence: the same batch again deletes its own
+    // previous copy and re-appends identical rows
+    Store.upsert(batch, dir, spec, "id")
+    assert(state() === ((rows1, ix1)))
+    // and the whole thing folds/vacuums cleanly
+    Store.compact(spark, dir); Store.vacuum(spark, dir)
+    assert(state() === ((rows1, ix1)))
+  }
+
+  test("deleteWhere resolves keys from the live data under the predicate") {
+    val dir = tmp("delw")
+    Store.write(data, dir, refSpec)
+    Store.deleteWhere(spark, dir, refSpec, "id", col("cat") === "a")
+    val st = Store.open(spark, dir, refSpec)
+    assert(liveIds(st) === Seq(2L, 4L))
+    assert(ixMap(st) === Map("b" -> 1L, "c" -> 1L))
+    assert(st.rowsOf("cat", "a").collect().isEmpty)
+  }
+
   test("a crashed append's index and refs segments are as invisible as its data") {
     // the manifest is the commit point for the WHOLE unit: an append
     // that wrote data + index + refs but died before its manifest
