@@ -358,6 +358,27 @@ object Store {
     id
   }
 
+  /** the store's commit HISTORY (the DESCRIBE HISTORY analog):
+    * one row per committed unit of the live generation, ascending —
+    * (snapshot id, kind, detail) where kind is "append" (a data
+    * segment; detail = #files its manifest names, batch segments
+    * recognizable by their `batch_<id>/` paths) or "delete" (a
+    * tombstone; detail = the key column). Driver-side metadata reads
+    * only — no Spark job.
+    */
+  def history(spark: SparkSession, dir: String): Seq[(Int, String, String)] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val appends = segSnapshots(spark, dir).map { id =>
+      val files = readManifest(fs, s"$root/seg_$id").getOrElse(Nil)
+      (id, "append", s"files=${files.size}")
+    }
+    val dels = committedTombstones(spark, dir).map { case (id, kc) =>
+      (id, "delete", s"key=$kc")
+    }
+    (appends ++ dels).sortBy(_._1)
+  }
+
   /** predicate DELETE — the `DELETE WHERE` face of [[delete]]: keys
     * are resolved from the live data under `condition` (one pruned
     * scan of the matching rows' key column), then the tombstone

@@ -255,6 +255,37 @@ class StoreDeleteSpec extends SparkSpec {
     assert(ixMap(st) === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("storeIngest face ingests with in-stream compaction; history reads the commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("ingestface")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.EventPipeline.storeIngest(
+      stream.toDF().toDF("id", "cat", "v"), dir, spec, compactEvery = 2)
+      .start()
+    stream.addData((1L, "a", 10.0)); q.processAllAvailable()
+    stream.addData((2L, "b", 20.0)); q.processAllAvailable()
+    stream.addData((3L, "a", 30.0)); q.processAllAvailable()
+    q.stop()
+    val st = Store.open(spark, dir, spec)
+    assert(liveIds(st) === Seq(1L, 2L, 3L))
+    assert(ixMap(st) === Map("a" -> 2L, "b" -> 1L))
+    // the compact after batch 2 folded all three batches into the
+    // preserved max id (2): one segment, three files, ids unrewound
+    val h = Store.history(spark, dir)
+    assert(h === Seq((2, "append", "files=3")), h)
+  }
+
+  test("history lists appends and deletes in commit order") {
+    val dir = tmp("hist")
+    Store.write(data, dir, spec)
+    Store.delete(spark, dir, spec, "id", Seq(1L).toDF("id"))
+    Store.append(Seq((5L, "d", 50.0)).toDF("id", "cat", "v"), dir, spec)
+    assert(Store.history(spark, dir).map(x => (x._1, x._2)) ===
+      Seq((0, "append"), (1, "delete"), (2, "append")))
+    assert(Store.history(spark, dir)(1)._3 === "key=id")
+  }
+
   test("appendBatch redelivery after an in-stream compact is still a no-op") {
     // the race the id-preserving fold closes: compact runs inside
     // foreachBatch right after batch 1 commits; a crash before the
