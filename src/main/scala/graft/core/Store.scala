@@ -66,10 +66,17 @@ object Store {
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             segDir: String, files: Seq[String]): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST"), true)
+    // the manifest IS the segment's commit marker, and with concurrent
+    // writers another writer may LIST manifests (storedSchema /
+    // segSnapshots) at any moment — so it must appear atomically:
+    // write a temp file, then rename (atomic on HDFS and local FS).
+    // A plain create+write+close has a window where a reader sees an
+    // empty or partial file list and plans over missing files.
+    val tmp = new org.apache.hadoop.fs.Path(s"$segDir/._MANIFEST.tmp")
+    val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST"))
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -215,6 +222,116 @@ object Store {
       .map(id => (id, readSmallText(fs, s"$root/del_$id/_KEYCOL")))
   }
 
+  // ----------------------------------------------------------- id claims
+  // Unit ids (seg_/del_) are allocated by CLAIM, not by listing: a
+  // writer takes the next free id by atomically creating
+  // `_claim_<id>` in the live index root (create-if-absent — the
+  // Iceberg/Delta optimistic-commit idiom applied to this manifest
+  // protocol) and retries upward on collision. Two CONCURRENT writers
+  // therefore can never own the same id — the r11 listing-based max+1
+  // handed both writers the same id and the later Overwrite silently
+  // clobbered the earlier segment (r11 verdict #1). Each writer's
+  // files live under its own claimed unit dir (data/seg_<id>,
+  // index/seg_<id>, del_<id>), so claimed writers never touch each
+  // other's paths; commit stays marker-last per unit, so readers see
+  // each unit all-or-nothing regardless of interleaving. Claim files
+  // are tiny and persist for the life of the generation (they keep
+  // ids monotone past crashed writers); compact retires them with
+  // their generation.
+  //
+  // ATOMICITY: HDFS/ABFS create(overwrite=false) is an atomic
+  // namespace operation server-side. The Hadoop LOCAL filesystem's
+  // create is check-then-create (a TOCTOU window), so file:// routes
+  // through java.nio Files.createFile (O_EXCL — truly atomic). S3
+  // without a consistency layer cannot express create-if-absent at
+  // all; concurrent writers there need an external lock service, as
+  // every filesystem table format documents.
+  //
+  // CONCURRENCY CONTRACT (what claims do and do not give):
+  //  - append ∥ append: safe — distinct ids, disjoint paths, each
+  //    commits independently; readers see any prefix of commits.
+  //  - append ∥ delete on DISJOINT keys: safe — the tombstone scopes
+  //    over smaller ids only, so a concurrently-appended segment with
+  //    a larger id is untouched.
+  //  - delete of keys a concurrent append is WRITING: unresolved (the
+  //    tombstone may scope over a segment whose rows its victim scan
+  //    never saw — index nets wrong). Table formats solve this with
+  //    commit-time conflict detection; here it is a documented
+  //    single-writer requirement for key-overlapping delete+append.
+  //  - compact/vacuum: exclusive — they rewrite/reclaim shared state
+  //    and may not run concurrently with any other writer.
+
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): Boolean = {
+    fs.mkdirs(p.getParent)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
+  }
+
+  private def claimPath(root: String, id: Int) =
+    new org.apache.hadoop.fs.Path(s"$root/_claim_$id")
+
+  /** atomically claim the next free unit id under `root` */
+  private def claimUnitId(fs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Int = {
+    var id = nextUnitId(fs, root)
+    var attempts = 0
+    while (!atomicCreate(fs, claimPath(root, id))) {
+      id += 1
+      attempts += 1
+      require(attempts < 10000, s"could not claim a unit id under $root")
+    }
+    id
+  }
+
+  // ------------------------------------------------- mixed-legacy stores
+  // A seg_ dir carrying NEITHER a manifest NOR a writer claim was
+  // written by the pre-manifest protocol. If such segments COEXIST
+  // with manifest-carrying ones (a store migrated mid-protocol), the
+  // manifest-scoped read would silently drop the legacy segments'
+  // rows and vacuum would then DELETE their now-"unreferenced" data
+  // files (r11 advice, medium). The rule is all-or-nothing, mirroring
+  // storedSchema: a mixed store is served by the plain recursive
+  // directory read (every data file live), its index is the union of
+  // ALL segments, vacuum never reclaims its data files, and the
+  // mutating ops that depend on manifest scoping (delete/appendBatch/
+  // openAt) refuse it — compact() folds it into a clean modern store.
+  // A crashed MODERN append (claim present, manifest absent) is not
+  // legacy: its ghost stays invisible, as before.
+
+  /** seg_ dir ids of the live generation with neither manifest nor
+    * claim — pre-manifest-protocol segments
+    */
+  private[core] def legacySegIds(spark: SparkSession, dir: String): Seq[Int] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) Nil
+    else fs.listStatus(rp).map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("seg_") => s.drop(4) }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(id => readManifest(fs, s"$root/seg_$id").isEmpty &&
+        !fs.exists(claimPath(root, id)))
+      .sorted
+  }
+
+  /** true when manifest-carrying and pre-manifest segments coexist */
+  private[core] def isMixedLegacy(spark: SparkSession, dir: String): Boolean =
+    segSnapshots(spark, dir).nonEmpty && legacySegIds(spark, dir).nonEmpty
+
   /** anti-join `df` against the key sets of `dels` (grouped by key
     * column so same-column tombstones probe as ONE union)
     */
@@ -276,8 +393,25 @@ object Store {
     }
     if (segIds.isEmpty) {
       // legacy (pre-manifest) layout — delete() refuses such stores,
-      // so no tombstones can exist here
-      spark.read.parquet(s"$dir/data")
+      // so no tombstones can exist here. Recursive: a legacy store
+      // that was compacted after modern (subdir-writing) appends
+      // keeps every file live, wherever it sits.
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/data")
+    } else if (legacySegIds(spark, dir).nonEmpty) {
+      // MIXED store: all-or-nothing (r11 advice) — the manifest union
+      // does not describe the legacy segments' rows, so the manifest-
+      // scoped read would silently drop them. Serve the plain
+      // recursive directory read instead; refuse the features that
+      // NEED manifest scoping rather than mis-serve them.
+      require(upTo.isEmpty,
+        s"time travel is unavailable on a mixed (legacy+manifest) " +
+          s"store — compact() folds it into a modern one ($dir)")
+      require(dels.isEmpty,
+        s"tombstones on a mixed store cannot be scoped — compact() " +
+          s"first ($dir)")
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/data")
     } else {
       val parts = segIds.groupBy(s => dels.count(_._1 > s)).toSeq
         .flatMap { case (nApplicable, ids) =>
@@ -321,7 +455,16 @@ object Store {
     * writer, like append/compact.
     */
   def delete(spark: SparkSession, dir: String, spec: IndexSpec,
-             keyCol: String, keys: DataFrame): Int = {
+             keyCol: String, keys: DataFrame): Int =
+    writeTombstone(spark, dir, spec, keyCol, keys, commit = true)
+
+  /** the tombstone write shared by [[delete]] and [[upsert]] — the
+    * latter defers the `_COMMITTED` marker until its replacement
+    * segment has committed (crash-atomicity, see [[upsert]]).
+    */
+  private def writeTombstone(spark: SparkSession, dir: String,
+                             spec: IndexSpec, keyCol: String,
+                             keys: DataFrame, commit: Boolean): Int = {
     spec.rowRefs.foreach(rk => require(rk == keyCol,
       s"store has row-refs keyed on '$rk' — delete must key on it too " +
         s"(got '$keyCol'), or the refs artifact would serve deleted rows"))
@@ -330,7 +473,10 @@ object Store {
     require(segSnapshots(spark, dir).nonEmpty,
       s"delete requires a manifest-carrying store; rewrite legacy " +
         s"stores with write() first ($dir)")
-    val id = nextUnitId(fs, root)
+    require(legacySegIds(spark, dir).isEmpty,
+      s"delete on a mixed (legacy+manifest) store cannot be scoped — " +
+        s"compact() first ($dir)")
+    val id = claimUnitId(fs, root)
     val live = dataAsOf(spark, dir, None)
     require(live.columns.contains(keyCol),
       s"no column '$keyCol' in store data (${live.columns.mkString(",")})")
@@ -353,7 +499,7 @@ object Store {
     val kc = fs.create(
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_KEYCOL"), true)
     try kc.write(keyCol.getBytes("UTF-8")) finally kc.close()
-    fs.create(
+    if (commit) fs.create(
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_COMMITTED")).close()
     id
   }
@@ -403,19 +549,42 @@ object Store {
     * be key-unique (duplicate keys in one batch all land — they
     * cannot tombstone each other). Returns the append's snapshot id.
     *
+    * CRASH-ATOMIC (r11 advice): the tombstone is fully written first
+    * but its `_COMMITTED` marker is DEFERRED until the replacement
+    * segment has committed — so a crash anywhere before the append
+    * commits leaves the store byte-for-byte UNCHANGED for readers
+    * (the uncommitted tombstone is invisible; vacuum reclaims it),
+    * never in the matched-keys-deleted-with-no-replacement state the
+    * eager commit allowed. The one remaining window — crash between
+    * the append's commit and the tombstone's marker — leaves BOTH
+    * copies visible (duplicates, no data loss); re-running the same
+    * upsert repairs it, because the new tombstone postdates and
+    * covers both copies. The id order stays correct by construction:
+    * the tombstone claims its id before the append claims a larger
+    * one, so the deferred-commit tombstone still scopes over exactly
+    * the pre-existing segments.
+    *
     * Like every write here: single writer; when the store carries
     * row-refs, `keyCol` must be the refs key column (delegated check).
     */
   def upsert(batch: DataFrame, dir: String, spec: IndexSpec,
              keyCol: String): Int = {
     val spark = batch.sparkSession
-    delete(spark, dir, spec, keyCol, batch.select(keyCol))
+    val delId = writeTombstone(spark, dir, spec, keyCol,
+      batch.select(keyCol), commit = false)
     append(batch, dir, spec)
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_COMMITTED")).close()
     segSnapshots(spark, dir).max
   }
 
   /** next id in the SHARED segment/tombstone counter (their total
-    * order is what scopes deletes against appends)
+    * order is what scopes deletes against appends). Counts CLAIMS as
+    * well as unit dirs, so a crashed writer's claimed-but-never-
+    * committed id is never re-candidate — ids are monotone for the
+    * life of a generation.
     */
   private def nextUnitId(fs: org.apache.hadoop.fs.FileSystem,
                          root: String): Int = {
@@ -423,11 +592,31 @@ object Store {
     if (!fs.exists(rp)) 0
     else fs.listStatus(rp).map(_.getPath.getName)
       .collect {
+        case s if s.startsWith("seg_")    => s.drop(4)
+        case s if s.startsWith("del_")    => s.drop(4)
+        case s if s.startsWith("_claim_") => s.drop(7)
+      }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** max id among COMMITTED-OR-PRESENT unit DIRS (claims excluded):
+    * what compact's fold id must preserve — a crashed writer's bare
+    * claim must NOT raise the fold id / high-water mark, or a
+    * legitimate redelivery of that never-committed batch would be
+    * silently no-op'd.
+    */
+  private def maxUnitDirId(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String): Int = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) -1
+    else fs.listStatus(rp).map(_.getPath.getName)
+      .collect {
         case s if s.startsWith("seg_") => s.drop(4)
         case s if s.startsWith("del_") => s.drop(4)
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .foldLeft(-1)(math.max) + 1
+      .foldLeft(-1)(math.max)
   }
 
   /** write rows + index as segment 0 (reference writeIndexedDf).
@@ -573,13 +762,17 @@ object Store {
     * Usable directly as a foreachBatch sink:
     * `.foreachBatch((b, _) => Store.append(b, dir, spec))`.
     *
-    * SINGLE WRITER: append and [[compact]] may not run concurrently
-    * against the same store (a compact that supersedes generation g
-    * while an append is still writing a segment into g would strand
-    * that segment — the generation protocol makes readers safe under
-    * one writer, not writers safe against each other). foreachBatch
-    * already serializes batches; schedule compact between batches
-    * (e.g. inside the same foreachBatch, every N batches).
+    * CONCURRENT APPENDERS ARE SAFE (r12): each append claims its unit
+    * id atomically (`_claim_<id>` create-if-absent — see the id-claims
+    * protocol notes above) and writes only under its claimed paths,
+    * so two pipelines appending to one store commit independent
+    * segments with distinct ids. What remains EXCLUSIVE: [[compact]]
+    * and [[vacuum]] (they supersede/reclaim shared state — a compact
+    * racing an in-flight append would strand its segment in the
+    * retired generation), and delete-while-appending THE SAME KEYS
+    * (see the concurrency contract above). foreachBatch already
+    * serializes batches; schedule compact between batches (e.g.
+    * inside the same foreachBatch, every N batches).
     *
     * DELIVERY: at-least-once — the data append and the index-segment
     * write are two separate commits. A crash between them leaves the
@@ -619,7 +812,14 @@ object Store {
     // published — a crash in between loses the index.
     if (gen == 0 && fs.exists(rootPath) &&
         !fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("seg_")) &&
-        fs.listStatus(rootPath).nonEmpty) {
+        // loose index part-files, not protocol files: a root holding
+        // only claim markers (a crashed first append) or other
+        // protocol units must never be "migrated" as a legacy index
+        fs.listStatus(rootPath).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") &&
+            !n.startsWith("rows_") && !n.startsWith("del_")
+        }) {
       val g1seg = new org.apache.hadoop.fs.Path(s"$dir/index_g1/seg_0")
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index_g1"), true)
       org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs, g1seg,
@@ -647,24 +847,9 @@ object Store {
       root = s"$dir/index_g1"; gen = 1
     }
     // shared counter with tombstones: the seg/del total order is what
-    // scopes deletes against later appends (a re-appended key lives)
-    val segId = nextUnitId(fs, root)
-    // capture which data files THIS append writes (listing diff —
-    // legal under the single-writer contract above), so the index
-    // segment is built from a READ-BACK of exactly those files: the
-    // same hazard write() guards against applies here, only sharper —
-    // re-executing `batch` for the index would recompute the upstream
-    // (2× cost) and, for a nondeterministic batch (sample/rand/
-    // changing source), index a DIFFERENT row set than the one the
-    // data append just persisted.
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
-    def dataFiles(): Set[String] =
-      if (!fs.exists(dataPath)) Set.empty
-      else fs.listStatus(dataPath).map(_.getPath.toString)
-        .filterNot(p => {
-          val n = p.substring(p.lastIndexOf('/') + 1)
-          n.startsWith("_") || n.startsWith(".")
-        }).toSet
+    // scopes deletes against later appends (a re-appended key lives).
+    // CLAIMED atomically, so concurrent appenders get distinct ids.
+    val segId = claimUnitId(fs, root)
     // VALIDATE BEFORE MUTATING: a type-changed column rejected only by
     // unionSchema at open()/compact() time would already have
     // persisted its data files and sidecar — leaving the store
@@ -680,11 +865,26 @@ object Store {
     // the same cadence merge-on-read amplification already demands.
     storedSchema(spark, dir, None)
       .foreach(existing => unionSchema(Seq(existing, batch.schema)))
-    val before = dataFiles()
-    batch.write.mode(SaveMode.Append).parquet(s"$dir/data")
-    val written = (dataFiles() -- before).toSeq.sorted
-    if (written.nonEmpty) {
-      val ix = IndexedFrame(spark.read.parquet(written: _*), spec)
+    // the batch's data files live under the CLAIMED unit's own subdir
+    // (data/seg_<id>) — concurrent appenders write disjoint paths, so
+    // no listing diff is needed to attribute files to writers (the
+    // r11 diff read whatever appeared between two listings, which a
+    // concurrent writer could pollute), and a crashed attempt leaves
+    // an orphan subdir that is invisible (no manifest) and reclaimed
+    // by vacuum. The index segment is built from a READ-BACK of the
+    // persisted subdir: re-executing `batch` for the index would
+    // recompute the upstream (2× cost) and, for a nondeterministic
+    // batch (sample/rand/changing source), index a DIFFERENT row set
+    // than the one the data write just persisted.
+    val sub = s"seg_$segId"
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$sub")
+    val names = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/data/$sub"))
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq.sorted
+    if (names.nonEmpty) {
+      val persisted = spark.read.parquet(s"$dir/data/$sub")
+      val ix = IndexedFrame(persisted, spec)
       ix.entries
         .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
       // row-refs segment mirrors the f segment 1:1 — O(batch), the
@@ -692,10 +892,8 @@ object Store {
       if (spec.rowRefs.isDefined)
         ix.rowRefs
           .write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
-      writeManifest(fs, s"$root/seg_$segId",
-        written.map(p => p.substring(p.lastIndexOf('/') + 1)))
-      writeSchemaSidecar(fs, s"$root/seg_$segId",
-        spark.read.parquet(written: _*).schema)
+      writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
+      writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
     }
   }
 
@@ -748,9 +946,23 @@ object Store {
         s"a tombstone at id >= $segId exists — its delete would " +
           s"wrongly scope over this later batch; compact first or " +
           s"delete at reserved ids below the stream's next batch")
+      require(legacySegIds(spark, dir).isEmpty,
+        s"appendBatch on a store with pre-manifest segments — its " +
+          s"batches could not be scoped against them; compact() or " +
+          s"rewrite with write() first ($dir)")
     }
-    // IDEMPOTENCE GATE: manifest presence == committed
+    // IDEMPOTENCE GATE, two halves: (1) a batch at or below the
+    // compact HIGH-WATER mark was folded away — its own manifest no
+    // longer exists, but it IS committed (r11 advice: without this, a
+    // stream restarted from a pre-compact checkpoint re-appends every
+    // folded batch); (2) manifest presence == committed, as before.
+    if (readHighWater(fs, root).exists(segId <= _)) return false
     if (readManifest(fs, s"$root/seg_$segId").isDefined) return false
+    // claim the id (idempotent: re-creating our own claim after a
+    // crashed attempt is a no-op) — the claim marks this as a MODERN
+    // writer's unit, so a crashed attempt's bare segment dir reads as
+    // an invisible ghost, never as a pre-manifest legacy segment
+    atomicCreate(fs, claimPath(root, segId))
     // fail-before-mutate schema validation, as in append()
     storedSchema(spark, dir, None)
       .foreach(existing => unionSchema(Seq(existing, batch.schema)))
@@ -777,6 +989,18 @@ object Store {
     writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
     writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
     true
+  }
+
+  /** the generation's committed-batch HIGH-WATER mark: every unit id
+    * at or below it is committed (its segment may have been folded
+    * away by compact). Written by [[compact]]; consumed by
+    * [[appendBatch]]'s idempotence gate.
+    */
+  private def readHighWater(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_HIGHWATER")
+    if (!fs.exists(p)) None
+    else scala.util.Try(readSmallText(fs, s"$root/_HIGHWATER").toInt).toOption
   }
 
   /** merge-on-read over all index segments: union of the per-segment
@@ -814,10 +1038,15 @@ object Store {
     // invisible to the manifest-scoped read, so its index entries
     // must be equally invisible or f() counts ghost rows. A fully
     // pre-manifest (legacy-append) store serves all segments, as its
-    // data read is the plain directory scan.
+    // data read is the plain directory scan — and a MIXED store
+    // serves committed + legacy segments (all-or-nothing, matching
+    // its plain recursive data read; only claimed-but-uncommitted
+    // modern ghosts stay invisible).
     val committed = segSnapshots(spark, dir)
+    val legacy = legacySegIds(spark, dir)
     val segPaths =
-      if (committed.nonEmpty) committed.map(id => s"$root/seg_$id")
+      if (committed.nonEmpty)
+        (committed ++ legacy).sorted.map(id => s"$root/seg_$id")
       else segs.toSeq.sorted.map(n => s"$root/$n")
     val delFrames = committedTombstones(spark, dir).map { case (id, _) =>
       spark.read.parquet(s"$root/del_$id/ixdelta")
@@ -865,11 +1094,15 @@ object Store {
         .filter(id => upTo.forall(id <= _)).sorted
     // committed segments only, as in mergedIndex: a crashed append's
     // rows_ segment (written before the manifest) must not serve refs
-    // for data the manifest-scoped read does not show
+    // for data the manifest-scoped read does not show. Mixed stores
+    // include their legacy segments (all-or-nothing).
     val committedSegs = segSnapshots(spark, dir)
     val segIds =
       if (committedSegs.isEmpty) present
-      else present.filter(committedSegs.toSet)
+      else {
+        val keep = (committedSegs ++ legacySegIds(spark, dir)).toSet
+        present.filter(keep)
+      }
     if (segIds.isEmpty) None
     else {
       val dels = committedTombstones(spark, dir)
@@ -936,11 +1169,12 @@ object Store {
     // the just-folded batchId, and the idempotence gate must still
     // find a committed segment at that id (a seg_0 rename would read
     // as "not yet appended" and duplicate the batch).
-    val foldId = {
-      val rp = new org.apache.hadoop.fs.Path(oldRoot)
-      if (!fs.exists(rp)) 0
-      else math.max(0, nextUnitId(fs, oldRoot) - 1)
-    }
+    // ... but via maxUnitDirId, NOT nextUnitId: a crashed writer's
+    // bare CLAIM above the max committed unit must not raise the fold
+    // id (and with it the high-water mark below), or a legitimate
+    // redelivery of that never-committed batch would be silently
+    // swallowed by the idempotence gate.
+    val foldId = math.max(0, maxUnitDirId(fs, oldRoot))
     // PHYSICAL DELETE: with live tombstones, compact folds them into
     // the data — the surviving rows are rewritten as fresh files and
     // the folded segment's manifest names ONLY those, so the new
@@ -951,10 +1185,19 @@ object Store {
     // The mergedIndex/rowRefsFrame checkpoints above already carry
     // the tombstones netted/anti-joined, so index, refs and data fold
     // consistently inside the same atomic publish.
+    // a MIXED store (manifest-carrying and pre-manifest segments
+    // coexisting) folds by REWRITING the data, like the tombstone
+    // path: the union of its manifests does not describe the legacy
+    // rows, so only a fresh write yields a manifest that does — this
+    // is the migration path that turns a mixed store fully modern
+    val mixed = isMixedLegacy(spark, dir)
     val manifestEntries: Option[Seq[String]] =
-      if (dels.isEmpty) {
+      if (dels.isEmpty && !mixed) {
         // only when EVERY old segment carried a manifest is the union
-        // a faithful snapshot description (a legacy store stays legacy)
+        // a faithful snapshot description (a pure-legacy store stays
+        // legacy — its plain recursive directory read is already
+        // correct and rewriting 100 TB for protocol hygiene is the
+        // caller's call via write(), not compact's)
         if (oldManifests.nonEmpty && oldManifests.forall(_.isDefined))
           Some(oldManifests.flatMap(_.get).distinct)
         else None
@@ -981,6 +1224,14 @@ object Store {
     if (oldSchemas.nonEmpty && oldSchemas.forall(_.isDefined))
       writeSchemaSidecar(fs, s"$newRoot/seg_$foldId",
         unionSchema(oldSchemas.flatten))
+    // HIGH-WATER: every unit id <= foldId is committed-and-folded —
+    // appendBatch's idempotence gate consults this so a stream
+    // restarted from a pre-compact checkpoint cannot re-append a
+    // folded batch (r11 advice). Monotone across compacts (the fold
+    // id never rewinds) and rides inside the same _COMMITTED publish.
+    val hw = fs.create(
+      new org.apache.hadoop.fs.Path(s"$newRoot/_HIGHWATER"), true)
+    try hw.write(foldId.toString.getBytes("UTF-8")) finally hw.close()
     fs.create(new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED")).close()
     // reclaim generations at least two compacts old (never `gen`
     // itself — in-flight readers may still be planned against it)
@@ -1022,9 +1273,11 @@ object Store {
     // and the pre-fold copies a tombstone-folding compact left for
     // the (just reclaimed) previous generation's readers. Legacy
     // stores (no manifests) are served by the plain directory read,
-    // where every file is live — skip.
+    // where every file is live — skip. MIXED stores too (r11 advice):
+    // their manifests do not describe the legacy segments' rows, so
+    // reclaiming "unreferenced" files would destroy live data.
     val segIds = segSnapshots(spark, dir)
-    if (segIds.nonEmpty) {
+    if (segIds.nonEmpty && legacySegIds(spark, dir).isEmpty) {
       val referenced = segIds.flatMap(id =>
         readManifest(fs, s"$root/seg_$id").getOrElse(Nil)).toSet
       (dataFilesRel(fs, dir) -- referenced).foreach { rel =>

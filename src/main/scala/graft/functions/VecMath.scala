@@ -133,6 +133,15 @@ case class VecLshSig(child: Expression, planes: Array[Double], nbits: Int, dim: 
   * `transform(v, x -> (x / nrm)::float)` spelling it replaces, which
   * was CodegenFallback (interpreted per element on every corpus row
   * of the PQ/IVF-PQ encode path — the r11 standing-audit finding).
+  *
+  * Null ELEMENTS are handled explicitly (the staged spelling's
+  * semantics, which an unchecked getFloat would silently corrupt):
+  * a null element contributes 0 to the norm and stays null in the
+  * output, and the output's containsNull mirrors the input's — so
+  * parquet embeddings (whose list elements read as nullable) are
+  * legal input and a vector that actually carries nulls propagates
+  * them instead of yielding wrong values. Vectors WITHOUT nulls keep
+  * the primitive fast path.
   */
 case class VecUnit(child: Expression) extends UnaryExpression {
 
@@ -145,7 +154,11 @@ case class VecUnit(child: Expression) extends UnaryExpression {
           s"vec_unit requires array<float> input, got $other")
     }
 
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def dataType: DataType = ArrayType(FloatType,
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override def prettyName: String = "vec_unit"
 
@@ -153,18 +166,33 @@ case class VecUnit(child: Expression) extends UnaryExpression {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
+    var hasNull = false
     var i = 0
     while (i < n) {
-      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+      if (x.isNullAt(i)) hasNull = true
+      else { val v = x.getFloat(i).toDouble; s += v * v }
+      i += 1
     }
     val nrm = math.max(math.sqrt(s), 1e-30)
-    val out = new Array[Float](n)
-    i = 0
-    while (i < n) {
-      out(i) = (x.getFloat(i).toDouble / nrm).toFloat; i += 1
+    if (!hasNull) {
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) {
+        out(i) = (x.getFloat(i).toDouble / nrm).toFloat; i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (x.isNullAt(i)) null
+          else (x.getFloat(i).toDouble / nrm).toFloat
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -174,20 +202,33 @@ case class VecUnit(child: Expression) extends UnaryExpression {
       val nrm = ctx.freshName("nrm")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
+      val boxed = ctx.freshName("boxed")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $a.numElements();
          |double $s = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = (double)$a.getFloat($i);
-         |  $s += v * v;
+         |  if ($a.isNullAt($i)) { $hasNull = true; }
+         |  else { double v = (double)$a.getFloat($i); $s += v * v; }
          |}
          |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-30);
-         |float[] $out = new float[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
+         |if (!$hasNull) {
+         |  float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |} else {
+         |  Object[] $boxed = new Object[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $boxed[$i] = $a.isNullAt($i) ? null
+         |      : (Object)(Float)(float)((double)$a.getFloat($i) / $nrm);
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions
-         |  .UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

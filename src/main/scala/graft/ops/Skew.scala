@@ -159,11 +159,28 @@ object Skew {
     * barrier does fire, the EXPLICIT target count matters:
     * with repartition(col) alone AQE sees a ~MB exchange and
     * coalesces it straight back to one partition.
+    *
+    * PROBE COST + AQE CAVEAT (r11 advice): the probe compiles the
+    * subtree's physical plan once via `queryExecution.toRdd` — the
+    * bare query RDD, NOT `df.rdd`, whose extra row-deserialization
+    * layer this never needs. For the file-scan inputs every current
+    * caller passes, that plan is a scan split count: cheap to compile
+    * and exact at execution. For an input CONTAINING a shuffle the
+    * probe reads the pre-AQE partition count, which AQE may coalesce
+    * below `target` at runtime — such a caller should pass
+    * `plannedPartitions` (its own knowledge of the input's effective
+    * parallelism) instead of relying on the probe; the hint also
+    * skips the probe's planning pass entirely.
     */
   private[graft] def spread(df: DataFrame,
-                            key: org.apache.spark.sql.Column): DataFrame = {
+                            key: org.apache.spark.sql.Column,
+                            plannedPartitions: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (!df.isStreaming && df.rdd.getNumPartitions >= target) df
+    val planned =
+      if (df.isStreaming) None
+      else Some(plannedPartitions.getOrElse(
+        df.queryExecution.toRdd.getNumPartitions))
+    if (planned.exists(_ >= target)) df
     else df.repartition(target, key)
   }
 }
