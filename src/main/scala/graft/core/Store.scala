@@ -132,10 +132,35 @@ object Store {
     }
   }
 
+  /** WIDENING promotions (r12 schema evolution): the type a field may
+    * grow into across segments. Integral chain byte→short→int→long
+    * plus float→double — exactly the promotions Spark 4's parquet
+    * readers perform when the requested schema is wider than the
+    * file's physical type (SPARK-40876), so historical segments keep
+    * their narrower physical files and every read serves the widest
+    * type with NO rewrite. Anything else (narrowing, int→string,
+    * decimal scale changes) is refused loudly — silent coercion
+    * corrupts data.
+    */
+  private def widened(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val rank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    if (a == b) Some(a)
+    else if (rank.contains(a) && rank.contains(b))
+      Some(if (rank(a) >= rank(b)) a else b)
+    else if ((a == FloatType && b == DoubleType) ||
+             (a == DoubleType && b == FloatType)) Some(DoubleType)
+    else None
+  }
+
   /** union of per-segment schemas, first-seen field order. Fields
     * absent from any contributing segment become nullable (their
-    * rows read as null); a same-name field with a DIFFERENT type is
-    * a contract violation (add-column only), failed loudly.
+    * rows read as null); a same-name field whose types differ takes
+    * their WIDENED type ([[widened]] — the reader serves the narrower
+    * physical segments promoted); a non-widenable type change is a
+    * contract violation, failed loudly.
     */
   private[core] def unionSchema(
       ss: Seq[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.types.StructType = {
@@ -147,15 +172,41 @@ object Store {
       order.get(f.name) match {
         case None => order(f.name) = f
         case Some(g) =>
-          require(g.dataType == f.dataType,
-            s"schema evolution is add-column only: field '${f.name}' " +
-              s"changed type ${g.dataType.simpleString} -> ${f.dataType.simpleString}")
-          if (f.nullable && !g.nullable) order(f.name) = g.copy(nullable = true)
+          val w = widened(g.dataType, f.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution: field '${f.name}' type " +
+                s"${g.dataType.simpleString} -> ${f.dataType.simpleString} " +
+                s"is not a widening (supported: add-column, " +
+                s"byte/short/int/long widening, float->double, rename)"))
+          order(f.name) =
+            StructField(f.name, w, g.nullable || f.nullable)
       }
     })
     StructType(order.values.toSeq.map { f =>
       if (seenIn(f.name) < ss.size) f.copy(nullable = true) else f
     })
+  }
+
+  /** append-side schema validation: the batch must union cleanly AND
+    * no batch field may be strictly NARROWER than the store's current
+    * type for it — narrowing fails loudly at the write (the verdict
+    * contract), while the read-side union stays direction-agnostic
+    * (historical segments are legitimately narrower than a column
+    * that widened over time).
+    */
+  private def validateAppendSchema(
+      existing: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): Unit = {
+    unionSchema(Seq(existing, batch))
+    existing.fields.foreach { g =>
+      batch.fields.find(_.name == g.name).foreach { f =>
+        if (f.dataType != g.dataType)
+          require(widened(g.dataType, f.dataType).contains(f.dataType),
+            s"field '${f.name}': batch type ${f.dataType.simpleString} is " +
+              s"narrower than the store's ${g.dataType.simpleString} — " +
+              s"cast the batch up (reads always serve the widest type)")
+      }
+    }
   }
 
   /** the metadata-derived schema of the store (as of snapshot
@@ -169,9 +220,20 @@ object Store {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     val ids = segSnapshots(spark, dir).filter(id => upTo.forall(id <= _))
+    val rens = committedRenames(spark, dir)
+      .filter(r => upTo.forall(r._1 <= _))
     if (ids.isEmpty) None
     else {
-      val sides = ids.map(id => readSchemaSidecar(fs, s"$root/seg_$id"))
+      // each segment's sidecar carries PHYSICAL names; map them
+      // through the renames that postdate the segment before taking
+      // the union, so the union speaks the (as-of-`upTo`) names
+      val sides = ids.map { id =>
+        readSchemaSidecar(fs, s"$root/seg_$id").map { st =>
+          val applicable = rens.filter(_._1 > id)
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            f.copy(name = currentName(f.name, applicable))))
+        }
+      }
       if (sides.exists(_.isEmpty)) None
       else Some(unionSchema(sides.flatten))
     }
@@ -332,6 +394,93 @@ object Store {
   private[core] def isMixedLegacy(spark: SparkSession, dir: String): Boolean =
     segSnapshots(spark, dir).nonEmpty && legacySegIds(spark, dir).nonEmpty
 
+  // -------------------------------------------------------- rename units
+  // Column RENAME as a metadata-only unit `ren_<id>` sharing the
+  // segment/tombstone id counter (r12 schema evolution): nothing is
+  // rewritten — a rename applies AT READ to every unit with a SMALLER
+  // id (whose files physically carry the old name), while units
+  // appended after it write the new name physically. The shared
+  // counter makes renames compose with time travel for free: openAt
+  // applies exactly the renames committed at or before the snapshot,
+  // so a historical read serves the AS-OF schema. Chained renames
+  // (a→b then b→c) fold in id order; re-using a retired name for a
+  // brand-new column later is legal (the old segments' physical name
+  // maps away before the new column's name is considered). compact()
+  // folds renames into the data physically, so a generation never
+  // carries them forever.
+
+  /** committed renames of the live generation: (id, from, to), id
+    * ascending
+    */
+  private[core] def committedRenames(spark: SparkSession,
+                                     dir: String): Seq[(Int, String, String)] = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) Nil
+    else fs.listStatus(rp).map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("ren_") => s.drop(4) }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/ren_$id/_COMMITTED")))
+      .sorted
+      .map(id => (id,
+        readSmallText(fs, s"$root/ren_$id/_FROM"),
+        readSmallText(fs, s"$root/ren_$id/_TO")))
+  }
+
+  /** a physical name mapped through the renames that apply to its
+    * unit (ascending id order — chains fold left)
+    */
+  private def currentName(physical: String,
+                          renames: Seq[(Int, String, String)]): String =
+    renames.foldLeft(physical) { case (n, (_, from, to)) =>
+      if (n == from) to else n
+    }
+
+  /** the index `field` column mapped through applicable renames — the
+    * expression form of [[currentName]] for index/refs segments
+    */
+  private def mappedFieldExpr(renames: Seq[(Int, String, String)]): Column =
+    renames.foldLeft(col("field")) { case (e, (_, from, to)) =>
+      org.apache.spark.sql.functions.when(e === from, to).otherwise(e)
+    }
+
+  /** rename a column, metadata-only: claims a unit id and commits a
+    * `ren_<id>` unit (marker-last, like every unit). `from` must
+    * exist and `to` must be free in the CURRENT schema. Requires a
+    * fully-modern (manifest+sidecar) store — the mapping is computed
+    * from sidecars, so a store without them cannot be renamed safely.
+    * Returns the rename's snapshot id.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+                   from: String, to: String): Int = {
+    require(from != to, "rename to the same name is a no-op")
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    require(segSnapshots(spark, dir).nonEmpty &&
+        legacySegIds(spark, dir).isEmpty,
+      s"rename requires a manifest-carrying store ($dir)")
+    val cur = storedSchema(spark, dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"rename requires schema sidecars on every segment ($dir)"))
+    require(cur.fieldNames.contains(from),
+      s"no column '$from' in store schema (${cur.fieldNames.mkString(",")})")
+    require(!cur.fieldNames.contains(to),
+      s"column '$to' already exists — rename would collide")
+    val id = claimUnitId(fs, root)
+    def put(name: String, v: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/ren_$id/$name"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    put("_FROM", from)
+    put("_TO", to)
+    fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/ren_$id/_COMMITTED")).close()
+    id
+  }
+
   /** anti-join `df` against the key sets of `dels` (grouped by key
     * column so same-column tombstones probe as ONE union)
     */
@@ -386,6 +535,14 @@ object Store {
     val segIds = segSnapshots(spark, dir).filter(id => upTo.forall(id <= _))
     val dels = committedTombstones(spark, dir)
       .filter(d => upTo.forall(d._1 <= _))
+    val rens = committedRenames(spark, dir)
+      .filter(r => upTo.forall(r._1 <= _))
+    // a tombstone's recorded key column is the name CURRENT when it
+    // was written — renames that postdate it must map it forward or
+    // the anti-join misses the (now renamed) data column
+    val delsMapped = dels.map { case (id, kc) =>
+      (id, currentName(kc, rens.filter(_._1 > id)))
+    }
     val schema = storedSchema(spark, dir, upTo)
     def read(files: Seq[String]): DataFrame = schema match {
       case Some(u) => spark.read.schema(u).parquet(files: _*)
@@ -413,14 +570,59 @@ object Store {
       spark.read.option("recursiveFileLookup", "true")
         .parquet(s"$dir/data")
     } else {
-      val parts = segIds.groupBy(s => dels.count(_._1 > s)).toSeq
-        .flatMap { case (nApplicable, ids) =>
+      // segments group by which tombstones AND which renames apply to
+      // them (both applicable sets are id-suffixes, so the key is a
+      // pair of counts); with no renames this is exactly the r11
+      // grouping and the single clean-branch plan shape is unchanged
+      val parts = segIds
+        .groupBy(s => (dels.count(_._1 > s), rens.count(_._1 > s))).toSeq
+        .flatMap { case ((nDel, nRen), ids) =>
           val files = ids
             .flatMap(id => readManifest(fs, s"$root/seg_$id").getOrElse(Nil))
             .distinct.map(n => s"$dir/data/$n")
           if (files.isEmpty) None
-          else Some(applyTombstones(spark, root, read(files),
-            dels.takeRight(nApplicable)))
+          else {
+            val df0 =
+              if (rens.isEmpty) read(files)
+              else {
+                // RENAME ERA read: request the era's PHYSICAL names
+                // (from the group's sidecars — the union's names
+                // would read as missing), types widened to the
+                // global union's (the reader promotes), then alias
+                // physical -> current and align to the union
+                val groupRens = rens.takeRight(nRen)
+                val sides = ids.map(id =>
+                  readSchemaSidecar(fs, s"$root/seg_$id"))
+                val raw =
+                  if (sides.exists(_.isEmpty)) spark.read.parquet(files: _*)
+                  else {
+                    val phys = org.apache.spark.sql.types.StructType(
+                      unionSchema(sides.flatten).fields.map { f =>
+                        val cur = currentName(f.name, groupRens)
+                        schema.flatMap(_.fields.find(_.name == cur))
+                          .map(uf => f.copy(dataType = uf.dataType,
+                            nullable = uf.nullable))
+                          .getOrElse(f)
+                      })
+                    spark.read.schema(phys).parquet(files: _*)
+                  }
+                val renamed = raw.select(raw.columns.map(c =>
+                  col(c).as(currentName(c, groupRens))).toSeq: _*)
+                schema match {
+                  case Some(u) =>
+                    val missing = u.fields
+                      .filterNot(f => renamed.columns.contains(f.name))
+                    val withAll = missing.foldLeft(renamed)((d, f) =>
+                      d.withColumn(f.name,
+                        org.apache.spark.sql.functions.lit(null)
+                          .cast(f.dataType)))
+                    withAll.select(u.fieldNames.map(col).toSeq: _*)
+                  case None => renamed
+                }
+              }
+            Some(applyTombstones(spark, root, df0,
+              delsMapped.takeRight(nDel)))
+          }
         }
       if (parts.nonEmpty) parts.reduce(_ unionByName _)
       else schema match {
@@ -522,7 +724,10 @@ object Store {
     val dels = committedTombstones(spark, dir).map { case (id, kc) =>
       (id, "delete", s"key=$kc")
     }
-    (appends ++ dels).sortBy(_._1)
+    val rens = committedRenames(spark, dir).map { case (id, from, to) =>
+      (id, "rename", s"$from->$to")
+    }
+    (appends ++ dels ++ rens).sortBy(_._1)
   }
 
   /** predicate DELETE — the `DELETE WHERE` face of [[delete]]: keys
@@ -594,6 +799,7 @@ object Store {
       .collect {
         case s if s.startsWith("seg_")    => s.drop(4)
         case s if s.startsWith("del_")    => s.drop(4)
+        case s if s.startsWith("ren_")    => s.drop(4)
         case s if s.startsWith("_claim_") => s.drop(7)
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
@@ -614,6 +820,7 @@ object Store {
       .collect {
         case s if s.startsWith("seg_") => s.drop(4)
         case s if s.startsWith("del_") => s.drop(4)
+        case s if s.startsWith("ren_") => s.drop(4)
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .foldLeft(-1)(math.max)
@@ -675,7 +882,8 @@ object Store {
     */
   def snapshots(spark: SparkSession, dir: String): Seq[Int] =
     (segSnapshots(spark, dir) ++
-      committedTombstones(spark, dir).map(_._1)).sorted
+      committedTombstones(spark, dir).map(_._1) ++
+      committedRenames(spark, dir).map(_._1)).sorted
 
   /** DATA-segment snapshot ids only (manifest-carrying seg_ units) */
   private[core] def segSnapshots(spark: SparkSession, dir: String): Seq[Int] = {
@@ -714,9 +922,19 @@ object Store {
     // committed at or before upToSeg applied with their segment
     // scoping — columns/rows/deletes after upToSeg are all invisible
     val data = dataAsOf(spark, dir, Some(upToSeg))
-    val segFrames = segIds.map(id => spark.read.parquet(s"$root/seg_$id"))
+    // renames committed at or before the snapshot apply — openAt
+    // serves the AS-OF schema, in the index as in the data
+    val rens = committedRenames(spark, dir).filter(_._1 <= upToSeg)
+    def mapped(df: DataFrame, unitId: Int): DataFrame = {
+      val applicable = rens.filter(_._1 > unitId)
+      if (applicable.isEmpty) df
+      else df.select(mappedFieldExpr(applicable).as("field"),
+        col("value"), col("f"))
+    }
+    val segFrames = segIds.map(id =>
+      mapped(spark.read.parquet(s"$root/seg_$id"), id))
     val delFrames = delIds.map(id =>
-      spark.read.parquet(s"$root/del_$id/ixdelta"))
+      mapped(spark.read.parquet(s"$root/del_$id/ixdelta"), id))
     val index =
       if (segFrames.size == 1 && delFrames.isEmpty) segFrames.head
       else {
@@ -864,7 +1082,7 @@ object Store {
     // cheap by compacting (which folds the segments back to one) —
     // the same cadence merge-on-read amplification already demands.
     storedSchema(spark, dir, None)
-      .foreach(existing => unionSchema(Seq(existing, batch.schema)))
+      .foreach(existing => validateAppendSchema(existing, batch.schema))
     // the batch's data files live under the CLAIMED unit's own subdir
     // (data/seg_<id>) — concurrent appenders write disjoint paths, so
     // no listing diff is needed to attribute files to writers (the
@@ -939,6 +1157,7 @@ object Store {
           !st.getPath.getName.startsWith("seg_") &&
           !st.getPath.getName.startsWith("rows_") &&
           !st.getPath.getName.startsWith("del_") &&
+          !st.getPath.getName.startsWith("ren_") &&
           !st.getPath.getName.startsWith("_")),
         s"appendBatch requires a segment-mode store; migrate legacy " +
           s"layouts via append() or rewrite with write() ($dir)")
@@ -946,6 +1165,10 @@ object Store {
         s"a tombstone at id >= $segId exists — its delete would " +
           s"wrongly scope over this later batch; compact first or " +
           s"delete at reserved ids below the stream's next batch")
+      require(!committedRenames(spark, dir).exists(_._1 >= segId),
+        s"a rename at id >= $segId exists — it would wrongly remap " +
+          s"this later batch's (already-current) column names; " +
+          s"compact first or rename at ids below the stream's next batch")
       require(legacySegIds(spark, dir).isEmpty,
         s"appendBatch on a store with pre-manifest segments — its " +
           s"batches could not be scoped against them; compact() or " +
@@ -965,7 +1188,7 @@ object Store {
     atomicCreate(fs, claimPath(root, segId))
     // fail-before-mutate schema validation, as in append()
     storedSchema(spark, dir, None)
-      .foreach(existing => unionSchema(Seq(existing, batch.schema)))
+      .foreach(existing => validateAppendSchema(existing, batch.schema))
     val sub = s"batch_$segId"
     batch.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$sub")
     val names = fs.listStatus(
@@ -1048,17 +1271,37 @@ object Store {
       if (committed.nonEmpty)
         (committed ++ legacy).sorted.map(id => s"$root/seg_$id")
       else segs.toSeq.sorted.map(n => s"$root/$n")
+    val rens = committedRenames(spark, dir)
     val delFrames = committedTombstones(spark, dir).map { case (id, _) =>
-      spark.read.parquet(s"$root/del_$id/ixdelta")
+      // a tombstone's ixdelta speaks the names current at its id —
+      // later renames map its field column like any older unit's
+      val d = spark.read.parquet(s"$root/del_$id/ixdelta")
+      if (rens.isEmpty) d
+      else d.select(mappedFieldExpr(rens.filter(_._1 > id)).as("field"),
+        col("value"), col("f"))
     }
     if (segs.isEmpty) spark.read.parquet(root)
-    else if (segPaths.length == 1 && delFrames.isEmpty)
+    else if (segPaths.length == 1 && delFrames.isEmpty && rens.isEmpty)
       spark.read.parquet(segPaths.head)
     else {
+      // index segments written before a rename carry the OLD field
+      // name — map per rename era (id-suffix grouping, as in the
+      // data read); with no renames this is one glob read, as in r11
+      val segFrames =
+        if (rens.isEmpty) Seq(spark.read.parquet(segPaths: _*))
+        else {
+          val ids = (committed ++ legacy).sorted
+          ids.groupBy(s => rens.count(_._1 > s)).toSeq.map {
+            case (nRen, gids) =>
+              spark.read.parquet(gids.map(id => s"$root/seg_$id"): _*)
+                .select(mappedFieldExpr(rens.takeRight(nRen)).as("field"),
+                  col("value"), col("f"))
+          }
+        }
       // tombstone ixdeltas ride the same sum: the negated victim
       // counts net the deleted rows out with no data rescan, and a
       // fully-deleted entry (f = 0) disappears
-      val summed = (Seq(spark.read.parquet(segPaths: _*)) ++ delFrames)
+      val summed = (segFrames ++ delFrames)
         .reduce(_ unionByName _)
         .groupBy("field", "value").agg(sum("f").as("f"))
       if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
@@ -1107,13 +1350,22 @@ object Store {
     else {
       val dels = committedTombstones(spark, dir)
         .filter(d => upTo.forall(d._1 <= _))
-      if (dels.isEmpty && upTo.isEmpty && segIds == present)
+      val rens = committedRenames(spark, dir)
+        .filter(r => upTo.forall(r._1 <= _))
+      if (dels.isEmpty && rens.isEmpty && upTo.isEmpty && segIds == present)
         Some(spark.read.parquet(s"$root/rows_*"))
-      else Some(segIds.groupBy(s => dels.count(_._1 > s)).toSeq
-        .map { case (nApplicable, ids) =>
-          val refs = spark.read.parquet(
+      else Some(segIds
+        .groupBy(s => (dels.count(_._1 > s), rens.count(_._1 > s))).toSeq
+        .map { case ((nDel, nRen), ids) =>
+          val raw = spark.read.parquet(
             ids.map(id => s"$root/rows_$id"): _*)
-          dels.takeRight(nApplicable).foldLeft(refs) { case (acc, (id, _)) =>
+          // refs written before a rename carry the OLD field name
+          val refs =
+            if (nRen == 0) raw
+            else raw.select(
+              mappedFieldExpr(rens.takeRight(nRen)).as("field"),
+              col("value"), col("row_key"))
+          dels.takeRight(nDel).foldLeft(refs) { case (acc, (id, _)) =>
             val keys = spark.read.parquet(s"$root/del_$id/keys")
               .select(col("key").as("__graft_del_key"))
             acc.join(keys, acc("row_key") === col("__graft_del_key"),
@@ -1191,8 +1443,13 @@ object Store {
     // rows, so only a fresh write yields a manifest that does — this
     // is the migration path that turns a mixed store fully modern
     val mixed = isMixedLegacy(spark, dir)
+    // RENAMES fold physically too: the folded segment's id is the max
+    // retired unit id, so no rename unit can apply to it — its files
+    // must carry the CURRENT names, which only a rewrite guarantees
+    val rens = committedRenames(spark, dir)
+    var rewrittenSchema: Option[org.apache.spark.sql.types.StructType] = None
     val manifestEntries: Option[Seq[String]] =
-      if (dels.isEmpty && !mixed) {
+      if (dels.isEmpty && !mixed && rens.isEmpty) {
         // only when EVERY old segment carried a manifest is the union
         // a faithful snapshot description (a pure-legacy store stays
         // legacy — its plain recursive directory read is already
@@ -1203,8 +1460,9 @@ object Store {
         else None
       } else {
         val before = dataFilesRel(fs, dir)
-        dataAsOf(spark, dir, None)
-          .write.mode(SaveMode.Append).parquet(s"$dir/data")
+        val data = dataAsOf(spark, dir, None)
+        rewrittenSchema = Some(data.schema)
+        data.write.mode(SaveMode.Append).parquet(s"$dir/data")
         Some((dataFilesRel(fs, dir) -- before).toSeq.sorted)
       }
     // sorted (field,value) clustering belongs to the WRITE, not the
@@ -1219,11 +1477,17 @@ object Store {
       .sortWithinPartitions("field", "value", "row_key")
       .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_$foldId"))
     manifestEntries.foreach(writeManifest(fs, s"$newRoot/seg_$foldId", _))
-    // the folded segment's schema is the union of the retired
-    // segments' schemas (same all-or-nothing rule as storedSchema)
-    if (oldSchemas.nonEmpty && oldSchemas.forall(_.isDefined))
-      writeSchemaSidecar(fs, s"$newRoot/seg_$foldId",
-        unionSchema(oldSchemas.flatten))
+    // the folded segment's schema: the REWRITTEN data's when the fold
+    // rewrote (tombstones/renames/mixed — current names, widened
+    // types), else the union of the retired segments' sidecars (same
+    // all-or-nothing rule as storedSchema)
+    rewrittenSchema match {
+      case Some(sc) => writeSchemaSidecar(fs, s"$newRoot/seg_$foldId", sc)
+      case None if oldSchemas.nonEmpty && oldSchemas.forall(_.isDefined) =>
+        writeSchemaSidecar(fs, s"$newRoot/seg_$foldId",
+          unionSchema(oldSchemas.flatten))
+      case None =>
+    }
     // HIGH-WATER: every unit id <= foldId is committed-and-folded —
     // appendBatch's idempotence gate consults this so a stream
     // restarted from a pre-compact checkpoint cannot re-append a
@@ -1289,12 +1553,13 @@ object Store {
         if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
           fs.delete(st.getPath, false)
       }
-      // uncommitted tombstone units (a delete() that died before its
-      // marker) are invisible to every reader — reclaim them too
+      // uncommitted tombstone/rename units (a delete()/rename that
+      // died before its marker) are invisible to every reader —
+      // reclaim them too
       val rp = new org.apache.hadoop.fs.Path(root)
       if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("del_") && !fs.exists(
+        if ((n.startsWith("del_") || n.startsWith("ren_")) && !fs.exists(
             new org.apache.hadoop.fs.Path(s"$root/$n/_COMMITTED")))
           fs.delete(st.getPath, true)
       }

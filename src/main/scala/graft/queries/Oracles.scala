@@ -227,6 +227,18 @@ object Oracles {
         |  o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // evolved store (int ck, rename ck->custmod, widen to long, new
+    // oprio column on the second segment only) == one pass over the
+    // original rows: custmod is the same value under either segment,
+    // oprio is non-null only for the %3<>0 (second-segment) rows
+    "store_evolve" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  CAST(sum(o_custkey % 1000000) AS BIGINT) AS sum_cust,
+        |  count(CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END)
+        |    AS n_oprio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "merge_index" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value

@@ -252,6 +252,34 @@ object RefSurface {
         .orderBy("o_orderkey")
     }),
 
+    // §2a.12n — SCHEMA EVOLUTION end-to-end (r12): segment 0 is the
+    // %3==0 orders slice with an INT tally column `ck`; the column is
+    // then RENAMED to `custmod` (a metadata-only ren_ unit — nothing
+    // rewritten); segment 2 appends the rest with `custmod` WIDENED
+    // to long plus a brand-new `oprio` column. The reopened store
+    // serves the union schema: old rows promote int→long under the
+    // new name, their missing `oprio` reads null. Oracle = the CASE
+    // spelling over the original parquet.
+    "store_evolve" -> ((s, d) => {
+      val dir = s"/tmp/graft_storee_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val dspec = IndexSpec(Seq("o_orderstatus"))
+      Store.write(orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_custkey") % 1000000L).cast("int").as("ck")), dir, dspec)
+      Store.renameColumn(s, dir, "ck", "custmod")
+      Store.append(orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_custkey") % 1000000L).as("custmod"),
+          col("o_orderpriority").as("oprio")), dir, dspec)
+      Store.open(s, dir, dspec).frame.df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("custmod").as("sum_cust"),
+          count(col("oprio")).as("n_oprio"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2a.12d — partition-pruned reopen: documents written Hive-
     // partitioned by source, reopened with a partition predicate —
     // the scan lists only the matching directory (PartitionFilters;
