@@ -79,7 +79,7 @@ object Store {
     fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST"))
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[core] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            segDir: String): Option[Seq[String]] = {
     val p = new org.apache.hadoop.fs.Path(s"$segDir/_MANIFEST")
     if (!fs.exists(p)) None
@@ -116,7 +116,7 @@ object Store {
     finally out.close()
   }
 
-  private def readSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[core] def readSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
                                 segDir: String): Option[org.apache.spark.sql.types.StructType] = {
     val p = new org.apache.hadoop.fs.Path(s"$segDir/_SCHEMA")
     if (!fs.exists(p)) None

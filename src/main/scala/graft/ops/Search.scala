@@ -143,6 +143,18 @@ object Search {
       .agg(count(lit(1)).as("n"), sum(size(toks).cast("long")).as("s"))
   }
 
+  /** [[bm25Totals]] derived FROM the postings artifact instead of the
+    * corpus — what the store-incremental spelling needs (its live
+    * postings are already delete-netted; a corpus pass would both
+    * cost a second scan and disagree after a delete). Exact: every
+    * non-null-text doc has ≥ 1 posting (an empty text still tokenizes
+    * to one empty token), and dl rides every posting row, so
+    * N = #distinct docs and S = Σ per-doc dl match the corpus pass.
+    */
+  def bm25TotalsFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s"))
+
   /** BM25 top-k SERVED FROM THE PERSISTED INDEX — the steady-state
     * query plan of a real inverted index: read ONLY the query terms'
     * postings (the `tok IN (...)` predicate pushes into the pruned

@@ -24,10 +24,11 @@ object OraclesLlm {
   // the same left-to-right 3-term sum. Shared verbatim by
   // search_bm25_indexed — the persisted-postings spelling must be
   // hash-IDENTICAL to the from-scratch one.
-  private def bm25SqlK(limit: Int) =
+  private def bm25SqlK(limit: Int,
+                       where: String = "text IS NOT NULL") =
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |  FROM documents WHERE text IS NOT NULL
+        |  FROM documents WHERE $where
         |), perdoc AS (
         |  SELECT doc_id, count(*) AS dl,
         |         sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf0,
@@ -108,6 +109,13 @@ object OraclesLlm {
 
   private lazy val mapped: Map[String, String] = Map(
     "search_bm25" -> bm25Sql,
+
+    // the store-incremental spelling serves the LIVE docs: the %17
+    // keys were deleted BEFORE the %4==3 quarter was appended, so
+    // exactly the (%17 ∧ %4<3) docs are gone — same shared mirror
+    // over that predicate, hash-identical end-to-end
+    "search_bm25_store_incr" -> bm25SqlK(10,
+      "text IS NOT NULL AND NOT (doc_id % 17 = 3 AND doc_id % 4 < 3)"),
     // the persisted-postings spelling serves the IDENTICAL result —
     // same mirror, so any drift between the from-scratch and indexed
     // plans is a hash mismatch
