@@ -38,22 +38,49 @@ object Graph {
   def pageRank(edgesUndirected: DataFrame, a: Column, b: Column,
                iterations: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iterations >= 1 && dampNum > 0 && dampDen >= dampNum)
-    val base = (dampDen - dampNum) * 1000000L / dampDen
-    val dir = edgesUndirected.select(a.as("src"), b.as("dst"))
-    val edges = dir.unionAll(dir.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // edge list with the source's out-degree attached — built once,
     // reused by every iteration. localCheckpoint, not persist():
     // its blocks are owned by the RDD and GC-reclaimed by the
     // ContextCleaner (the Bpe/clusters hygiene contract,
     // CacheHygieneSpec) — no CacheManager entry for a long-lived
     // session to leak; it also truncates the per-iteration lineage.
-    val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
-    val ranks0 = deg.select(col("src").as("node"),
-      lit(1000000L).as("rank_micro"))
+    val edgesDeg = edgesWithDegree(edgesUndirected, a, b).localCheckpoint()
+    pageRankFromEdgesDeg(edgesDeg, iterations, dampNum, dampDen)
+  }
+
+  /** The degree-attached directed edge list `(src, dst, deg)` both
+    * PageRank faces iterate from — THE persistable artifact of this
+    * family (r12, the Knn-weights/postings lifecycle applied to
+    * graphs): build it once per corpus snapshot, persist it
+    * (`Artifacts.haveParquet` + a snapshot-keyed dir), and feed the
+    * reopened parquet to [[pageRankFromEdgesDeg]] /
+    * [[pageRankConvergedFromEdgesDeg]] — steady-state queries then
+    * contain NO distinct/degree stages (plan-asserted in
+    * Round12Spec), just iteration joins against a columnar artifact
+    * scan.
+    */
+  def edgesWithDegree(edgesUndirected: DataFrame,
+                      a: Column, b: Column): DataFrame = {
+    val dir = edgesUndirected.select(a.as("src"), b.as("dst"))
+    val edges = dir.unionAll(dir.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+  }
+
+  /** fixed-k PageRank from a prebuilt [[edgesWithDegree]] table. The
+    * input is referenced once per iteration — pass a localCheckpoint
+    * for derived edge frames, or the persisted artifact read as-is (a
+    * small columnar scan per round beats pinning it, and keeps the
+    * steady-state plan honest about its only source).
+    */
+  def pageRankFromEdgesDeg(edgesDeg: DataFrame, iterations: Int = 5,
+                           dampNum: Long = 85L,
+                           dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && dampNum > 0 && dampDen >= dampNum)
+    val base = (dampDen - dampNum) * 1000000L / dampDen
+    val ranks0 = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("rank_micro"))
     val result = (1 to iterations).foldLeft(ranks0) { (ranks, _) =>
       prStep(edgesDeg, ranks, base, dampNum, dampDen)
     }
@@ -109,17 +136,23 @@ object Graph {
                         maxIterations: Int = 20, epsilonMicro: Long = 100L,
                         checkpointEvery: Int = 1,
                         dampNum: Long = 85L, dampDen: Long = 100L): (DataFrame, Int) = {
+    val edgesDeg = edgesWithDegree(edgesUndirected, a, b).localCheckpoint()
+    pageRankConvergedFromEdgesDeg(edgesDeg, maxIterations, epsilonMicro,
+      checkpointEvery, dampNum, dampDen)
+  }
+
+  /** convergence-gated PageRank from a prebuilt [[edgesWithDegree]]
+    * table — see [[pageRankFromEdgesDeg]] for the artifact posture.
+    */
+  def pageRankConvergedFromEdgesDeg(edgesDeg: DataFrame,
+                        maxIterations: Int = 20, epsilonMicro: Long = 100L,
+                        checkpointEvery: Int = 1,
+                        dampNum: Long = 85L, dampDen: Long = 100L): (DataFrame, Int) = {
     require(maxIterations >= 1 && epsilonMicro >= 0 && checkpointEvery >= 1
       && dampNum > 0 && dampDen >= dampNum)
     val base = (dampDen - dampNum) * 1000000L / dampDen
-    val dir = edgesUndirected.select(a.as("src"), b.as("dst"))
-    val edges = dir.unionAll(dir.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
-    var ranks = deg.select(col("src").as("node"),
-      lit(1000000L).as("rank_micro")).localCheckpoint()
+    var ranks = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("rank_micro")).localCheckpoint()
     var it = 0
     var converged = false
     while (it < maxIterations && !converged) {

@@ -20,7 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
-  /** append `rankCol` = exact 1-based global rank under `sort`. */
+  /** append `rankCol` = exact 1-based global rank under `sort`.
+    *
+    * The ranged layout is LAZILY localCheckpoint'd (r12): the offsets
+    * branch re-plans `local` otherwise, and because it prunes to
+    * (__pid) its range exchange canonicalizes DIFFERENTLY from the
+    * main branch's — no ReusedExchange, so the caller's whole
+    * upstream executed twice (measured on customer_rfm: the melt's
+    * aggregation subtree duplicated wholesale). Materializing the
+    * layout once is the two-phase trick done right: phase 2 reads
+    * phase 1's blocks, never its plan. Lazy (eager=false), so the
+    * first action — usually the offsets broadcast — pays the one
+    * materialization; localCheckpoint not persist per the
+    * cache-hygiene contract (blocks GC'd by the ContextCleaner).
+    */
   def globalRank(df: DataFrame, sort: Seq[Column], rankCol: String): DataFrame = {
     require(sort.nonEmpty, "globalRank needs at least one sort column")
     val local = df
@@ -29,6 +42,7 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__ln",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .localCheckpoint(false)
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum("__n").over(Window.orderBy("__pid")
@@ -76,7 +90,11 @@ object Rank {
     // through one reducer.
     val w = Window.partitionBy("__pid").orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // lazily materialized so the offsets branch reads phase 1's
+    // blocks instead of re-planning (and re-executing) its subtree —
+    // see globalRank's scaladoc
     val withLocal = local.withColumn("__lcum", sum("__v").over(w))
+      .localCheckpoint(false)
     val offsets = withLocal.groupBy("__pid").agg(sum("__v").as("__t"))
       .withColumn("__off",
         coalesce(sum("__t").over(Window.orderBy("__pid")
@@ -108,6 +126,7 @@ object Rank {
     val withLocal = local
       .withColumn("__lcum", sum("__v").over(w))
       .withColumn("__ln", count(lit(1)).over(w))
+      .localCheckpoint(false)
     val offsets = withLocal.groupBy("__pid")
       .agg(count(lit(1)).as("__n"), sum("__v").as("__t"))
       .withColumn("__offn",
