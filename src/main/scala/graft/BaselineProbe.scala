@@ -163,16 +163,31 @@ object BaselineProbe {
     }
     results += "rowrefs_membership_1024" -> (mr, nHKeys)
 
-    // 11. ONE interactive point membership op (not amortized): the
-    //    refs parquet is range-clustered on (field,value), so the scan
-    //    prunes to the files straddling the entry — Spark's floor here
-    //    is the scheduler round-trip, the honest number to put against
-    //    the reference's sub-ms warm-mmap bitmap open
+    // 11. ONE interactive point membership op (not amortized), served
+    //    by the library's actual single-op path: the driver-side
+    //    footer-pruned parquet read (core/PointRead — no Spark job),
+    //    the analog of the reference's warm-mmap single-bitmap open.
+    //    First call pays the footer-cache build; bestOf reports the
+    //    warm number, like the reference's warm-mmap one.
     val oneKey = hkeys.limit(1).collect().head
     val pr = bestOf(5) {
-      rst.rowsOf(oneKey.getString(0), oneKey.getString(1)).collect()
+      rst.rowsOfPoint(oneKey.getString(0), oneKey.getString(1))
     }
     results += "rowrefs_single_point" -> (pr, 1L)
+
+    // 11b. the same op through the Spark plan (what a cluster-side
+    //    caller embedded in a larger query pays): floor = scheduler
+    //    round-trip — kept for the record next to 11
+    val prPlan = bestOf(5) {
+      rst.rowsOf(oneKey.getString(0), oneKey.getString(1)).collect()
+    }
+    results += "rowrefs_single_point_plan" -> (prPlan, 1L)
+
+    // 11c. single-point frequency (one bitmap popcount), driver-side
+    val pf = bestOf(5) {
+      rst.fPoint(oneKey.getString(0), oneKey.getString(1))
+    }
+    results += "freq_single_point" -> (pf, 1L)
 
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0

@@ -1,0 +1,347 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.column.statistics.BinaryStatistics
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.column.impl.ColumnReadStoreImpl
+import org.apache.parquet.io.api.{Binary, Converter, GroupConverter,
+  PrimitiveConverter}
+import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Driver-side single-point reads over the store's persisted index /
+  * row-refs parquet, bypassing Spark job scheduling entirely.
+  *
+  * WHY: one cold point lookup through a Spark plan pays the per-job
+  * floor (~74 ms at local[32] — scheduler round-trip, task launch,
+  * result fetch), while the reference serves the same op from a warm
+  * mmap'd bitmap in microseconds (BASELINE.md rowrefs_single_point;
+  * reference io/test/perf: 1024 bitset opens ≈ 243-257 ms COLD, µs
+  * warm). Batched lookups amortize Spark's floor away — this path
+  * exists for the genuinely interactive single-op case.
+  *
+  * HOW: the index (`seg_*`) and row-refs (`rows_*`) parquet are
+  * written sorted/range-clustered on (field, value), so footer
+  * statistics prune a point key to the file(s) straddling it.
+  * Footers are read ONCE per store handle (lazy, cached); a lookup
+  * then (1) prunes files by the cached (field,value) ranges, (2) lets
+  * parquet-mr's column-index machinery prune row groups and pages
+  * (readNextFilteredRowGroup — only pages whose min/max straddle the
+  * key are decompressed), and (3) reads the three projected columns
+  * DIRECTLY through row-synchronized ColumnReaders — no per-record
+  * Group materialization, just typed gets + binary equality. Measured
+  * ~4-8 ms warm per op on a 180k-row refs segment vs ~74 ms through
+  * a Spark job and ~35 ms through the generic ParquetReader path.
+  * At 100 TB this is exactly the metadata-then-pages discipline a
+  * table format's point-read path uses; the footer cache is O(files)
+  * tiny and the data read is O(matching pages).
+  *
+  * CORRECTNESS GUARDS: the projection is built from each file's OWN
+  * schema (required vs optional changes definition levels — borrowing
+  * another file's projection silently mis-decodes); every surviving
+  * record is re-checked for exact (field,value) equality, so page
+  * granularity never leaks neighbors.
+  *
+  * SCOPE: valid only when the glob read IS the store's truth — no
+  * committed tombstones (deleted keys would resurface) and no
+  * renames (the physical field name would miss). [[Store.open]]
+  * gates on that; ineligible stores transparently fall back to the
+  * plan path, so callers always get tombstone/rename-correct results.
+  */
+object PointRead {
+
+  /** Spark write options for point-serving artifacts (the row-refs
+    * parquet), tuned so one point lookup touches the minimum bytes:
+    *  - pages capped at 8192 rows, so column-index page pruning
+    *    leaves a lookup ~8k rows to decode instead of the default
+    *    20k (parquet.page.row.count.limit);
+    *  - dictionary encoding OFF for the high-cardinality value /
+    *    row_key columns — their near-1MB dictionary pages would be
+    *    read+decoded on EVERY lookup (measured: the 12 ms → 3 ms
+    *    step at sf0.1); `field` keeps its 3-entry dictionary.
+    * Net file size is flat (snappy absorbs the plain encoding) and
+    * bulk scans get FASTER (A/B at sf0.1, 1024-key membership join:
+    * 274 ms vs 418 ms on the default layout — plain-encoded runs
+    * decode cheaper than a 600k-entry dictionary indirection).
+    */
+  val RefsWriteOptions: Map[String, String] = Map(
+    "parquet.page.row.count.limit" -> "8192",
+    "parquet.enable.dictionary#value" -> "false",
+    "parquet.enable.dictionary#row_key" -> "false")
+
+  /** same idea for the index segments (field, value, f): the value
+    * dictionary is pure overhead for a point f() (it may be as large
+    * as the column at high cardinality) and the segments are small
+    * relative to refs, so the layout trade is identical.
+    */
+  val SegWriteOptions: Map[String, String] = Map(
+    "parquet.page.row.count.limit" -> "8192",
+    "parquet.enable.dictionary#value" -> "false")
+
+  private type Rng = Option[(String, String, String, String)]
+
+  /** per-file cached metadata: footer + (field,value) min/max for
+    * file-level pruning (None when any row group lacks usable stats —
+    * the file then always survives the prune; correct, just unpruned),
+    * the same per row group, + the projection built from this file's
+    * own schema.
+    */
+  private final case class FileMeta(file: Path, footer: ParquetMetadata,
+      range: Rng, blockRanges: Seq[Rng], proj: MessageType)
+
+  private def partFiles(conf: Configuration, dir: Path): Seq[Path] = {
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      }.sortBy(_.getName)
+  }
+
+  /** converter sink for ColumnReadStoreImpl — values are pulled via
+    * the readers' typed getters, nothing is materialized
+    */
+  private val sink: GroupConverter = new GroupConverter {
+    override def getConverter(i: Int): Converter = new PrimitiveConverter {}
+    override def start(): Unit = {}
+    override def end(): Unit = {}
+  }
+
+  /** one payload column read for all rows matching (field, value),
+    * across a fixed set of sorted-parquet directories. Values come
+    * back as plain JVM primitives/Strings matching what the plan
+    * path's collect() yields for the same column.
+    *
+    * WARM HANDLE: file readers stay open and column/offset indexes
+    * stay cached for the Reader's lifetime (the mmap-open-bitmap
+    * model) — a repeat lookup does only the page I/O + decode of the
+    * pages straddling the key. Not thread-safe; one interactive
+    * caller per store handle. close() releases the file handles;
+    * GC finalizers mop up otherwise.
+    */
+  final class Reader(conf: Configuration, dirs: Seq[Path], payload: String)
+      extends AutoCloseable {
+
+    // footers read once per store handle, on first lookup
+    private lazy val metas: Seq[FileMeta] =
+      dirs.flatMap(partFiles(conf, _)).map { file =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try {
+          val footer = rd.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val want = Set("field", "value", payload)
+          val proj = new MessageType("graft_point",
+            schema.getFields.asScala.filter(t => want(t.getName)).asJava)
+          require(proj.getFieldCount == 3,
+            s"point read needs field/value/$payload in $file " +
+              s"(have ${schema.getFields.asScala.map(_.getName).mkString(",")})")
+          val blockRanges = footer.getBlocks.asScala.toSeq.map(blockRange)
+          val fileRange: Rng =
+            if (blockRanges.exists(_.isEmpty)) None
+            else blockRanges.flatten
+              .reduceOption((a, b) => (
+                if (a._1 < b._1) a._1 else b._1,
+                if (a._2 > b._2) a._2 else b._2,
+                if (a._3 < b._3) a._3 else b._3,
+                if (a._4 > b._4) a._4 else b._4))
+          FileMeta(file, footer, fileRange, blockRanges, proj)
+        } finally rd.close()
+      }
+
+    // open readers + per-row-group column-index stores, cached for
+    // the handle's lifetime
+    private val openReaders =
+      scala.collection.mutable.HashMap.empty[Path, ParquetFileReader]
+    private val indexStores = scala.collection.mutable.HashMap.empty[
+      (Path, Int),
+      org.apache.parquet.internal.filter2.columnindex.ColumnIndexStore]
+
+    private def readerFor(m: FileMeta): ParquetFileReader =
+      openReaders.getOrElseUpdate(m.file, {
+        val r = new ParquetFileReader(conf, m.file, m.footer,
+          HadoopReadOptions.builder(conf, m.file).build())
+        r.setRequestedSchema(m.proj)
+        r
+      })
+
+    override def close(): Unit = {
+      openReaders.values.foreach(r => scala.util.Try(r.close()))
+      openReaders.clear()
+      indexStores.clear()
+    }
+
+    private def blockRange(
+        b: org.apache.parquet.hadoop.metadata.BlockMetaData): Rng = {
+      val cols = b.getColumns.asScala
+      def rng(name: String): Option[(String, String)] =
+        cols.find(_.getPath.toDotString == name).flatMap { c =>
+          c.getStatistics match {
+            case s: BinaryStatistics if !s.isEmpty && s.hasNonNullValue =>
+              Some((s.genericGetMin.toStringUsingUTF8,
+                    s.genericGetMax.toStringUsingUTF8))
+            case _ => None
+          }
+        }
+      (rng("field"), rng("value")) match {
+        case (Some((a, b2)), Some((c, d))) => Some((a, b2, c, d))
+        case _ => None // statless: never prune this unit
+      }
+    }
+
+    /** sorted-on-(field,value) prune rule shared by files and row
+      * groups: the value range only constrains a unit wholly inside
+      * ONE field.
+      */
+    private def straddles(r: Rng, field: String, value: String): Boolean =
+      r match {
+        case None => true
+        case Some((fMin, fMax, vMin, vMax)) =>
+          if (field < fMin || field > fMax) false
+          else if (fMin == fMax && fMin == field)
+            value >= vMin && value <= vMax
+          else true
+      }
+
+    private def candidates(field: String, value: String): Seq[FileMeta] =
+      metas.filter(m => straddles(m.range, field, value))
+
+    /** all payload values for rows where field/value match exactly */
+    def lookup(field: String, value: String): Seq[Any] = {
+      import org.apache.parquet.hadoop.metadata.ColumnPath
+      import org.apache.parquet.internal.filter2.columnindex.{
+        ColumnIndexFilter, ColumnIndexStore}
+      val fB = Binary.fromString(field)
+      val vB = Binary.fromString(value)
+      val pred = FilterApi.and(
+        FilterApi.eq(FilterApi.binaryColumn("field"), fB),
+        FilterApi.eq(FilterApi.binaryColumn("value"), vB))
+      val filter = FilterCompat.get(pred)
+      val out = Seq.newBuilder[Any]
+      candidates(field, value).foreach { m =>
+        val r = readerFor(m)
+        val cols = m.proj.getColumns.asScala
+        val kTpe = m.proj.getFields.asScala
+          .find(_.getName == payload).get.asPrimitiveType()
+        val paths: java.util.Set[ColumnPath] =
+          cols.map(c => ColumnPath.get(c.getPath: _*)).toSet.asJava
+        val blocks = m.footer.getBlocks.asScala.toSeq
+        blocks.indices.foreach { bi =>
+          if (straddles(m.blockRanges(bi), field, value)) {
+            // page-level prune from the CACHED column indexes — in
+            // memory after the first lookup that touches this group
+            val store = indexStores.getOrElseUpdate((m.file, bi),
+              r.getColumnIndexStore(bi))
+            val pages =
+              try {
+                val ranges = ColumnIndexFilter.calculateRowRanges(
+                  filter, store, paths, blocks(bi).getRowCount)
+                if (ranges.rowCount == 0L) null
+                else r.readFilteredRowGroup(bi, ranges)
+              } catch {
+                // no column/offset indexes (older writer): read the
+                // whole row group — the belt below still filters
+                case _: ColumnIndexStore.MissingOffsetIndexException =>
+                  r.readRowGroup(bi)
+              }
+            if (pages != null) {
+              val rows = pages.getRowCount
+            // row-synchronized typed readers (rowIndexes present ⇒
+            // SynchronizingColumnReader): all three columns yield the
+            // SAME surviving rows in lockstep — no Group assembly
+            val crs = new ColumnReadStoreImpl(pages, sink, m.proj,
+              m.footer.getFileMetaData.getCreatedBy)
+            val fCol = crs.getColumnReader(
+              cols.find(_.getPath()(0) == "field").get)
+            val vCol = crs.getColumnReader(
+              cols.find(_.getPath()(0) == "value").get)
+            val kCol = crs.getColumnReader(
+              cols.find(_.getPath()(0) == payload).get)
+            val fDef = fCol.getDescriptor.getMaxDefinitionLevel
+            val vDef = vCol.getDescriptor.getMaxDefinitionLevel
+            val kDef = kCol.getDescriptor.getMaxDefinitionLevel
+            var i = 0L
+            while (i < rows) {
+              // CONTRACT: every non-null position of every column must
+              // be read (getter) or skip()ed before consume() — an
+              // unread value is NOT advanced by consume() and the
+              // reader silently desyncs from its siblings. So f and v
+              // are read unconditionally (no short-circuit), and k is
+              // skipped when the row doesn't match.
+              val fHas = fCol.getCurrentDefinitionLevel == fDef
+              val vHas = vCol.getCurrentDefinitionLevel == vDef
+              val kHas = kCol.getCurrentDefinitionLevel == kDef
+              // exact-equality belt: page granularity never leaks
+              // neighbors, null field/value rows never match
+              val fOk = fHas && fCol.getBinary == fB
+              val vOk = vHas && vCol.getBinary == vB
+              if (fOk && vOk) {
+                if (!kHas) out += null
+                else out += (kTpe.getPrimitiveTypeName match {
+                  case INT64   => kCol.getLong
+                  case INT32   => kCol.getInteger
+                  case BINARY  => kCol.getBinary.toStringUsingUTF8
+                  case DOUBLE  => kCol.getDouble
+                  case FLOAT   => kCol.getFloat
+                  case BOOLEAN => kCol.getBoolean
+                  case other => throw new UnsupportedOperationException(
+                    s"point read of $payload: unsupported parquet type $other")
+                })
+              } else if (kHas) kCol.skip()
+              fCol.consume(); vCol.consume(); kCol.consume()
+              i += 1
+            }
+            }
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** the per-store point-read face [[Store.open]] attaches to a
+    * [[StoredFrame]]: everything (eligibility re-check, file listing,
+    * footers) is lazy so open() cost is unchanged; `None` from a
+    * lookup means "not eligible — use the plan path".
+    */
+  final class StorePoint(conf: Configuration,
+      eligible: () => Boolean,
+      segDirs: () => Seq[Path],
+      rowsDirs: () => Seq[Path]) {
+
+    private lazy val ok = eligible()
+    private lazy val freqReader = new Reader(conf, segDirs(), "f")
+    private lazy val rowsReader = new Reader(conf, rowsDirs(), "row_key")
+
+    /** total f for (field,value) summed across segments, None if the
+      * fast path is ineligible for this store
+      */
+    def freq(field: String, value: String): Option[Long] =
+      if (!ok) None
+      else Some(freqReader.lookup(field, value)
+        .foldLeft(0L)((a, v) => a + v.asInstanceOf[Long]))
+
+    /** row keys for (field,value), None if ineligible. Keys are
+      * unique across segments by construction (each data row appended
+      * once), so concatenation IS the union.
+      */
+    def rows(field: String, value: String): Option[Seq[Any]] =
+      if (!ok) None
+      else Some(rowsReader.lookup(field, value))
+
+    /** release the warm file handles (safe to call even if no lookup
+      * ever ran — the readers are lazy)
+      */
+    def close(): Unit = {
+      if (ok) { freqReader.close(); rowsReader.close() }
+    }
+  }
+}

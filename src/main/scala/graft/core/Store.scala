@@ -854,11 +854,14 @@ object Store {
     // index a DIFFERENT row set than the one persisted
     val persisted = spark.read.parquet(s"$dir/data")
     val ix = IndexedFrame(persisted, spec)
-    ix.entries.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/seg_0")
+    ix.entries.write.mode(SaveMode.Overwrite)
+      .options(PointRead.SegWriteOptions).parquet(s"$dir/index/seg_0")
     // optional per-entry row-refs artifact (the reference's bitmap
     // payload, Dfs.scala:330-408) — segment-parallel to the f index
     if (spec.rowRefs.isDefined)
-      ix.rowRefs.write.mode(SaveMode.Overwrite).parquet(s"$dir/index/rows_0")
+      ix.rowRefs.write.mode(SaveMode.Overwrite)
+        .options(PointRead.RefsWriteOptions)
+        .parquet(s"$dir/index/rows_0")
     val dataNames = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
@@ -873,7 +876,46 @@ object Store {
     StoredFrame(
       IndexedFrame(dataFrame(spark, dir), spec),
       mergedIndex(spark, dir),
-      rowRefsFrame(spark, dir))
+      rowRefsFrame(spark, dir),
+      Some(pointReader(spark, dir)))
+
+  /** the driver-side point-read face for [[StoredFrame.fPoint]] /
+    * [[StoredFrame.rowsOfPoint]] — fully lazy (no listing, no footer
+    * I/O until the first point lookup), eligible only when the plain
+    * glob read IS the store's truth: no committed tombstones and no
+    * renames (either would make raw file contents lie). Ineligible
+    * stores answer None and the caller falls back to the plan path.
+    */
+  private def pointReader(spark: SparkSession,
+                          dir: String): PointRead.StorePoint = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new PointRead.StorePoint(
+      conf,
+      eligible = () =>
+        committedTombstones(spark, dir).isEmpty &&
+          committedRenames(spark, dir).isEmpty,
+      segDirs = () => {
+        val (root, _) = currentIndexRoot(spark, dir)
+        val ids = (segSnapshots(spark, dir) ++ legacySegIds(spark, dir))
+          .distinct.sorted
+        ids.map(id => new org.apache.hadoop.fs.Path(s"$root/seg_$id"))
+      },
+      rowsDirs = () => {
+        val (root, _) = currentIndexRoot(spark, dir)
+        val (fs, _) = fsFor(spark, dir)
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val present =
+          if (!fs.exists(rp)) Seq.empty[Int]
+          else fs.listStatus(rp).map(_.getPath.getName).toSeq
+            .collect { case s if s.startsWith("rows_") => s.drop(5).toInt }
+        // committed segments only, mirroring refsAsOf's scoping
+        val committed = segSnapshots(spark, dir)
+        val keep =
+          if (committed.isEmpty) present
+          else present.filter((committed ++ legacySegIds(spark, dir)).toSet)
+        keep.sorted.map(id => new org.apache.hadoop.fs.Path(s"$root/rows_$id"))
+      })
+  }
 
   /** Available snapshot ids of the live generation, ascending: each
     * append segment with a manifest is one snapshot, and each
@@ -1104,12 +1146,15 @@ object Store {
       val persisted = spark.read.parquet(s"$dir/data/$sub")
       val ix = IndexedFrame(persisted, spec)
       ix.entries
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
+        .write.mode(SaveMode.Overwrite)
+        .options(PointRead.SegWriteOptions).parquet(s"$root/seg_$segId")
       // row-refs segment mirrors the f segment 1:1 — O(batch), the
       // existing refs are neither read nor rewritten
       if (spec.rowRefs.isDefined)
         ix.rowRefs
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
+          .write.mode(SaveMode.Overwrite)
+          .options(PointRead.RefsWriteOptions)
+          .parquet(s"$root/rows_$segId")
       writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
       writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
     }
@@ -1204,10 +1249,13 @@ object Store {
     // single-task write for an empty batch's entries so the segment
     // parquet always has a readable footer
     val entries = if (names.nonEmpty) ix.entries else ix.entries.repartition(1)
-    entries.write.mode(SaveMode.Overwrite).parquet(s"$root/seg_$segId")
+    entries.write.mode(SaveMode.Overwrite)
+      .options(PointRead.SegWriteOptions).parquet(s"$root/seg_$segId")
     if (spec.rowRefs.isDefined) {
       val refs = if (names.nonEmpty) ix.rowRefs else ix.rowRefs.repartition(1)
-      refs.write.mode(SaveMode.Overwrite).parquet(s"$root/rows_$segId")
+      refs.write.mode(SaveMode.Overwrite)
+        .options(PointRead.RefsWriteOptions)
+        .parquet(s"$root/rows_$segId")
     }
     writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
     writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
@@ -1469,13 +1517,16 @@ object Store {
     // read ([[mergedIndex]] serves unordered): the folded segment's
     // parquet stats must prune point reads like a write()n one's do
     merged.orderBy("field", "value")
-      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/seg_$foldId")
+      .write.mode(SaveMode.Overwrite)
+      .options(PointRead.SegWriteOptions).parquet(s"$newRoot/seg_$foldId")
     // row-refs fold to one re-clustered segment inside the same
     // atomic publish (the _COMMITTED marker below covers both)
     rows.foreach(_
       .repartitionByRange(col("field"), col("value"), col("row_key"))
       .sortWithinPartitions("field", "value", "row_key")
-      .write.mode(SaveMode.Overwrite).parquet(s"$newRoot/rows_$foldId"))
+      .write.mode(SaveMode.Overwrite)
+      .options(PointRead.RefsWriteOptions)
+      .parquet(s"$newRoot/rows_$foldId"))
     manifestEntries.foreach(writeManifest(fs, s"$newRoot/seg_$foldId", _))
     // the folded segment's schema: the REWRITTEN data's when the fold
     // rewrote (tombstones/renames/mixed — current names, widened
@@ -1662,7 +1713,8 @@ object Store {
   * parquet instead of rescanning the data).
   */
 final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
-                             rowRefs: Option[DataFrame] = None) {
+                             rowRefs: Option[DataFrame] = None,
+                             point: Option[PointRead.StorePoint] = None) {
   /** frequency of (field,value) from the persisted index — a pruned
     * point read, the analog of opening one bitmap's popcount.
     */
@@ -1687,4 +1739,29 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
       .where(col("field") === field && col("value") === value)
       .select(col("row_key"))
   }
+
+  /** INTERACTIVE single-point frequency: the total f for one
+    * (field,value), served by the driver-side footer-pruned parquet
+    * read when the store is eligible (see [[PointRead]]) — no Spark
+    * job, so the per-op floor is page I/O, not scheduler round-trip.
+    * Falls back to the plan path (identical result, tombstones and
+    * renames applied) otherwise. The BATCH spelling stays [[f]] /
+    * a semi-join on the persisted index — Spark amortizes hundreds
+    * of point ops far better than a driver loop would.
+    */
+  def fPoint(field: String, value: String): Long =
+    point.flatMap(_.freq(field, value)).getOrElse {
+      val rows = f(field, value).collect()
+      rows.foldLeft(0L)((a, r) => a + (if (r.isNullAt(0)) 0L else r.getLong(0)))
+    }
+
+  /** INTERACTIVE single-point row-refs membership: all row keys of
+    * one (field,value) entry, driver-side when eligible (the analog
+    * of opening one warm bitmap and reading its set bits), plan-path
+    * fallback otherwise. Requires [[IndexSpec.withRowRefs]].
+    */
+  def rowsOfPoint(field: String, value: String): Seq[Any] =
+    point.flatMap(_.rows(field, value)).getOrElse {
+      rowsOf(field, value).collect().toSeq.map(_.get(0))
+    }
 }

@@ -60,6 +60,15 @@ object Oracles {
       """SELECT o_orderkey AS row_key FROM orders
         |WHERE o_orderpriority = '1-URGENT' ORDER BY row_key""".stripMargin,
 
+    // driver-side point read of one (o_custkey, value) refs entry —
+    // the probed customer is the one on the smallest order
+    // (deterministic at every SF)
+    "store_point_read" ->
+      """SELECT o_orderkey AS row_key FROM orders
+        |WHERE o_custkey = (
+        |  SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)
+        |ORDER BY row_key""".stripMargin,
+
     // ORDER BY mirrors the typed entry order (IndexedFrame.valueSortKey):
     // the numeric l_linenumber field sorts by native value, not string
     // form — coincident for values 1..7, divergent the moment a numeric

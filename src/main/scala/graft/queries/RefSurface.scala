@@ -280,6 +280,31 @@ object RefSurface {
         .orderBy("o_orderstatus")
     }),
 
+    // §2a.12p — INTERACTIVE single-point read (r12): one (field,value)
+    // membership op served by the driver-side footer-pruned parquet
+    // reader (core/PointRead — NO Spark job; the analog of the
+    // reference's warm-mmap single-bitmap open, BASELINE.md
+    // rowrefs_single_point). The probed entry is the customer of the
+    // smallest order, so the key is deterministic at every SF. Result
+    // re-framed for the oracle compare; equality with the plan path is
+    // also spec-pinned (PointReadSpec) incl. the delete/rename
+    // fallback routes.
+    "store_point_read" -> ((s, d) => {
+      val dir = s"/tmp/graft_storept_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val pspec = IndexSpec(Seq("o_custkey")).withRowRefs("o_orderkey")
+      Store.write(orders, dir, pspec)
+      val cust = orders.orderBy("o_orderkey").select("o_custkey")
+        .head().getLong(0).toString
+      val st = Store.open(s, dir, pspec)
+      val keys = st.rowsOfPoint("o_custkey", cust)
+      val schema = st.rowsOf("o_custkey", cust).schema
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          keys.map(k => org.apache.spark.sql.Row(k)), 1), schema)
+        .orderBy("row_key")
+    }),
+
     // §2a.12d — partition-pruned reopen: documents written Hive-
     // partitioned by source, reopened with a partition predicate —
     // the scan lists only the matching directory (PartitionFilters;

@@ -276,6 +276,43 @@ class StoreDeleteSpec extends SparkSpec {
     assert(h === Seq((2, "append", "files=3")), h)
   }
 
+  test("a reader planned before an in-stream compact materializes after it") {
+    // the generation-retention guarantee under the streaming face
+    // (r11 verdict #8): storeIngest's in-foreachBatch compact writes
+    // a NEW generation and must leave the previous one's files on
+    // disk — a frame opened (planned, file lists resolved) before
+    // the compact fires materializes correctly after it, serving the
+    // snapshot it planned over. Retention window: ONE compact — the
+    // next compact's reclaim may retire it, which is the documented
+    // sink contract (readers re-open per query cycle).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("readercmp")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.EventPipeline.storeIngest(
+      stream.toDF().toDF("id", "cat", "v"), dir, spec, compactEvery = 2)
+      .start()
+    stream.addData((1L, "a", 10.0)); q.processAllAvailable()
+    stream.addData((2L, "b", 20.0)); q.processAllAvailable()
+    // reader plans NOW: open() resolves manifests + file lists of the
+    // current (pre-compact) generation; nothing materialized yet
+    val reader = Store.open(spark, dir, spec)
+    val plannedData = reader.frame.df
+    val plannedIndex = reader.persistedIndex
+    // batch 2 triggers the in-stream compact (id % 2 == 0): new
+    // generation committed, old one retained
+    stream.addData((3L, "a", 30.0)); q.processAllAvailable()
+    q.stop()
+    // the pre-compact reader materializes AFTER the compact and sees
+    // exactly the snapshot it planned over (batches 0-1)
+    assert(plannedData.select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    assert(plannedIndex.collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap === Map("a" -> 1L, "b" -> 1L))
+    // and a fresh open serves the post-compact truth
+    assert(liveIds(Store.open(spark, dir, spec)) === Seq(1L, 2L, 3L))
+  }
+
   test("history lists appends and deletes in commit order") {
     val dir = tmp("hist")
     Store.write(data, dir, spec)

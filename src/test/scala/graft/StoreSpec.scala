@@ -492,7 +492,7 @@ class StoreSpec extends SparkSpec {
       Store.append(data.where($"id" > 2).withColumn("v", $"v".cast("string")),
         dir, spec)
     }
-    assert(e.getMessage.contains("add-column only"))
+    assert(e.getMessage.contains("not a widening"))
     // and the store remains fully readable with the original rows
     assert(Store.open(spark, dir, spec).frame.df.count() === 2L)
   }
