@@ -257,7 +257,7 @@ object Store {
   // rewritten, old files left for the retained generation's readers
   // and reclaimed by vacuum()).
 
-  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+  private[core] def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
                             p: String): String = {
     val path = new org.apache.hadoop.fs.Path(p)
     val buf = new Array[Byte](fs.getFileStatus(path).getLen.toInt)

@@ -46,7 +46,15 @@ object Knn {
       .select(col("fv.field").as("field"), col("fv.value").as("value"), col("t"))
       .groupBy("field", "value")
       .agg(count(lit(1)).as("fa"), count_if(col("t")).as("fab"))
-    val counts = exploded.crossJoin(broadcast(totals))
+    weightSelect(exploded.crossJoin(broadcast(totals)), varDFilter)
+  }
+
+  /** the weight expressions over a (field,value,fa,fab,n,fb) counts
+    * frame — shared by the from-scratch and counts-served spellings
+    * so both produce bit-identical doubles from equal counts
+    */
+  private def weightSelect(counts: DataFrame,
+                           varDFilter: Double): DataFrame = {
     val e = new IndexedFrame.StatExprs
     counts.select(
         col("field"), col("value"),
@@ -56,6 +64,44 @@ object Knn {
       .select(col("field"), col("value"),
         round(col("w1raw"), 6).as("w1"), round(col("w2raw"), 6).as("w2"))
       .orderBy("field", "value")
+  }
+
+  /** the per-row-decomposable HALF of [[keyValueWeights]]: per-
+    * (field,value) (fa, fab) counts plus one `__total__` sentinel row
+    * carrying (n, fb). Counts SUM across segments and deletes net by
+    * subtraction, so this is the `buildCounts` for a
+    * [[graft.core.SegmentedAgg]] family — weights for a 100 TB store
+    * refresh at O(ingest batch), not O(corpus)
+    * ([[weightsFromCounts]] turns the netted counts into the weight
+    * table, bit-identical to the from-scratch build).
+    */
+  def weightCounts(df: DataFrame, inFields: Seq[String], target: Column,
+                   defined: Column = lit(true)): DataFrame = {
+    val dfd = df.where(defined)
+    val pairs = inFields.map(f =>
+      struct(lit(f).as("field"), col(f).cast("string").as("value")))
+    val per = dfd.select(explode(array(pairs: _*)).as("fv"), target.as("t"))
+      .select(col("fv.field").as("field"), col("fv.value").as("value"),
+        col("t"))
+      .groupBy("field", "value")
+      .agg(count(lit(1)).as("fa"), count_if(col("t")).as("fab"))
+    val tot = dfd.agg(count(lit(1)).as("fa"), count_if(target).as("fab"))
+      .select(lit("__total__").as("field"), lit("").as("value"),
+        col("fa"), col("fab"))
+    per.unionByName(tot)
+  }
+
+  /** weights from a netted [[weightCounts]] table: the `__total__`
+    * row supplies (n, fb), every other row its (fa, fab) — the same
+    * [[weightSelect]] expressions as [[keyValueWeights]], so equal
+    * counts give bit-identical weights
+    */
+  def weightsFromCounts(counts: DataFrame,
+                        varDFilter: Double = 0.0): DataFrame = {
+    val totals = counts.where(col("field") === "__total__")
+      .select(col("fa").as("n"), col("fab").as("fb"))
+    val kv = counts.where(col("field") =!= "__total__")
+    weightSelect(kv.crossJoin(broadcast(totals)), varDFilter)
   }
 
   /** Persisted weight table — the reference's build-once / query-many

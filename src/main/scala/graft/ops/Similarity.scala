@@ -327,12 +327,40 @@ object Similarity {
               centroids: Option[Array[Array[Float]]] = None,
               sampleFraction: Double = 0.25): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(emb, nlist, sampleFraction))
+    ivfServe(ivfCodes(emb, cents, cluster = false), queries, k, nprobe, cents)
+  }
 
-    // corpus: map-only top-1 assignment (argmin = array_min on structs)
-    val corpus = emb.select(col("vec_id").as("nbr"), col("embedding").as("nbr_v"),
-      graft.functions.VecMath.vecNorm(col("embedding")).as("nbr_n"),
+  /** frozen-quantizer corpus CODES — the per-row-decomposable encode
+    * half of [[ivfTopK]] (assignment is map-only given the centroids,
+    * so build(A ∪ B) == build(A) ∪ build(B)): this is the
+    * `buildFor` of a [[graft.core.SegmentedArtifact]] "ivf_codes"
+    * family, the FAISS add-to-index posture — an ingest batch is
+    * ENCODED with the existing quantizer (O(batch)), never a corpus
+    * re-fit; the quantizer refreshes on compact's own O(corpus)
+    * cadence if at all. `cluster = true` range-clusters the codes on
+    * `list` so a persisted artifact's parquet stats prune a probe to
+    * the probed lists' files.
+    */
+  def ivfCodes(emb: DataFrame, cents: Array[Array[Float]],
+               cluster: Boolean = true): DataFrame = {
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VecMath.vecNorm(col("embedding")).as("vnorm"),
       array_min(coarseDistStructs(cents)(col("embedding")))
         .getField("list").as("list"))
+    if (cluster)
+      coded.repartitionByRange(col("list"), col("vec_id"))
+        .sortWithinPartitions("list", "vec_id")
+    else coded
+  }
+
+  /** the IVF serve tail over a codes table (vec_id, embedding, vnorm,
+    * list) — shared by the inline and artifact-served spellings so
+    * equal codes give identical results
+    */
+  def ivfServe(codes: DataFrame, queries: DataFrame, k: Int,
+               nprobe: Int, cents: Array[Array[Float]]): DataFrame = {
+    val corpus = codes.select(col("vec_id").as("nbr"),
+      col("embedding").as("nbr_v"), col("vnorm").as("nbr_n"), col("list"))
 
     // queries: nprobe nearest centroids via array_sort + slice (map-only)
     val probed = queries

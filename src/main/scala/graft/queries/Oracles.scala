@@ -305,6 +305,15 @@ object Oracles {
       s"""${knnWeightCtes()}
         |SELECT field, value, w1, w2 FROM wt ORDER BY field, value""".stripMargin,
 
+    // segment-incremental weights == from-scratch weights over the
+    // LIVE rows: write(%2==0) + append(%2<>0) = all keys once; the %7
+    // delete then removes those, the %21 re-append restores that
+    // subset — live multiset = (k%7<>0 OR k%21=0), each key once
+    "knn_weights_store_incr" ->
+      s"""${knnWeightCtes(defined =
+             "(p_partkey % 7 <> 0 OR p_partkey % 21 = 0)")}
+        |SELECT field, value, w1, w2 FROM wt ORDER BY field, value""".stripMargin,
+
     "knn_topk" ->
       s"""${knnWeightCtes()}, w AS (
         |  SELECT *, (field = 'p_brand' AND value = 'Brand#13')

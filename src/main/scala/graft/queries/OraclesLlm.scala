@@ -921,6 +921,58 @@ object OraclesLlm {
     // argmin and the nprobe=4 probe ranking are bit-identical;
     // candidates = corpus vectors in probed lists, exact-cosine
     // rerank top-5 with (cos DESC, nbr ASC) tie-break.
+    // the 29b2 route under the LIVE-ROWS predicate: quantizer = the
+    // leading 8 of the ORIGINAL corpus (frozen at initial ingest),
+    // assignment restricted to rows surviving the store's
+    // delete(%7)/re-append(%21) cycle, queries the original vec_id<10
+    // vectors. This is what serving from the segment-incremental
+    // codes artifact must equal.
+    "ann_ivf_store_incr" ->
+      s"""WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list,
+        |         embedding AS cv,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS cc
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        |), live AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 7 <> 0 OR vec_id % 21 = 0
+        |), dists AS (
+        |  SELECT e.vec_id, c.list,
+        |         c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS dd
+        |  FROM live e CROSS JOIN cents c
+        |), qdists AS (
+        |  SELECT e.vec_id, c.list,
+        |         c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS dd
+        |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+        |), assign AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT vec_id, list,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, list) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS qid, list FROM (
+        |    SELECT vec_id, list,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, list) AS rn
+        |    FROM qdists) WHERE rn <= 4
+        |), cand AS (
+        |  SELECT p.qid, a.vec_id AS nbr
+        |  FROM probes p JOIN assign a ON a.list = p.list AND a.vec_id <> p.qid
+        |), s AS (
+        |  SELECT cand.qid, cand.nbr,
+        |         round(${cos("eq.embedding", "ec.embedding")}, 6) AS cos
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = cand.qid
+        |  JOIN embeddings ec ON ec.vec_id = cand.nbr
+        |), r AS (
+        |  SELECT qid, nbr, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rnk
+        |  FROM s
+        |)
+        |SELECT qid, rnk, nbr, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "ann_ivf_topk_portable" ->
       s"""WITH cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list,

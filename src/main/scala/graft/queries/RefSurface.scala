@@ -324,6 +324,31 @@ object RefSurface {
       Knn.keyValueWeights(Tables.part(s, d), Seq("p_brand", "p_size"),
         col("p_type") === "ECONOMY")),
 
+    // §2a.13c — Knn weights served SEGMENT-INCREMENTALLY from a store
+    // (r12: SegmentedAgg — the negative-index-segment device applied
+    // to derived AGGREGATES): part ingested as write/append, the %7
+    // keys deleted, the %21 subset re-appended; the weight table is
+    // computed from per-segment (fa,fab,n,fb) count partials plus the
+    // tombstone's negative partials — refresh scans only the delta,
+    // never the corpus, and the weights are bit-identical to a
+    // from-scratch build over the live rows (the oracle: the same
+    // CoStats CTEs under the live-rows predicate).
+    "knn_weights_store_incr" -> ((s, d) => {
+      val dir = s"/tmp/graft_storekw_${new java.io.File(d).getName}"
+      val part = Tables.part(s, d)
+      val kspec = IndexSpec(Seq("p_brand"))
+      Store.write(part.where(col("p_partkey") % 2 === 0), dir, kspec)
+      Store.append(part.where(col("p_partkey") % 2 =!= 0), dir, kspec)
+      Store.delete(s, dir, kspec, "p_partkey",
+        part.where(col("p_partkey") % 7 === 0).select("p_partkey"))
+      Store.append(part.where(col("p_partkey") % 21 === 0), dir, kspec)
+      val counts = graft.core.SegmentedAgg.have(s, dir,
+        "knn_counts", "p_partkey")(
+        Knn.weightCounts(_, Seq("p_brand", "p_size"),
+          col("p_type") === "ECONOMY"))
+      Knn.weightsFromCounts(counts)
+    }),
+
     // §2a.14 — Knn.knn: top-k parts nearest to a query item by
     // weighted feature distance. Weights come from the persisted
     // build-once artifact, not a per-query CoStats pass.

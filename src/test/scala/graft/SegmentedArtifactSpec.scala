@@ -88,6 +88,25 @@ class SegmentedArtifactSpec extends SparkSpec {
     assert(artSegs.map(_.drop(4).toInt).sorted === rebuilt.sorted)
   }
 
+  test("compact whose fold REUSES the max segment id does not serve a stale artifact") {
+    // write -> append (no tombstone): the fold keeps the max retired
+    // unit id, which here IS a segment id (seg_1) with an artifact
+    // already built from only seg_1's files; the refreshed artifact
+    // must cover the whole folded corpus, not silently serve the
+    // stale delta-only build
+    val docs = Tables.documents(spark, sfDir)
+    val dir = freshStore(col("doc_id") % 2 === 0)
+    Store.append(docs.where(col("doc_id") % 2 === 1), dir, spec)
+    val before = SegmentedArtifact.have(spark, dir, "post", "doc_id")(postings)
+      .count()
+    Store.compact(spark, dir)
+    val after = SegmentedArtifact.have(spark, dir, "post", "doc_id")(postings)
+      .count()
+    assert(after === before)
+    val full = postings(Store.open(spark, dir, spec).frame.df).count()
+    assert(after === full)
+  }
+
   test("ExactSubstr windows as a segmented family: identical to the full build") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") % 3 === 0)
     val dir = java.nio.file.Files.createTempDirectory("segartw").toString
@@ -101,6 +120,44 @@ class SegmentedArtifactSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(key(incr) === key(full))
     assert(incr.count() > 0)
+  }
+
+  test("IVF codes as a segmented family: artifact serve == inline ivfTopK over live rows") {
+    import graft.ops.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("segivf").toString
+    val espec = IndexSpec(Seq("vec_id"))
+    Store.write(e.where(col("vec_id") % 2 === 0), dir, espec)
+    Store.append(e.where(col("vec_id") % 2 =!= 0), dir, espec)
+    Store.delete(spark, dir, espec, "vec_id",
+      e.where(col("vec_id") % 7 === 0).select("vec_id"))
+    val cents = Similarity.leadingCentroids(e, 8)
+    // encode each segment with the FROZEN quantizer; refresh after an
+    // extra append must scan only the delta
+    graft.core.SegmentedArtifact.have(spark, dir, "ivf_codes", "vec_id")(
+      Similarity.ivfCodes(_, cents))
+    Store.append(e.where(col("vec_id") % 21 === 0), dir, espec)
+    var scans = Seq.empty[String]
+    val built = SegmentedArtifact.refresh(spark, dir, "ivf_codes") { delta =>
+      scans = scans :+ delta.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("Location")).mkString("\n")
+      Similarity.ivfCodes(delta, cents)
+    }
+    assert(built.size === 1)
+    assert(!scans.head.contains("seg_0") && !scans.head.contains("seg_1"),
+      scans.head)
+    val codes = SegmentedArtifact.read(spark, dir, "ivf_codes", "vec_id")
+    val queries = e.where(col("vec_id") < 10)
+    val served = Similarity.ivfServe(codes, queries, 5, 4, cents)
+      .collect().toSeq
+    val live = Store.open(spark, dir, espec).frame.df
+      .select("vec_id", "embedding")
+    val inline = Similarity.ivfTopK(live, queries, 5, nprobe = 4,
+      centroids = Some(cents)).collect().toSeq
+    assert(served === inline)
+    // deleted-and-not-reappended vectors never surface as neighbors
+    val nbrs = served.map(_.getAs[Long]("nbr")).toSet
+    assert(nbrs.forall(n => n % 7 != 0 || n % 21 == 0))
   }
 
   test("a renamed store refuses segment-incremental refresh until compacted") {
