@@ -453,9 +453,49 @@ object Store {
     * from sidecars, so a store without them cannot be renamed safely.
     * Returns the rename's snapshot id.
     */
+  /** reserved name prefix for dropped columns — DROP is a rename to
+    * a hidden unique name (`__graft_dropped_<unitId>_<name>`), so the
+    * whole rename machinery (era-scoped reads, openAt as-of schema,
+    * chain folding, physical fold at compact) applies verbatim;
+    * readers filter the hidden names out of data, index and refs.
+    */
+  private[core] val DroppedPrefix = "__graft_dropped_"
+
+  /** DROP a column, metadata-only (r12 — completes the evolution
+    * triple: add r9, widen+rename r12, drop here): commits a rename
+    * unit to a reserved hidden name. Nothing is rewritten; segments
+    * with smaller ids serve the column as absent, later appends may
+    * re-add the NAME as a brand-new column (old values never
+    * resurrect — they live under the hidden name until compact folds
+    * them away physically). openAt before the drop still serves the
+    * column (as-of schema). Returns the drop's snapshot id.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    require(!name.startsWith(DroppedPrefix),
+      s"'$name' is a reserved dropped-column name")
+    val cur = storedSchema(spark, dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"drop requires schema sidecars on every segment ($dir)"))
+    require(cur.fieldNames.contains(name),
+      s"no column '$name' in store schema (${cur.fieldNames
+        .filterNot(_.startsWith(DroppedPrefix)).mkString(",")})")
+    // the tombstone key columns in use must survive: dropping one
+    // would break the anti-join scoping of existing deletes
+    committedTombstones(spark, dir).foreach { case (id, kc) =>
+      val curKc = currentName(kc,
+        committedRenames(spark, dir).filter(_._1 > id))
+      require(curKc != name,
+        s"column '$name' keys tombstone del_$id — compact() first")
+    }
+    renameColumnUnchecked(spark, dir, name,
+      id => s"$DroppedPrefix${id}_$name")
+  }
+
   def renameColumn(spark: SparkSession, dir: String,
                    from: String, to: String): Int = {
     require(from != to, "rename to the same name is a no-op")
+    require(!from.startsWith(DroppedPrefix) && !to.startsWith(DroppedPrefix),
+      s"the $DroppedPrefix* namespace is reserved for dropColumn")
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     require(segSnapshots(spark, dir).nonEmpty &&
@@ -468,6 +508,21 @@ object Store {
       s"no column '$from' in store schema (${cur.fieldNames.mkString(",")})")
     require(!cur.fieldNames.contains(to),
       s"column '$to' already exists — rename would collide")
+    renameColumnUnchecked(spark, dir, from, _ => to)
+  }
+
+  /** the shared ren_ unit commit for [[renameColumn]]/[[dropColumn]]
+    * (both validate first); `toOf` sees the claimed unit id so drops
+    * can mint a unique hidden name
+    */
+  private def renameColumnUnchecked(spark: SparkSession, dir: String,
+                                    from: String,
+                                    toOf: Int => String): Int = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    require(segSnapshots(spark, dir).nonEmpty &&
+        legacySegIds(spark, dir).isEmpty,
+      s"rename/drop requires a manifest-carrying store ($dir)")
     val id = claimUnitId(fs, root)
     def put(name: String, v: String): Unit = {
       val out = fs.create(
@@ -475,7 +530,7 @@ object Store {
       try out.write(v.getBytes("UTF-8")) finally out.close()
     }
     put("_FROM", from)
-    put("_TO", to)
+    put("_TO", toOf(id))
     fs.create(
       new org.apache.hadoop.fs.Path(s"$root/ren_$id/_COMMITTED")).close()
     id
@@ -624,13 +679,19 @@ object Store {
               delsMapped.takeRight(nDel)))
           }
         }
-      if (parts.nonEmpty) parts.reduce(_ unionByName _)
-      else schema match {
-        case Some(u) =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[
-            org.apache.spark.sql.Row], u)
-        case None => spark.read.parquet(s"$dir/data")
-      }
+      val out =
+        if (parts.nonEmpty) parts.reduce(_ unionByName _)
+        else schema match {
+          case Some(u) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[
+              org.apache.spark.sql.Row], u)
+          case None => spark.read.parquet(s"$dir/data")
+        }
+      // dropped columns are renamed into the hidden namespace —
+      // filter them out of the served frame (compact folds them away
+      // physically; legacy/mixed stores cannot carry renames)
+      val hidden = out.columns.filter(_.startsWith(DroppedPrefix))
+      if (hidden.isEmpty) out else out.drop(hidden.toSeq: _*)
     }
   }
 
@@ -977,7 +1038,7 @@ object Store {
       mapped(spark.read.parquet(s"$root/seg_$id"), id))
     val delFrames = delIds.map(id =>
       mapped(spark.read.parquet(s"$root/del_$id/ixdelta"), id))
-    val index =
+    val index0 =
       if (segFrames.size == 1 && delFrames.isEmpty) segFrames.head
       else {
         val summed = (segFrames ++ delFrames).reduce(_ unionByName _)
@@ -986,6 +1047,12 @@ object Store {
         // if its rows never existed
         if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
       }
+    // drops committed AT OR BEFORE the snapshot hide their entries;
+    // a later drop is invisible to this as-of read
+    val index =
+      if (rens.exists(_._3.startsWith(DroppedPrefix)))
+        index0.where(!col("field").startsWith(DroppedPrefix))
+      else index0
     StoredFrame(IndexedFrame(data, spec), index,
       refsAsOf(spark, dir, Some(upToSeg)))
   }
@@ -1352,7 +1419,13 @@ object Store {
       val summed = (segFrames ++ delFrames)
         .reduce(_ unionByName _)
         .groupBy("field", "value").agg(sum("f").as("f"))
-      if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
+      val netted =
+        if (delFrames.isEmpty) summed else summed.where(col("f") =!= 0L)
+      // entries of DROPPED fields map into the hidden namespace —
+      // filter them like the data read drops the hidden columns
+      if (rens.exists(_._3.startsWith(DroppedPrefix)))
+        netted.where(!col("field").startsWith(DroppedPrefix))
+      else netted
     }
   }
 
@@ -1408,11 +1481,15 @@ object Store {
           val raw = spark.read.parquet(
             ids.map(id => s"$root/rows_$id"): _*)
           // refs written before a rename carry the OLD field name
-          val refs =
+          val refs0 =
             if (nRen == 0) raw
             else raw.select(
               mappedFieldExpr(rens.takeRight(nRen)).as("field"),
               col("value"), col("row_key"))
+          val refs =
+            if (rens.exists(_._3.startsWith(DroppedPrefix)))
+              refs0.where(!col("field").startsWith(DroppedPrefix))
+            else refs0
           dels.takeRight(nDel).foldLeft(refs) { case (acc, (id, _)) =>
             val keys = spark.read.parquet(s"$root/del_$id/keys")
               .select(col("key").as("__graft_del_key"))

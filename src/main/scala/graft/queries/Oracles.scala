@@ -248,6 +248,15 @@ object Oracles {
         |    AS n_oprio
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // dropped column: pre-drop rows read NULL under the re-added
+    // name, appended rows carry the new values
+    "store_evolve_drop" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_flag,
+        |  count(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS n_match
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "merge_index" ->
       """SELECT field, value, count(*) AS f FROM (
         |  SELECT 'l_returnflag' AS field, l_returnflag AS value

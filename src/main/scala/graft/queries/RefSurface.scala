@@ -280,6 +280,33 @@ object RefSurface {
         .orderBy("o_orderstatus")
     }),
 
+    // §2a.12q — DROP-column evolution end-to-end (r12): segment 0 is
+    // the %3==0 orders slice carrying a `flag` column (the
+    // orderpriority); the column is DROPPED (metadata-only — a rename
+    // into the hidden namespace, nothing rewritten); the rest of the
+    // rows append with a brand-new column of the SAME name carrying
+    // the orderstatus. The reopened store serves flag = NULL for the
+    // pre-drop rows (old values never resurrect) and the new values
+    // for the appended ones. Oracle = the CASE spelling.
+    "store_evolve_drop" -> ((s, d) => {
+      val dir = s"/tmp/graft_storedr_${new java.io.File(d).getName}"
+      val orders = Tables.orders(s, d)
+      val dspec = IndexSpec(Seq("o_orderstatus"))
+      Store.write(orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority").as("flag")), dir, dspec)
+      Store.dropColumn(s, dir, "flag")
+      Store.append(orders.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderstatus").as("flag")), dir, dspec)
+      Store.open(s, dir, dspec).frame.df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("flag")).as("n_flag"),
+          count(when(col("flag") === col("o_orderstatus"), 1)).as("n_match"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2a.12p — INTERACTIVE single-point read (r12): one (field,value)
     // membership op served by the driver-side footer-pruned parquet
     // reader (core/PointRead — NO Spark job; the analog of the

@@ -153,4 +153,66 @@ class StoreEvolutionSpec extends SparkSpec {
     Store.append(Seq((4L, "d", 1L)).toDF("id", "category", "n"), dir, spec2)
     assert(Store.open(spark, dir, spec2).frame.df.count() === 4)
   }
+
+  test("dropColumn hides the column, keeps rows, and re-adding never resurrects") {
+    val dir = java.nio.file.Files.createTempDirectory("drop").toString
+    Store.write(Seq((1L, "a", "x1"), (2L, "b", "x2")).toDF("id", "cat", "flag"),
+      dir, spec)
+    Store.dropColumn(spark, dir, "flag")
+    val st = Store.open(spark, dir, spec)
+    assert(st.frame.df.columns.toSeq === Seq("id", "cat"))
+    assert(st.frame.df.count() === 2)
+    // openAt BEFORE the drop still serves the column (as-of schema)
+    val asOf = Store.openAt(spark, dir, spec, 0)
+    assert(asOf.frame.df.columns.toSeq === Seq("id", "cat", "flag"))
+    assert(asOf.frame.df.orderBy("id").select("flag")
+      .collect().map(_.getString(0)).toSeq === Seq("x1", "x2"))
+    // re-add the NAME as a brand-new column: old rows read null —
+    // the dropped values never resurrect
+    Store.append(Seq((3L, "c", "y3")).toDF("id", "cat", "flag"), dir, spec)
+    val re = Store.open(spark, dir, spec).frame.df.orderBy("id")
+    assert(re.columns.toSeq === Seq("id", "cat", "flag"))
+    assert(re.select("flag").collect().map(r =>
+      Option(r.getString(0))).toSeq === Seq(None, None, Some("y3")))
+    // compact folds the hidden column away PHYSICALLY
+    Store.compact(spark, dir)
+    Store.vacuum(spark, dir)
+    val folded = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data")
+    assert(folded.columns.sorted.toSeq === Seq("cat", "flag", "id"))
+    assert(folded.count() === 3)
+    assert(Store.open(spark, dir, spec).frame.df
+      .where(col("flag").isNotNull).count() === 1)
+    // unknown / reserved names refuse
+    intercept[IllegalArgumentException] {
+      Store.dropColumn(spark, dir, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Store.renameColumn(spark, dir, "cat", "__graft_dropped_9_cat")
+    }
+  }
+
+  test("dropping an INDEXED field removes its entries from the merged index") {
+    val dir = java.nio.file.Files.createTempDirectory("dropix").toString
+    val two = IndexSpec(Seq("cat", "tag"))
+    Store.write(Seq((1L, "a", "t1"), (2L, "b", "t2"))
+      .toDF("id", "cat", "tag"), dir, two)
+    Store.dropColumn(spark, dir, "tag")
+    val ix = Store.open(spark, dir, IndexSpec(Seq("cat"))).persistedIndex
+    val fields = ix.select("field").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fields === Set("cat"))
+    // the tombstone-key guard: deleting by a column then dropping it
+    // is refused until compact folds the tombstone
+    val dir2 = java.nio.file.Files.createTempDirectory("dropdel").toString
+    Store.write(Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("id", "cat", "flag"), dir2, spec)
+    Store.delete(spark, dir2, spec, "id", Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Store.dropColumn(spark, dir2, "id")
+    }
+    Store.dropColumn(spark, dir2, "flag") // non-key drop is fine
+    assert(Store.open(spark, dir2, spec).frame.df.columns.toSeq ===
+      Seq("id", "cat"))
+  }
 }
