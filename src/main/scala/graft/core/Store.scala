@@ -950,32 +950,39 @@ object Store {
   private def pointReader(spark: SparkSession,
                           dir: String): PointRead.StorePoint = {
     val conf = spark.sparkContext.hadoopConfiguration
-    new PointRead.StorePoint(
-      conf,
-      eligible = () =>
-        committedTombstones(spark, dir).isEmpty &&
-          committedRenames(spark, dir).isEmpty,
-      segDirs = () => {
-        val (root, _) = currentIndexRoot(spark, dir)
-        val ids = (segSnapshots(spark, dir) ++ legacySegIds(spark, dir))
-          .distinct.sorted
-        ids.map(id => new org.apache.hadoop.fs.Path(s"$root/seg_$id"))
-      },
-      rowsDirs = () => {
-        val (root, _) = currentIndexRoot(spark, dir)
-        val (fs, _) = fsFor(spark, dir)
-        val rp = new org.apache.hadoop.fs.Path(root)
-        val present =
-          if (!fs.exists(rp)) Seq.empty[Int]
-          else fs.listStatus(rp).map(_.getPath.getName).toSeq
-            .collect { case s if s.startsWith("rows_") => s.drop(5).toInt }
-        // committed segments only, mirroring refsAsOf's scoping
-        val committed = segSnapshots(spark, dir)
-        val keep =
-          if (committed.isEmpty) present
-          else present.filter((committed ++ legacySegIds(spark, dir)).toSet)
-        keep.sorted.map(id => new org.apache.hadoop.fs.Path(s"$root/rows_$id"))
-      })
+    // SNAPSHOT AT OPEN: eligibility and the unit lists are resolved
+    // NOW, so fPoint/rowsOfPoint answer over the same committed
+    // segments the handle's plan DataFrames were planned over — a
+    // segment committed between open() and the first point lookup
+    // must not make the two faces of one handle disagree. (Cost: a
+    // few listStatus/manifest probes open() already pays variants of;
+    // only the footer I/O stays lazy.)
+    val eligibleNow = committedTombstones(spark, dir).isEmpty &&
+      committedRenames(spark, dir).isEmpty
+    val (root, _) = currentIndexRoot(spark, dir)
+    val segDirsNow = {
+      val ids = (segSnapshots(spark, dir) ++ legacySegIds(spark, dir))
+        .distinct.sorted
+      ids.map(id => new org.apache.hadoop.fs.Path(s"$root/seg_$id"))
+    }
+    val rowsDirsNow = {
+      val (fs, _) = fsFor(spark, dir)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val present =
+        if (!fs.exists(rp)) Seq.empty[Int]
+        else fs.listStatus(rp).map(_.getPath.getName).toSeq
+          .collect { case s if s.startsWith("rows_") => s.drop(5).toInt }
+      // committed segments only, mirroring refsAsOf's scoping
+      val committed = segSnapshots(spark, dir)
+      val keep =
+        if (committed.isEmpty) present
+        else present.filter((committed ++ legacySegIds(spark, dir)).toSet)
+      keep.sorted.map(id => new org.apache.hadoop.fs.Path(s"$root/rows_$id"))
+    }
+    new PointRead.StorePoint(conf,
+      eligible = () => eligibleNow,
+      segDirs = () => segDirsNow,
+      rowsDirs = () => rowsDirsNow)
   }
 
   /** Available snapshot ids of the live generation, ascending: each

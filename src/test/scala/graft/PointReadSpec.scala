@@ -98,6 +98,23 @@ class PointReadSpec extends SparkSpec {
     assert(st.fPoint("category", "c2") > 0L)
   }
 
+  test("a handle's point face is pinned to its open-time snapshot") {
+    // an append committed AFTER open() must not surface through
+    // fPoint/rowsOfPoint while the same handle's plan DataFrames
+    // still serve the open-time segments
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 140), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    val before = st.fPoint("cat", "c1")
+    Store.append(mkDf(140 until 280), s"$dir/s", spec)
+    assert(st.fPoint("cat", "c1") === before)
+    assert(st.fPoint("cat", "c1") === planF(st, "cat", "c1"))
+    // a FRESH open serves the appended rows through both faces
+    val st2 = Store.open(spark, s"$dir/s", spec)
+    assert(st2.fPoint("cat", "c1") === planF(st2, "cat", "c1"))
+    assert(st2.fPoint("cat", "c1") > before)
+  }
+
   test("string row keys read back as strings") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     val df = (0 until 120)
