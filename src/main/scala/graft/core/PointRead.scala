@@ -86,7 +86,35 @@ object PointRead {
     "parquet.page.row.count.limit" -> "8192",
     "parquet.enable.dictionary#value" -> "false")
 
-  private type Rng = Option[(String, String, String, String)]
+  /** (field min, field max, value min, value max) as raw UTF-8 bytes
+    * — kept in PARQUET'S order. Parquet computes binary/UTF8 column
+    * stats in unsigned byte (code-point) order, which inverts against
+    * Java String (UTF-16 code unit) comparison for supplementary
+    * characters (an emoji byte-compares above U+E000 but
+    * UTF-16-compares below it), so a String-ordered prune could
+    * falsely drop a file that contains the key (r12 advice, medium).
+    * All prune comparisons go through [[unsignedCmp]] on UTF-8 bytes.
+    */
+  private type Rng = Option[(Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+
+  /** unsigned lexicographic byte comparison — parquet's BINARY/UTF8
+    * statistics order
+    */
+  private def unsignedCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def minB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (unsignedCmp(a, b) <= 0) a else b
+  private def maxB(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (unsignedCmp(a, b) >= 0) a else b
 
   /** per-file cached metadata: footer + (field,value) min/max for
     * file-level pruning (None when any row group lacks usable stats —
@@ -107,6 +135,25 @@ object PointRead {
       }.sortBy(_.getName)
   }
 
+  /** one shared Cleaner for every [[Reader]]: a Reader that was never
+    * close()d has its open ParquetFileReader handles released when it
+    * becomes unreachable (the leak the r12 advice flagged — the old
+    * comment claimed finalizers that did not exist)
+    */
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  /** the Cleaner-owned cleanup state: holds the open file readers so
+    * the cleanup action can close them WITHOUT referencing the Reader
+    */
+  private final class ReaderState extends Runnable {
+    val openReaders =
+      scala.collection.mutable.HashMap.empty[Path, ParquetFileReader]
+    override def run(): Unit = {
+      openReaders.values.foreach(r => scala.util.Try(r.close()))
+      openReaders.clear()
+    }
+  }
+
   /** converter sink for ColumnReadStoreImpl — values are pulled via
     * the readers' typed getters, nothing is materialized
     */
@@ -125,11 +172,21 @@ object PointRead {
     * stay cached for the Reader's lifetime (the mmap-open-bitmap
     * model) — a repeat lookup does only the page I/O + decode of the
     * pages straddling the key. Not thread-safe; one interactive
-    * caller per store handle. close() releases the file handles;
-    * GC finalizers mop up otherwise.
+    * caller per store handle. close() releases the file handles; a
+    * never-closed Reader's handles are released by the shared
+    * [[java.lang.ref.Cleaner]] when the Reader becomes unreachable
+    * (no caller is forced to thread close() through StoredFrame, and
+    * a long-lived process opening many stores does not accumulate
+    * open ParquetFileReader fds — r12 advice).
     */
   final class Reader(conf: Configuration, dirs: Seq[Path], payload: String)
       extends AutoCloseable {
+
+    // the open-reader map lives in a state object the Cleaner action
+    // owns — the action must not capture `this` or the Reader would
+    // never become phantom-reachable
+    private val state = new ReaderState
+    private val cleanable = cleaner.register(this, state)
 
     // footers read once per store handle, on first lookup
     private lazy val metas: Seq[FileMeta] =
@@ -149,18 +206,15 @@ object PointRead {
             if (blockRanges.exists(_.isEmpty)) None
             else blockRanges.flatten
               .reduceOption((a, b) => (
-                if (a._1 < b._1) a._1 else b._1,
-                if (a._2 > b._2) a._2 else b._2,
-                if (a._3 < b._3) a._3 else b._3,
-                if (a._4 > b._4) a._4 else b._4))
+                minB(a._1, b._1), maxB(a._2, b._2),
+                minB(a._3, b._3), maxB(a._4, b._4)))
           FileMeta(file, footer, fileRange, blockRanges, proj)
         } finally rd.close()
       }
 
-    // open readers + per-row-group column-index stores, cached for
-    // the handle's lifetime
-    private val openReaders =
-      scala.collection.mutable.HashMap.empty[Path, ParquetFileReader]
+    // open readers (in the Cleaner-owned state) + per-row-group
+    // column-index stores, cached for the handle's lifetime
+    private def openReaders = state.openReaders
     private val indexStores = scala.collection.mutable.HashMap.empty[
       (Path, Int),
       org.apache.parquet.internal.filter2.columnindex.ColumnIndexStore]
@@ -174,20 +228,18 @@ object PointRead {
       })
 
     override def close(): Unit = {
-      openReaders.values.foreach(r => scala.util.Try(r.close()))
-      openReaders.clear()
+      cleanable.clean() // runs ReaderState.run at most once
       indexStores.clear()
     }
 
     private def blockRange(
         b: org.apache.parquet.hadoop.metadata.BlockMetaData): Rng = {
       val cols = b.getColumns.asScala
-      def rng(name: String): Option[(String, String)] =
+      def rng(name: String): Option[(Array[Byte], Array[Byte])] =
         cols.find(_.getPath.toDotString == name).flatMap { c =>
           c.getStatistics match {
             case s: BinaryStatistics if !s.isEmpty && s.hasNonNullValue =>
-              Some((s.genericGetMin.toStringUsingUTF8,
-                    s.genericGetMax.toStringUsingUTF8))
+              Some((s.genericGetMin.getBytes, s.genericGetMax.getBytes))
             case _ => None
           }
         }
@@ -199,19 +251,24 @@ object PointRead {
 
     /** sorted-on-(field,value) prune rule shared by files and row
       * groups: the value range only constrains a unit wholly inside
-      * ONE field.
+      * ONE field. Comparisons are unsigned UTF-8 byte order — the
+      * order parquet computed the stats in (see [[Rng]]).
       */
-    private def straddles(r: Rng, field: String, value: String): Boolean =
+    private def straddles(r: Rng, field: Array[Byte],
+                          value: Array[Byte]): Boolean =
       r match {
         case None => true
         case Some((fMin, fMax, vMin, vMax)) =>
-          if (field < fMin || field > fMax) false
-          else if (fMin == fMax && fMin == field)
-            value >= vMin && value <= vMax
+          if (unsignedCmp(field, fMin) < 0 ||
+              unsignedCmp(field, fMax) > 0) false
+          else if (unsignedCmp(fMin, fMax) == 0 &&
+                   unsignedCmp(fMin, field) == 0)
+            unsignedCmp(value, vMin) >= 0 && unsignedCmp(value, vMax) <= 0
           else true
       }
 
-    private def candidates(field: String, value: String): Seq[FileMeta] =
+    private def candidates(field: Array[Byte],
+                           value: Array[Byte]): Seq[FileMeta] =
       metas.filter(m => straddles(m.range, field, value))
 
     /** all payload values for rows where field/value match exactly */
@@ -221,12 +278,14 @@ object PointRead {
         ColumnIndexFilter, ColumnIndexStore}
       val fB = Binary.fromString(field)
       val vB = Binary.fromString(value)
+      val fBytes = fB.getBytes
+      val vBytes = vB.getBytes
       val pred = FilterApi.and(
         FilterApi.eq(FilterApi.binaryColumn("field"), fB),
         FilterApi.eq(FilterApi.binaryColumn("value"), vB))
       val filter = FilterCompat.get(pred)
       val out = Seq.newBuilder[Any]
-      candidates(field, value).foreach { m =>
+      candidates(fBytes, vBytes).foreach { m =>
         val r = readerFor(m)
         val cols = m.proj.getColumns.asScala
         val kTpe = m.proj.getFields.asScala
@@ -235,7 +294,7 @@ object PointRead {
           cols.map(c => ColumnPath.get(c.getPath: _*)).toSet.asJava
         val blocks = m.footer.getBlocks.asScala.toSeq
         blocks.indices.foreach { bi =>
-          if (straddles(m.blockRanges(bi), field, value)) {
+          if (straddles(m.blockRanges(bi), fBytes, vBytes)) {
             // page-level prune from the CACHED column indexes — in
             // memory after the first lookup that touches this group
             val store = indexStores.getOrElseUpdate((m.file, bi),

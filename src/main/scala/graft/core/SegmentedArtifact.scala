@@ -178,8 +178,36 @@ object SegmentedArtifact {
   *
   * Schema contract for `buildCounts`: group columns are every
   * non-LongType column; every LongType column is a summable count.
+  * The contract is VALIDATED, not assumed (r12 advice): a build with
+  * no LongType column fails loudly at refresh/read (previously an
+  * opaque NoSuchElementException), and a build that carries the
+  * store's delete key column through as a LongType fails too — that
+  * column would be silently SUMMED as a count, corrupting the netted
+  * aggregate without error. Group keys that are ids must be cast to
+  * string/int by the build (the partials are small aggregates; the
+  * cast costs nothing at read).
   */
 object SegmentedAgg {
+
+  /** the schema-contract gate shared by refresh (fail at build time,
+    * before any partial persists) and read (legacy partials)
+    */
+  private def validateCountsSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: Option[String], where: String): Unit = {
+    val longs = schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.LongType)
+      .map(_.name)
+    require(longs.nonEmpty,
+      s"SegmentedAgg $where: buildCounts output has no LongType column " +
+        s"— the contract is 'every LongType column is a summable " +
+        s"count' (schema: ${schema.simpleString})")
+    keyCol.foreach(k => require(!longs.contains(k),
+      s"SegmentedAgg $where: the delete key column '$k' appears in the " +
+        s"buildCounts output as LongType — it would be summed as a " +
+        s"count and corrupt the netted aggregate; group on a " +
+        s"non-Long cast of it or drop it from the output"))
+  }
 
   private def famRoot(dir: String, family: String) = s"$dir/agg/$family"
 
@@ -245,7 +273,9 @@ object SegmentedAgg {
     segs.foreach { id =>
       val art = s"$fam/seg_$id"
       if (!fresh(art, s"$root/seg_$id")) {
-        buildCounts(segData(id)).write.mode(SaveMode.Overwrite).parquet(art)
+        val counts = buildCounts(segData(id))
+        validateCountsSchema(counts.schema, Some(keyCol), s"refresh($fam)")
+        counts.write.mode(SaveMode.Overwrite).parquet(art)
         stamp(art, s"$root/seg_$id")
         built += s"seg_$id"
       }
@@ -270,6 +300,8 @@ object SegmentedAgg {
           val victims = base.join(keys,
             base(keyCol) === col("__graft_del_key"), "left_semi")
           val counts = buildCounts(victims)
+          validateCountsSchema(counts.schema, Some(keyCol),
+            s"refresh($fam)")
           val negated = counts.select(counts.schema.fields.map { f =>
             if (f.dataType == org.apache.spark.sql.types.LongType)
               (-col(f.name)).as(f.name)
@@ -319,6 +351,7 @@ object SegmentedAgg {
     val dirs = segs.map(id => s"$fam/seg_$id") ++
       (for (t <- dels; s <- segs if s < t) yield s"$fam/del_${t}_seg_$s")
     val all = spark.read.parquet(dirs: _*)
+    validateCountsSchema(all.schema, None, s"read($fam)")
     val countCols = all.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.LongType)
       .map(_.name).toSeq

@@ -461,6 +461,28 @@ object Store {
     */
   private[core] val DroppedPrefix = "__graft_dropped_"
 
+  /** the hidden-namespace guard every data write runs (r12 advice):
+    * a USER column named into the reserved dropped-column namespace
+    * would be silently hidden by every read (dataAsOf drops it
+    * unconditionally; its index/refs entries vanish once any drop
+    * commits) — reject it at the write, where the mistake is visible,
+    * and reject index specs that would index such a field.
+    */
+  private def rejectReservedNames(
+      schema: org.apache.spark.sql.types.StructType,
+      spec: IndexSpec): Unit = {
+    val bad = schema.fieldNames.filter(_.startsWith(DroppedPrefix))
+    require(bad.isEmpty,
+      s"column name(s) ${bad.mkString(", ")} use the reserved " +
+        s"$DroppedPrefix* namespace (dropColumn's hidden names) — " +
+        s"readers would silently hide them; rename before writing")
+    val badSpec = spec.fields.filter(_.startsWith(DroppedPrefix))
+    require(badSpec.isEmpty,
+      s"index field(s) ${badSpec.mkString(", ")} use the reserved " +
+        s"$DroppedPrefix* namespace — their entries would be " +
+        s"filtered from every index read")
+  }
+
   /** DROP a column, metadata-only (r12 — completes the evolution
     * triple: add r9, widen+rename r12, drop here): commits a rename
     * unit to a reserved hidden name. Nothing is rewritten; segments
@@ -895,6 +917,7 @@ object Store {
     */
   def write(df: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = df.sparkSession
+    rejectReservedNames(df.schema, spec)
     val (fs, base) = fsFor(spark, dir)
     // store-owned generation dirs are EXACTLY index_g<int> — the same
     // numeric parse currentIndexRoot applies, so a caller's unrelated
@@ -1120,6 +1143,7 @@ object Store {
     */
   def append(batch: DataFrame, dir: String, spec: IndexSpec): Unit = {
     val spark = batch.sparkSession
+    rejectReservedNames(batch.schema, spec)
     var (root, gen) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -1265,6 +1289,7 @@ object Store {
   def appendBatch(batch: DataFrame, dir: String, spec: IndexSpec,
                   batchId: Long): Boolean = {
     val spark = batch.sparkSession
+    rejectReservedNames(batch.schema, spec)
     require(batchId >= 0 && batchId <= Int.MaxValue.toLong,
       s"batchId out of segment-id range: $batchId")
     val segId = batchId.toInt
