@@ -315,11 +315,33 @@ object Store {
   //  - append ∥ delete on DISJOINT keys: safe — the tombstone scopes
   //    over smaller ids only, so a concurrently-appended segment with
   //    a larger id is untouched.
-  //  - delete of keys a concurrent append is WRITING: unresolved (the
-  //    tombstone may scope over a segment whose rows its victim scan
-  //    never saw — index nets wrong). Table formats solve this with
-  //    commit-time conflict detection; here it is a documented
-  //    single-writer requirement for key-overlapping delete+append.
+  //  - delete of keys a concurrent append is WRITING: safe (r13) via
+  //    COMMIT-TIME CONFLICT DETECTION — the Iceberg validate-at-commit
+  //    idiom adapted to this unit-commit protocol. The DATA read is
+  //    race-free by construction (the anti-join uses the tombstone's
+  //    complete key set, scoped by id); only the INDEX netting is
+  //    scan-derived (ixdelta covers the segments the victim scan saw).
+  //    So each tombstone records per-segment coverage TOKENS
+  //    (`_scope_<segId>`, create-if-absent — at most one coverer per
+  //    (tombstone, segment) pair), and:
+  //      1. the victim scan is snapshot-scoped to ids < the
+  //         tombstone's own (a concurrent append at a HIGHER id must
+  //         not be negated — the tombstone does not delete its rows);
+  //      2. at commit, a validate loop covers any segment < id that
+  //         committed after the scan (win the token, scan just that
+  //         segment, write its negative entries as `ixrepair_<segId>`)
+  //         before the marker is created;
+  //      3. after the marker, ONE post-commit re-check; and every
+  //         APPENDER runs the symmetric post-commit check (cover
+  //         committed tombstones with a larger id that missed its
+  //         segment). Publish-then-check on both sides means whichever
+  //         side publishes second sees the other's unit — at least one
+  //         detects, and the token makes the repair exclusive.
+  //    Residual window: a crash between winning a token and writing
+  //    the repair entries leaves that (tombstone, segment) pair's
+  //    index netting incomplete until compact (which rebuilds from the
+  //    keys-based data read and is always right). Data reads are
+  //    correct throughout.
   //  - compact/vacuum: exclusive — they rewrite/reclaim shared state
   //    and may not run concurrently with any other writer.
 
@@ -343,11 +365,11 @@ object Store {
     }
   }
 
-  private def claimPath(root: String, id: Int) =
+  private[core] def claimPath(root: String, id: Int) =
     new org.apache.hadoop.fs.Path(s"$root/_claim_$id")
 
   /** atomically claim the next free unit id under `root` */
-  private def claimUnitId(fs: org.apache.hadoop.fs.FileSystem,
+  private[core] def claimUnitId(fs: org.apache.hadoop.fs.FileSystem,
                           root: String): Int = {
     var id = nextUnitId(fs, root)
     var attempts = 0
@@ -606,10 +628,16 @@ object Store {
     * returns the store to a single clean branch.
     */
   private def dataAsOf(spark: SparkSession, dir: String,
-                       upTo: Option[Int]): DataFrame = {
+                       upTo: Option[Int],
+                       fixedSegs: Option[Seq[Int]] = None): DataFrame = {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
-    val segIds = segSnapshots(spark, dir).filter(id => upTo.forall(id <= _))
+    // fixedSegs pins the plan to an EXACT segment list (the tombstone
+    // victim scan needs its coverage record to equal what the plan
+    // saw — a relisting here could silently include a segment that
+    // committed after the caller's listing)
+    val segIds = fixedSegs.getOrElse(
+      segSnapshots(spark, dir).filter(id => upTo.forall(id <= _)))
     val dels = committedTombstones(spark, dir)
       .filter(d => upTo.forall(d._1 <= _))
     val rens = committedRenames(spark, dir)
@@ -736,8 +764,10 @@ object Store {
     * re-appended afterwards is live (the Iceberg/Delta semantics).
     * When the store carries row-refs, `keyCol` must be the refs key
     * column — deleting by any other column would leave the refs
-    * artifact serving deleted rows (checked against `spec`). Single
-    * writer, like append/compact.
+    * artifact serving deleted rows (checked against `spec`). Safe to
+    * run concurrently with appends — even appends WRITING the victim
+    * keys — via commit-time conflict detection (r13; see the
+    * concurrency-contract notes above). compact/vacuum stay exclusive.
     */
   def delete(spark: SparkSession, dir: String, spec: IndexSpec,
              keyCol: String, keys: DataFrame): Int =
@@ -747,7 +777,7 @@ object Store {
     * latter defers the `_COMMITTED` marker until its replacement
     * segment has committed (crash-atomicity, see [[upsert]]).
     */
-  private def writeTombstone(spark: SparkSession, dir: String,
+  private[core] def writeTombstone(spark: SparkSession, dir: String,
                              spec: IndexSpec, keyCol: String,
                              keys: DataFrame, commit: Boolean): Int = {
     spec.rowRefs.foreach(rk => require(rk == keyCol,
@@ -762,15 +792,47 @@ object Store {
       s"delete on a mixed (legacy+manifest) store cannot be scoped — " +
         s"compact() first ($dir)")
     val id = claimUnitId(fs, root)
-    val live = dataAsOf(spark, dir, None)
-    require(live.columns.contains(keyCol),
-      s"no column '$keyCol' in store data (${live.columns.mkString(",")})")
-    val kt = live.schema(keyCol).dataType
+    val live0 = dataAsOf(spark, dir, Some(id))
+    require(live0.columns.contains(keyCol),
+      s"no column '$keyCol' in store data (${live0.columns.mkString(",")})")
+    val kt = live0.schema(keyCol).dataType
     val inCol = keys.columns.head
     val k = keys.select(col(inCol).cast(kt).as("key")).distinct()
     // commit protocol: keys + ixdelta + keycol first, marker LAST —
     // a crash leaves an uncommitted unit no reader ever applies
     k.write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/keys")
+    scanVictimIndex(spark, dir, root, spec, keyCol, id)
+    val kc = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_KEYCOL"), true)
+    try kc.write(keyCol.getBytes("UTF-8")) finally kc.close()
+    if (commit) commitTombstone(spark, dir, spec, keyCol, id)
+    id
+  }
+
+  /** the tombstone's (re-runnable) victim index scan: list the
+    * committed segments and tombstones BELOW `id`, scan exactly those
+    * segments' then-live rows for the persisted key set, Overwrite
+    * `ixdelta`, and record coverage tokens — `_scope_<seg>` for each
+    * segment the scan provably covered (the plan is PINNED to the
+    * listed set, never a relisting) and `_delseen_<t>` for each
+    * earlier tombstone whose victims the then-live rule excluded.
+    * A full rescan also retires any incremental `ixrepair_*` dirs:
+    * the fresh ixdelta re-covers their segments, so keeping them
+    * would double-negate.
+    */
+  private def scanVictimIndex(spark: SparkSession, dir: String,
+                              root: String, spec: IndexSpec,
+                              keyCol: String, id: Int): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    // listings BEFORE the plan; the plan is pinned to them exactly
+    val scanned = segSnapshots(spark, dir).filter(_ < id)
+    val delsSeen = committedTombstones(spark, dir).map(_._1)
+      .filter(_ < id)
+    // SNAPSHOT-SCOPED to ids < this tombstone's own: the tombstone
+    // does not delete rows of concurrently-committed HIGHER-id
+    // segments, so indexing them as victims would over-negate (the
+    // data read keeps them — index nets wrong)
+    val live = dataAsOf(spark, dir, Some(id), Some(scanned))
     val persisted = spark.read.parquet(s"$root/del_$id/keys")
       .select(col("key").as("__graft_del_key"))
     // index the victims read back from the PERSISTED key set (the
@@ -781,12 +843,163 @@ object Store {
     IndexedFrame(victims, spec).entries
       .select(col("field"), col("value"), (-col("f")).as("f"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/ixdelta")
-    val kc = fs.create(
-      new org.apache.hadoop.fs.Path(s"$root/del_$id/_KEYCOL"), true)
-    try kc.write(keyCol.getBytes("UTF-8")) finally kc.close()
-    if (commit) fs.create(
+    val base = new org.apache.hadoop.fs.Path(s"$root/del_$id")
+    fs.listStatus(base).map(_.getPath).filter(
+      _.getName.startsWith("ixrepair_")).foreach(fs.delete(_, true))
+    scanned.foreach(s => atomicCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_scope_$s")))
+    delsSeen.foreach(t => atomicCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_delseen_$t")))
+  }
+
+  /** COMMIT-TIME CONFLICT DETECTION for a tombstone (r12 verdict #1 —
+    * the Iceberg validate-at-commit idiom): before the `_COMMITTED`
+    * marker, a validate loop covers every committed segment < `id`
+    * the victim scan missed (a concurrent append that committed in
+    * between); after the marker, one re-check closes the remaining
+    * listing window (see the publish-then-check argument in the
+    * concurrency notes — the appender's own post-commit check is the
+    * other half).
+    */
+  private[core] def commitTombstone(spark: SparkSession, dir: String,
+                                    spec: IndexSpec, keyCol: String,
+                                    id: Int): Unit = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    var attempts = 0
+    var stable = false
+    while (!stable) {
+      attempts += 1
+      require(attempts <= 10000,
+        s"tombstone del_$id could not stabilize against concurrent " +
+          s"writers under $root")
+      // a RACING EARLIER-ID TOMBSTONE that committed after our scan
+      // invalidates the then-live rule wholesale (rows it killed are
+      // still negated in our ixdelta — they would net twice): full
+      // rescan, which re-lists and re-records everything. Checked
+      // FIRST because it resets the segment coverage too.
+      val newDels = committedTombstones(spark, dir).map(_._1)
+        .filter(_ < id).filterNot(t => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/del_$id/_delseen_$t")))
+      if (newDels.nonEmpty) {
+        scanVictimIndex(spark, dir, root, spec, keyCol, id)
+      } else {
+        val unseen = segSnapshots(spark, dir).filter(_ < id).filterNot(s =>
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/del_$id/_scope_$s")))
+        if (unseen.isEmpty) stable = true
+        else unseen.foreach(s =>
+          coverSegment(spark, dir, root, spec, keyCol, id, s))
+      }
+    }
+    fs.create(
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_COMMITTED")).close()
-    id
+    // post-commit re-check: an append whose manifest landed between
+    // the loop's last listing and the marker is seen HERE (its own
+    // post-commit check may also see us — the token dedups). The
+    // symmetric tombstone-vs-tombstone post-marker window (two
+    // overlapping-key DELETES whose markers land inside each other's
+    // final listing gap) is NOT closed — concurrent deletes of
+    // overlapping keys remain a caller-serialized operation, as in
+    // any log-less commit protocol; compact() always heals.
+    segSnapshots(spark, dir).filter(_ < id).foreach(s =>
+      coverSegment(spark, dir, root, spec, keyCol, id, s))
+  }
+
+  /** idempotent, exclusive repair of one (tombstone, segment) pair:
+    * win the `_scope_<segId>` token (create-if-absent — the loser
+    * returns immediately), scan JUST that segment for the tombstone's
+    * victims under the then-live rule (rows an intermediate tombstone
+    * already killed are excluded), and publish their negated index
+    * entries as `del_<id>/ixrepair_<segId>` (read by every index
+    * merge alongside the main ixdelta). O(segment), never a corpus
+    * pass. Shared by the delete-side validate loop and the
+    * appender-side post-commit check.
+    */
+  private[core] def coverSegment(spark: SparkSession, dir: String,
+                                 root: String, spec: IndexSpec,
+                                 keyCol: String, id: Int,
+                                 segId: Int): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    if (!atomicCreate(fs, new org.apache.hadoop.fs.Path(
+        s"$root/del_$id/_scope_$segId"))) return
+    val files = readManifest(fs, s"$root/seg_$segId")
+      .getOrElse(Nil).map(n => s"$dir/data/$n")
+    if (files.isEmpty) return
+    val raw = readSchemaSidecar(fs, s"$root/seg_$segId") match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+    // the segment's files carry the names of ITS era; map them to the
+    // names current at the tombstone's id so the repair entries match
+    // the ixdelta's vocabulary (renames after `id` then apply to both
+    // uniformly at read)
+    val rensBetween = committedRenames(spark, dir)
+      .filter(r => r._1 > segId && r._1 <= id)
+    val seg =
+      if (rensBetween.isEmpty) raw
+      else raw.select(raw.columns.map(c =>
+        col(c).as(currentName(c, rensBetween))).toSeq: _*)
+    if (!seg.columns.contains(keyCol)) return // no victims possible
+    // then-live: exclude rows an intermediate tombstone (segId < t' <
+    // id) already killed, or their entries would be negated twice
+    val earlier = committedTombstones(spark, dir)
+      .filter { case (t, _) => t > segId && t < id }
+    val base = earlier.foldLeft(seg) { case (acc, (t, kcT)) =>
+      val kcAtId = currentName(kcT,
+        committedRenames(spark, dir).filter(r => r._1 > t && r._1 <= id))
+      if (!acc.columns.contains(kcAtId)) acc
+      else {
+        val k2 = spark.read.parquet(s"$root/del_$t/keys")
+          .select(col("key").as("__graft_del_key"))
+        acc.join(k2, acc(kcAtId) === col("__graft_del_key"), "left_anti")
+      }
+    }
+    val keys = spark.read.parquet(s"$root/del_$id/keys")
+      .select(col("key").as("__graft_del_key"))
+    val victims = base.join(keys,
+      base(keyCol) === col("__graft_del_key"), "left_semi")
+    if (victims.isEmpty) return // token alone records the coverage
+    IndexedFrame(victims, spec).entries
+      .select(col("field"), col("value"), (-col("f")).as("f"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/del_$id/ixrepair_$segId")
+  }
+
+  /** the appender half of conflict detection: after a segment's
+    * manifest commits, cover every committed tombstone with a LARGER
+    * id that has no coverage token for this segment (it scanned
+    * before this segment committed). Steady state — no racing delete
+    * — this is one listing and zero tokens.
+    */
+  private def repairTombstonesFor(spark: SparkSession, dir: String,
+                                  spec: IndexSpec, segId: Int): Unit = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    committedTombstones(spark, dir).foreach { case (t, kcT) =>
+      if (t > segId && !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/del_$t/_scope_$segId"))) {
+        // the tombstone's keyCol name as of ITS id is what its keys
+        // apply to — map forward is a no-op here (kcT recorded at t)
+        coverSegment(spark, dir, root, spec, kcT, t, segId)
+      }
+    }
+  }
+
+  /** the index-delta directories of one committed tombstone: the main
+    * `ixdelta` plus any completed conflict repairs (`ixrepair_<seg>`,
+    * published by their `_SUCCESS`)
+    */
+  private def tombstoneIxDirs(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String, id: Int): Seq[String] = {
+    val base = s"$root/del_$id"
+    val repairs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).toSeq
+      .filter(_.startsWith("ixrepair_"))
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$base/$n/_SUCCESS")))
+      .map(n => s"$base/$n")
+    s"$base/ixdelta" +: repairs.sorted
   }
 
   /** the store's commit HISTORY (the DESCRIBE HISTORY analog):
@@ -861,10 +1074,10 @@ object Store {
     val delId = writeTombstone(spark, dir, spec, keyCol,
       batch.select(keyCol), commit = false)
     append(batch, dir, spec)
-    val (root, _) = currentIndexRoot(spark, dir)
-    val (fs, _) = fsFor(spark, dir)
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/del_$delId/_COMMITTED")).close()
+    // the deferred marker goes through the same validate-at-commit as
+    // delete's (the upsert's own replacement segment has a larger id
+    // and is correctly out of scope)
+    commitTombstone(spark, dir, spec, keyCol, delId)
     segSnapshots(spark, dir).max
   }
 
@@ -1066,8 +1279,9 @@ object Store {
     }
     val segFrames = segIds.map(id =>
       mapped(spark.read.parquet(s"$root/seg_$id"), id))
+    val (fsA, _) = fsFor(spark, dir)
     val delFrames = delIds.map(id =>
-      mapped(spark.read.parquet(s"$root/del_$id/ixdelta"), id))
+      mapped(spark.read.parquet(tombstoneIxDirs(fsA, root, id): _*), id))
     val index0 =
       if (segFrames.size == 1 && delFrames.isEmpty) segFrames.head
       else {
@@ -1123,13 +1337,15 @@ object Store {
     * id atomically (`_claim_<id>` create-if-absent — see the id-claims
     * protocol notes above) and writes only under its claimed paths,
     * so two pipelines appending to one store commit independent
-    * segments with distinct ids. What remains EXCLUSIVE: [[compact]]
-    * and [[vacuum]] (they supersede/reclaim shared state — a compact
-    * racing an in-flight append would strand its segment in the
-    * retired generation), and delete-while-appending THE SAME KEYS
-    * (see the concurrency contract above). foreachBatch already
-    * serializes batches; schedule compact between batches (e.g.
-    * inside the same foreachBatch, every N batches).
+    * segments with distinct ids, and a concurrent [[delete]] — even
+    * of keys this append is writing — nets correctly via commit-time
+    * conflict detection (r13; see the concurrency contract above).
+    * What remains EXCLUSIVE: [[compact]] and [[vacuum]] (they
+    * supersede/reclaim shared state — a compact racing an in-flight
+    * append would strand its segment in the retired generation).
+    * foreachBatch already serializes batches; schedule compact
+    * between batches (e.g. inside the same foreachBatch, every N
+    * batches).
     *
     * DELIVERY: at-least-once — the data append and the index-segment
     * write are two separate commits. A crash between them leaves the
@@ -1208,6 +1424,18 @@ object Store {
     // scopes deletes against later appends (a re-appended key lives).
     // CLAIMED atomically, so concurrent appenders get distinct ids.
     val segId = claimUnitId(fs, root)
+    appendSegment(batch, dir, spec, segId, root)
+  }
+
+  /** the post-claim half of [[append]] — everything that happens
+    * under an already-claimed unit id (separated so the conflict-
+    * detection interleavings are deterministically testable)
+    */
+  private[core] def appendSegment(batch: DataFrame, dir: String,
+                                  spec: IndexSpec, segId: Int,
+                                  root: String): Unit = {
+    val spark = batch.sparkSession
+    val (fs, _) = fsFor(spark, dir)
     // VALIDATE BEFORE MUTATING: a type-changed column rejected only by
     // unionSchema at open()/compact() time would already have
     // persisted its data files and sidecar — leaving the store
@@ -1255,6 +1483,12 @@ object Store {
           .parquet(s"$root/rows_$segId")
       writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
       writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
+      // appender half of delete∥append conflict detection: a
+      // concurrently-committing tombstone with a larger id may have
+      // scanned before this manifest landed — cover it now (see the
+      // concurrency-contract notes; no racing delete ⇒ one listing,
+      // zero work)
+      repairTombstonesFor(spark, dir, spec, segId)
     }
   }
 
@@ -1358,6 +1592,8 @@ object Store {
     }
     writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
     writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
+    // appender half of delete∥append conflict detection (see append)
+    repairTombstonesFor(spark, dir, spec, segId)
     true
   }
 
@@ -1420,9 +1656,10 @@ object Store {
       else segs.toSeq.sorted.map(n => s"$root/$n")
     val rens = committedRenames(spark, dir)
     val delFrames = committedTombstones(spark, dir).map { case (id, _) =>
-      // a tombstone's ixdelta speaks the names current at its id —
-      // later renames map its field column like any older unit's
-      val d = spark.read.parquet(s"$root/del_$id/ixdelta")
+      // a tombstone's ixdelta (and its conflict repairs) speak the
+      // names current at its id — later renames map their field
+      // column like any older unit's
+      val d = spark.read.parquet(tombstoneIxDirs(fs, root, id): _*)
       if (rens.isEmpty) d
       else d.select(mappedFieldExpr(rens.filter(_._1 > id)).as("field"),
         col("value"), col("f"))
