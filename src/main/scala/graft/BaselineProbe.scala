@@ -189,6 +189,21 @@ object BaselineProbe {
     }
     results += "freq_single_point" -> (pf, 1L)
 
+    // 11d. point CO-OCCURRENCE (the reference's fAnd over two warm
+    //    bitmaps — its second-most-used interactive op): two point
+    //    membership reads intersected driver-side, no Spark job.
+    //    Keys from two DIFFERENT fields so the intersection is a
+    //    genuine co-occurrence, not a same-field disjointness.
+    val pairKeys = hkeys.collect()
+    val kA = pairKeys.head
+    val kB = pairKeys.find(_.getString(0) != kA.getString(0)).getOrElse(
+      pairKeys.last)
+    val pfa = bestOf(5) {
+      rst.fAndPoint(kA.getString(0), kA.getString(1),
+        kB.getString(0), kB.getString(1))
+    }
+    results += "rowrefs_point_fand" -> (pfa, 1L)
+
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0
       s""""$k":{"ms":${math.round(ms * 10.0) / 10.0},"ops":$n,"us_per_op":$usPerOp}"""

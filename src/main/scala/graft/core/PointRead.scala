@@ -50,11 +50,18 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * record is re-checked for exact (field,value) equality, so page
   * granularity never leaks neighbors.
   *
-  * SCOPE: valid only when the glob read IS the store's truth — no
-  * committed tombstones (deleted keys would resurface) and no
-  * renames (the physical field name would miss). [[Store.open]]
-  * gates on that; ineligible stores transparently fall back to the
-  * plan path, so callers always get tombstone/rename-correct results.
+  * TOMBSTONES AND RENAMES (r13 — previously ineligible, paying the
+  * 74 ms plan floor for exactly the stores the delete/upsert
+  * lifecycle produces): the fast path now serves them directly.
+  * Frequencies sum the segments' entries PLUS the tombstones'
+  * negative ixdelta/ixrepair entries — the id scoping is already
+  * encoded in those units, so the sum IS the merge-on-read netting.
+  * Row-refs group segments by their (tombstone, rename) era exactly
+  * like the plan read, subtract each era's applicable victim key
+  * sets (small by contract, read driver-side once and cached), and
+  * reverse-map the queried field name to each era's physical name
+  * through the rename chain. A store handle's groups are resolved at
+  * open, pinning the point face to its open-time snapshot as before.
   */
 object PointRead {
 
@@ -366,41 +373,168 @@ object PointRead {
     }
   }
 
+  /** a queried (current) field name mapped BACK to the physical name
+    * an era's files carry: walk the era's applicable renames newest-
+    * first inverting each hop, then verify the forward chain round-
+    * trips — None when it does not (the physical column was renamed
+    * away or dropped; the era serves nothing for this field, exactly
+    * like the plan path). `renames` ascending by id, as stored.
+    */
+  private[core] def reverseName(field: String,
+      renames: Seq[(Int, String, String)]): Option[String] = {
+    if (renames.isEmpty) return Some(field)
+    val phys = renames.reverse.foldLeft(field) {
+      case (n, (_, from, to)) => if (n == to) from else n
+    }
+    val fwd = renames.foldLeft(phys) {
+      case (n, (_, from, to)) => if (n == from) to else n
+    }
+    if (fwd == field) Some(phys) else None
+  }
+
+  /** driver-side read of EVERY value of one column across a parquet
+    * directory — the tombstone-key-set loader for the fast path's
+    * anti-join (key sets are small by the delete contract; the plan
+    * path broadcast-joins the same data). Nulls come back as null.
+    */
+  private[core] def readColumn(conf: Configuration, dir: Path,
+                               column: String): Seq[Any] = {
+    val out = Seq.newBuilder[Any]
+    partFiles(conf, dir).foreach { file =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = rd.getFooter.getFileMetaData.getSchema
+        val fld = schema.getFields.asScala.find(_.getName == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$column' in $file"))
+        val proj = new MessageType("graft_col", java.util.List.of(fld))
+        rd.setRequestedSchema(proj)
+        val desc = proj.getColumns.asScala.head
+        val tpe = fld.asPrimitiveType().getPrimitiveTypeName
+        val maxDef = desc.getMaxDefinitionLevel
+        var pages = rd.readNextRowGroup()
+        while (pages != null) {
+          val crs = new ColumnReadStoreImpl(pages, sink, proj,
+            rd.getFooter.getFileMetaData.getCreatedBy)
+          val cr = crs.getColumnReader(desc)
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              out += (tpe match {
+                case INT64   => cr.getLong
+                case INT32   => cr.getInteger
+                case BINARY  => cr.getBinary.toStringUsingUTF8
+                case DOUBLE  => cr.getDouble
+                case FLOAT   => cr.getFloat
+                case BOOLEAN => cr.getBoolean
+                case other => throw new UnsupportedOperationException(
+                  s"readColumn($column): unsupported parquet type $other")
+              })
+            else out += null
+            cr.consume()
+            i += 1
+          }
+          pages = rd.readNextRowGroup()
+        }
+      } finally rd.close()
+    }
+    out.result()
+  }
+
+  /** one freq-side unit group: (field,value,f)-shaped dirs (index
+    * segments and tombstone ixdelta/ixrepair units) sharing a rename
+    * era, plus that era's applicable renames
+    */
+  type FreqGroup = (Seq[Path], Seq[(Int, String, String)])
+
+  /** one rows-side era group: rows_ segment dirs, the era's renames,
+    * and the APPLICABLE tombstone ids whose key sets anti-join this
+    * era's results
+    */
+  type RowsGroup = (Seq[Path], Seq[(Int, String, String)], Seq[Int])
+
   /** the per-store point-read face [[Store.open]] attaches to a
-    * [[StoredFrame]]: everything (eligibility re-check, file listing,
-    * footers) is lazy so open() cost is unchanged; `None` from a
-    * lookup means "not eligible — use the plan path".
+    * [[StoredFrame]]: everything (file listing, footers, key sets)
+    * is lazy so open() cost is unchanged; `None` from a lookup means
+    * "not eligible — use the plan path" (mixed/exotic layouts only —
+    * tombstones and renames are served directly, see the class notes).
     */
   final class StorePoint(conf: Configuration,
       eligible: () => Boolean,
-      segDirs: () => Seq[Path],
-      rowsDirs: () => Seq[Path]) {
+      freqGroups: () => Seq[FreqGroup],
+      rowsGroups: () => Seq[RowsGroup],
+      delKeyDirs: () => Map[Int, Path]) {
 
     private lazy val ok = eligible()
-    private lazy val freqReader = new Reader(conf, segDirs(), "f")
-    private lazy val rowsReader = new Reader(conf, rowsDirs(), "row_key")
+    private lazy val fGroups = freqGroups()
+    private lazy val rGroups = rowsGroups()
+    private lazy val keyDirs = delKeyDirs()
+    private val freqReaders =
+      scala.collection.mutable.HashMap.empty[Int, Reader]
+    private val rowsReaders =
+      scala.collection.mutable.HashMap.empty[Int, Reader]
+    // victim key sets cached for the handle's lifetime (the warm-mmap
+    // model again — one driver-side read per tombstone, ever)
+    private val victimSets =
+      scala.collection.mutable.HashMap.empty[Int, Set[Any]]
 
-    /** total f for (field,value) summed across segments, None if the
-      * fast path is ineligible for this store
+    private def victims(ids: Seq[Int]): Set[Any] =
+      ids.foldLeft(Set.empty[Any]) { (acc, id) =>
+        acc ++ victimSets.getOrElseUpdate(id,
+          readColumn(conf, keyDirs(id), "key").toSet)
+      }
+
+    /** total f for (field,value): per-era segment sums PLUS the
+      * tombstones' negative entries — the merge-on-read netting,
+      * driver-side. None if the fast path is ineligible.
       */
     def freq(field: String, value: String): Option[Long] =
       if (!ok) None
-      else Some(freqReader.lookup(field, value)
-        .foldLeft(0L)((a, v) => a + v.asInstanceOf[Long]))
+      else Some(fGroups.zipWithIndex.foldLeft(0L) {
+        case (acc, ((dirs, rens), i)) =>
+          reverseName(field, rens) match {
+            case None => acc
+            case Some(phys) =>
+              val rd = freqReaders.getOrElseUpdate(i,
+                new Reader(conf, dirs, "f"))
+              acc + rd.lookup(phys, value)
+                .foldLeft(0L)((a, v) => a + v.asInstanceOf[Long])
+          }
+      })
 
-    /** row keys for (field,value), None if ineligible. Keys are
-      * unique across segments by construction (each data row appended
-      * once), so concatenation IS the union.
+    /** row keys for (field,value): per-era lookups with the era's
+      * physical field name, each era's applicable victim key sets
+      * subtracted (a key re-appended after its delete is live — it
+      * sits in a later era no tombstone applies to). Keys are unique
+      * across segments by construction, so concatenation IS the
+      * union. None if ineligible.
       */
     def rows(field: String, value: String): Option[Seq[Any]] =
       if (!ok) None
-      else Some(rowsReader.lookup(field, value))
+      else Some(rGroups.zipWithIndex.flatMap {
+        case ((dirs, rens, delIds), i) =>
+          reverseName(field, rens) match {
+            case None => Nil
+            case Some(phys) =>
+              val rd = rowsReaders.getOrElseUpdate(i,
+                new Reader(conf, dirs, "row_key"))
+              val raw = rd.lookup(phys, value)
+              if (delIds.isEmpty) raw
+              else {
+                val vs = victims(delIds)
+                raw.filterNot(vs.contains)
+              }
+          }
+      })
 
     /** release the warm file handles (safe to call even if no lookup
       * ever ran — the readers are lazy)
       */
     def close(): Unit = {
-      if (ok) { freqReader.close(); rowsReader.close() }
+      freqReaders.values.foreach(_.close()); freqReaders.clear()
+      rowsReaders.values.foreach(_.close()); rowsReaders.clear()
+      victimSets.clear()
     }
   }
 }

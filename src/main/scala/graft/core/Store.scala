@@ -842,7 +842,8 @@ object Store {
       col(keyCol) === col("__graft_del_key"), "left_semi")
     IndexedFrame(victims, spec).entries
       .select(col("field"), col("value"), (-col("f")).as("f"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/ixdelta")
+      .write.mode(SaveMode.Overwrite)
+      .options(PointRead.SegWriteOptions).parquet(s"$root/del_$id/ixdelta")
     val base = new org.apache.hadoop.fs.Path(s"$root/del_$id")
     fs.listStatus(base).map(_.getPath).filter(
       _.getName.startsWith("ixrepair_")).foreach(fs.delete(_, true))
@@ -963,6 +964,7 @@ object Store {
     IndexedFrame(victims, spec).entries
       .select(col("field"), col("value"), (-col("f")).as("f"))
       .write.mode(SaveMode.Overwrite)
+      .options(PointRead.SegWriteOptions)
       .parquet(s"$root/del_$id/ixrepair_$segId")
   }
 
@@ -1177,32 +1179,43 @@ object Store {
       Some(pointReader(spark, dir)))
 
   /** the driver-side point-read face for [[StoredFrame.fPoint]] /
-    * [[StoredFrame.rowsOfPoint]] — fully lazy (no listing, no footer
-    * I/O until the first point lookup), eligible only when the plain
-    * glob read IS the store's truth: no committed tombstones and no
-    * renames (either would make raw file contents lie). Ineligible
-    * stores answer None and the caller falls back to the plan path.
+    * [[StoredFrame.rowsOfPoint]] — fully lazy (no footer I/O until
+    * the first point lookup). Tombstones and renames are SERVED, not
+    * fallback-ed (r13): the freq side sums segment entries plus the
+    * tombstones' negative ixdelta/ixrepair units (the id scoping is
+    * already encoded there), and the rows side groups segments by
+    * their (tombstone, rename) era exactly like [[refsAsOf]], with
+    * each era's victim key sets subtracted driver-side and the
+    * queried field reverse-mapped to the era's physical name.
     */
   private def pointReader(spark: SparkSession,
                           dir: String): PointRead.StorePoint = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // SNAPSHOT AT OPEN: eligibility and the unit lists are resolved
+    // SNAPSHOT AT OPEN: the unit lists and era groups are resolved
     // NOW, so fPoint/rowsOfPoint answer over the same committed
-    // segments the handle's plan DataFrames were planned over — a
-    // segment committed between open() and the first point lookup
-    // must not make the two faces of one handle disagree. (Cost: a
-    // few listStatus/manifest probes open() already pays variants of;
+    // units the handle's plan DataFrames were planned over — a unit
+    // committed between open() and the first point lookup must not
+    // make the two faces of one handle disagree. (Cost: a few
+    // listStatus/manifest probes open() already pays variants of;
     // only the footer I/O stays lazy.)
-    val eligibleNow = committedTombstones(spark, dir).isEmpty &&
-      committedRenames(spark, dir).isEmpty
     val (root, _) = currentIndexRoot(spark, dir)
-    val segDirsNow = {
-      val ids = (segSnapshots(spark, dir) ++ legacySegIds(spark, dir))
-        .distinct.sorted
-      ids.map(id => new org.apache.hadoop.fs.Path(s"$root/seg_$id"))
-    }
-    val rowsDirsNow = {
-      val (fs, _) = fsFor(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val dels = committedTombstones(spark, dir)
+    val rens = committedRenames(spark, dir)
+    val segIds = (segSnapshots(spark, dir) ++ legacySegIds(spark, dir))
+      .distinct.sorted
+    // freq units: index segments AND tombstone ix units, each at its
+    // own id's rename era
+    val freqUnits: Seq[(Int, Seq[String])] =
+      segIds.map(id => (id, Seq(s"$root/seg_$id"))) ++
+        dels.map { case (id, _) => (id, tombstoneIxDirs(fs, root, id)) }
+    val freqGroupsNow: Seq[PointRead.FreqGroup] = freqUnits
+      .groupBy { case (id, _) => rens.count(_._1 > id) }.toSeq.sortBy(_._1)
+      .map { case (nRen, us) =>
+        (us.flatMap(_._2).map(new org.apache.hadoop.fs.Path(_)),
+          rens.takeRight(nRen))
+      }
+    val rowsGroupsNow: Seq[PointRead.RowsGroup] = {
       val rp = new org.apache.hadoop.fs.Path(root)
       val present =
         if (!fs.exists(rp)) Seq.empty[Int]
@@ -1213,12 +1226,23 @@ object Store {
       val keep =
         if (committed.isEmpty) present
         else present.filter((committed ++ legacySegIds(spark, dir)).toSet)
-      keep.sorted.map(id => new org.apache.hadoop.fs.Path(s"$root/rows_$id"))
+      keep.groupBy(s => (dels.count(_._1 > s), rens.count(_._1 > s)))
+        .toSeq.sortBy(_._1)
+        .map { case ((nDel, nRen), ids) =>
+          (ids.sorted.map(id =>
+            new org.apache.hadoop.fs.Path(s"$root/rows_$id")),
+            rens.takeRight(nRen),
+            dels.takeRight(nDel).map(_._1))
+        }
     }
+    val keyDirsNow = dels.map { case (id, _) =>
+      id -> new org.apache.hadoop.fs.Path(s"$root/del_$id/keys")
+    }.toMap
     new PointRead.StorePoint(conf,
-      eligible = () => eligibleNow,
-      segDirs = () => segDirsNow,
-      rowsDirs = () => rowsDirsNow)
+      eligible = () => true,
+      freqGroups = () => freqGroupsNow,
+      rowsGroups = () => rowsGroupsNow,
+      delKeyDirs = () => keyDirsNow)
   }
 
   /** Available snapshot ids of the live generation, ascending: each
@@ -2110,4 +2134,31 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     point.flatMap(_.rows(field, value)).getOrElse {
       rowsOf(field, value).collect().toSeq.map(_.get(0))
     }
+
+  /** INTERACTIVE point CO-OCCURRENCE rows (r13 — the reference's
+    * second-most-used interactive op, `LBits.fAnd` over two opened
+    * bitmaps): row keys matching BOTH (field,value) entries, as the
+    * driver-side intersection of two point membership reads. Each
+    * side rides [[rowsOfPoint]]'s fast path (warm footer caches,
+    * page-pruned reads, no Spark job) with its transparent fallback;
+    * the intersection is one linear pass. The BULK spelling stays
+    * [[graft.core.IndexedFrame.countsDF]] — hundreds of pair counts
+    * amortize better through one Spark plan.
+    */
+  def rowsOfAndPoint(f1: String, v1: String,
+                     f2: String, v2: String): Seq[Any] = {
+    val a = rowsOfPoint(f1, v1)
+    if (a.isEmpty) Seq.empty
+    else {
+      val b = rowsOfPoint(f2, v2).toSet
+      a.filter(b.contains)
+    }
+  }
+
+  /** INTERACTIVE point co-occurrence count — popcount(a AND b), the
+    * exact number `index_fand`'s plan spelling computes for the same
+    * pair. See [[rowsOfAndPoint]].
+    */
+  def fAndPoint(f1: String, v1: String, f2: String, v2: String): Long =
+    rowsOfAndPoint(f1, v1, f2, v2).size.toLong
 }

@@ -68,34 +68,90 @@ class PointReadSpec extends SparkSpec {
     assert(r.nonEmpty && fq > 0)
   }
 
-  test("delete makes the store ineligible — fallback stays correct") {
+  test("tombstoned store is served FAST: netting + scoping, no job") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     Store.write(mkDf(0 until 280), s"$dir/s", spec)
     val victims = (0 until 280 by 7).map(_.toLong).toDF("id")
     Store.delete(spark, s"$dir/s", spec, "id", victims) // all of c0
+    // a victim key RE-APPENDED after the delete is live again — the
+    // fast path must honor the id scoping, not just subtract keys
+    Store.append(mkDf(Range(0, 14)), s"$dir/s", spec)
     val st = Store.open(spark, s"$dir/s", spec)
-    assert(st.rowsOfPoint("cat", "c0").isEmpty)
-    assert(st.fPoint("cat", "c0") === 0L)
-    assert(fastRows(st, "cat", "c3") === planRows(st, "cat", "c3"))
-    assert(st.fPoint("cat", "c3") === planF(st, "cat", "c3"))
-    // compact folds the tombstone physically: fast path is live again
+    for (v <- Seq("c0", "c3", "c6")) {
+      assert(fastRows(st, "cat", v) === planRows(st, "cat", v))
+      assert(st.fPoint("cat", v) === planF(st, "cat", v))
+    }
+    // the re-appended id 0 and 7 are live (cat c0 via i%7==0 rows)
+    assert(fastRows(st, "cat", "c0").nonEmpty)
+    // warm, then assert the tombstoned store still runs NO Spark job
+    st.rowsOfPoint("cat", "c1"); st.fPoint("cat", "c1")
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    st.rowsOfPoint("cat", "c2"); st.fPoint("cat", "c2")
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      "point reads on a tombstoned store must stay driver-side")
+    // compact folds the tombstone physically: still identical
     Store.compact(spark, s"$dir/s")
     val st2 = Store.open(spark, s"$dir/s", spec)
-    assert(st2.rowsOfPoint("cat", "c0").isEmpty)
+    assert(st2.rowsOfPoint("cat", "zzz").isEmpty)
     assert(fastRows(st2, "cat", "c3") === planRows(st2, "cat", "c3"))
     assert(st2.fPoint("cat", "c3") === planF(st2, "cat", "c3"))
   }
 
-  test("rename makes the store ineligible — fallback serves new names") {
+  test("renamed store is served FAST via the reverse name map") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     val sp = IndexSpec(Seq("cat"))
     Store.write(mkDf(0 until 100), s"$dir/s", sp)
     Store.renameColumn(spark, s"$dir/s", "cat", "category")
     val st = Store.open(spark, s"$dir/s", IndexSpec(Seq("category")))
-    // raw segment files still carry 'cat'; the fallback plan path
-    // maps them — a raw fast read would have missed the entry
+    // raw segment files still carry 'cat'; the fast path reverse-maps
     assert(st.fPoint("category", "c2") === planF(st, "category", "c2"))
     assert(st.fPoint("category", "c2") > 0L)
+    // the OLD name serves nothing (it no longer names a column)
+    assert(st.fPoint("cat", "c2") === 0L)
+    st.fPoint("category", "c1") // warm
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(st.fPoint("category", "c3") > 0L)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before,
+      "point reads on a renamed store must stay driver-side")
+  }
+
+  test("dropped-and-readded field: old entries never resurface") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    val sp = IndexSpec(Seq("cat"))
+    Store.write(mkDf(0 until 70), s"$dir/s", sp)
+    Store.dropColumn(spark, s"$dir/s", "cat")
+    // re-add 'cat' as a brand-new column in a later segment
+    Store.append(mkDf(700 until 720), s"$dir/s", sp)
+    val st = Store.open(spark, s"$dir/s", sp)
+    for (v <- Seq("c0", "c1", "c4")) {
+      assert(st.fPoint("cat", v) === planF(st, "cat", v),
+        s"fast/plan divergence for re-added cat=$v")
+    }
+    // only the 20 re-appended rows count toward the new column
+    val total = (0 until 7).map(c => st.fPoint("cat", s"c$c")).sum
+    assert(total === 20L)
+  }
+
+  test("delete + rename composed: fast equals plan on every route") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 210), s"$dir/s", spec)
+    Store.delete(spark, s"$dir/s", spec, "id",
+      (0 until 210 by 3).map(_.toLong).toDF("id"))
+    Store.renameColumn(spark, s"$dir/s", "cat", "category")
+    Store.append(mkDf(210 until 280)
+      .withColumnRenamed("cat", "category"), s"$dir/s",
+      IndexSpec(Seq("category", "tag")).withRowRefs("id"))
+    val sp2 = IndexSpec(Seq("category", "tag")).withRowRefs("id")
+    val st = Store.open(spark, s"$dir/s", sp2)
+    for (v <- Seq("c0", "c2", "c5")) {
+      assert(st.fPoint("category", v) === planF(st, "category", v))
+      assert(fastRows(st, "category", v) === planRows(st, "category", v))
+    }
+    assert(fastRows(st, "tag", "t4") === planRows(st, "tag", "t4"))
   }
 
   test("a handle's point face is pinned to its open-time snapshot") {
@@ -113,6 +169,40 @@ class PointReadSpec extends SparkSpec {
     val st2 = Store.open(spark, s"$dir/s", spec)
     assert(st2.fPoint("cat", "c1") === planF(st2, "cat", "c1"))
     assert(st2.fPoint("cat", "c1") > before)
+  }
+
+  test("fAndPoint equals the plan-path pair intersection, no job") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 400), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    def planAnd(f1: String, v1: String, f2: String, v2: String) =
+      (planRows(st, f1, v1).toSet intersect planRows(st, f2, v2).toSet).size
+    for ((cv, tv) <- Seq(("c0", "t0"), ("c2", "t11"), ("c6", "t3"))) {
+      assert(st.fAndPoint("cat", cv, "tag", tv) ===
+        planAnd("cat", cv, "tag", tv).toLong)
+      assert(st.rowsOfAndPoint("cat", cv, "tag", tv).toSet ===
+        (planRows(st, "cat", cv).toSet intersect
+          planRows(st, "tag", tv).toSet))
+    }
+    // co-occurrence with an absent entry is empty, cheaply
+    assert(st.fAndPoint("cat", "zzz", "tag", "t0") === 0L)
+    // warm, then: still no Spark job
+    st.fAndPoint("cat", "c1", "tag", "t1")
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val n = st.fAndPoint("cat", "c3", "tag", "t5")
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "fAndPoint must stay driver-side")
+    assert(n === planAnd("cat", "c3", "tag", "t5").toLong)
+    // and it composes with tombstones (both sides ride the netted
+    // point path)
+    Store.delete(spark, s"$dir/s", spec, "id",
+      (0 until 400 by 5).map(_.toLong).toDF("id"))
+    val st2 = Store.open(spark, s"$dir/s", spec)
+    def planAnd2(f1: String, v1: String, f2: String, v2: String) =
+      (planRows(st2, f1, v1).toSet intersect planRows(st2, f2, v2).toSet).size
+    assert(st2.fAndPoint("cat", "c1", "tag", "t2") ===
+      planAnd2("cat", "c1", "tag", "t2").toLong)
   }
 
   test("string row keys read back as strings") {
