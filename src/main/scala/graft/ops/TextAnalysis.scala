@@ -906,18 +906,32 @@ object TextAnalysis {
     * constant, never data-scale) + one map-side-combinable sum: at
     * 100 TB the training pass is a single bounded-width aggregation.
     */
-  def clfMoments(df: DataFrame, text: Column, id: Column): DataFrame = {
+  def clfMoments(df: DataFrame, text: Column, id: Column): DataFrame =
+    clfMomentsObs(df, text, id).select("i", "j", "v").orderBy("i", "j")
+
+  /** [[clfMoments]] plus an OBSERVATION COUNT per cell (`nobs` = the
+    * number of contributing feature pairs) — what makes the moments
+    * maintainable as a [[graft.core.SegmentedAgg]] family (r13): a
+    * moment cell can legitimately net to v=0 while still existing
+    * (all contributing products zero), so zero-dropping on v alone
+    * would diverge from a from-scratch build; nobs ≥ 1 for any cell
+    * a live doc contributes to and nets to 0 exactly when every
+    * contributor is deleted, making the SegmentedAgg all-zero-drop
+    * rule coincide with from-scratch presence.
+    */
+  def clfMomentsObs(df: DataFrame, text: Column, id: Column): DataFrame = {
     val f = clfFeatureRows(df, text, id)
     val y = clfLabels(df, text, id)
     val xtx = f.as("a").join(f.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.j") <= col("b.j"))
       .groupBy(col("a.j").as("i"), col("b.j").as("j"))
-      .agg(sum(col("a.x") * col("b.x")).as("v"))
+      .agg(sum(col("a.x") * col("b.x")).as("v"),
+        count(lit(1)).as("nobs"))
     val xty = f.join(y, "doc_id")
       .groupBy(col("j").as("i"))
-      .agg(sum(col("x") * col("y")).as("v"))
-      .select(col("i"), lit(ClfD).as("j"), col("v"))
-    xtx.unionByName(xty).orderBy("i", "j")
+      .agg(sum(col("x") * col("y")).as("v"), count(lit(1)).as("nobs"))
+      .select(col("i"), lit(ClfD).as("j"), col("v"), col("nobs"))
+    xtx.unionByName(xty)
   }
 
   /** driver-side ridge solve over the collected moments: (XᵀX + λI)w

@@ -69,9 +69,11 @@ object OraclesLlm {
   // hashed-bigram buckets): exact long bucket counts, the cleared
   // rational (2t+1)(2C+K)/((2T+K)(2c+1)), per-bucket ln pinned to
   // integer micro-units, exact long per-doc sum, one final divide.
-  // Shared verbatim by score_importance and score_importance_indexed.
-  private val dsirSql =
-      """WITH bg AS (
+  // Shared verbatim by score_importance and score_importance_indexed;
+  // the store-incremental spelling passes the lifecycle's live-row
+  // predicate (both the fit and the scoring run over the live set).
+  private def dsirSqlW(where: String) =
+      s"""WITH bg AS (
         |  SELECT doc_id, lang = 'en' AS is_t,
         |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
         |  FROM (
@@ -79,7 +81,7 @@ object OraclesLlm {
         |      [array_to_string(toks[i:i+1], ' ')
         |       FOR i IN range(1, greatest(len(toks)-2, 0)+2)]) AS g
         |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
-        |          FROM documents)
+        |          FROM documents WHERE $where)
         |  )
         |), cnt AS (
         |  SELECT b, count(*) AS c,
@@ -98,6 +100,15 @@ object OraclesLlm {
         |       round(CAST(sum(lw.lw) AS DOUBLE) / 1000000, 6) AS logratio
         |FROM bg JOIN lw ON bg.b = lw.b
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
+  private val dsirSql = dsirSqlW("TRUE")
+
+  /** the lifecycle store's live-row predicate (see
+    * LlmOps.lifecycleDocsStore): the %17 tombstone scopes over the
+    * first three quarters only
+    */
+  private val lifecycleLive =
+    "NOT (doc_id % 17 = 3 AND doc_id % 4 < 3)"
 
   val all: Map[String, String] = mapped +
     // the index-only incremental spelling serves IDENTICAL rows to
@@ -502,8 +513,16 @@ object OraclesLlm {
     // end-to-end mirror of Dedup.exactSubstrIncremental: the planted
     // docs (doc_id ≥ 2000000) as the arriving batch vs the base
     // corpus; corpus-side-only hot cap, no self-pairing.
-    "dedup_exact_substring_incr" ->
-      """WITH aug AS (
+    "dedup_exact_substring_incr" -> exactSubstrIncrSqlW("TRUE"),
+
+    // the store-incremental spelling: the corpus side is the
+    // lifecycle store's LIVE rows (windows maintained as a
+    // SegmentedArtifact family); the batch side is unchanged
+    "dedup_exact_substring_store_incr" ->
+      exactSubstrIncrSqlW(lifecycleLive)) ++ midSql
+
+  private def exactSubstrIncrSqlW(corpusWhere: String) =
+      s"""WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 2000000 AS doc_id,
@@ -522,7 +541,8 @@ object OraclesLlm {
         |    unnest(range(1, greatest(len(toks) - 11, 0) + 1)) t(i)
         |  WHERE len(toks) >= 12
         |), wc AS (
-        |  SELECT doc_id, p, w FROM win WHERE doc_id < 2000000
+        |  SELECT doc_id, p, w FROM win
+        |  WHERE doc_id < 2000000 AND ($corpusWhere)
         |  QUALIFY count(*) OVER (PARTITION BY w) <= 1000
         |), wb AS (
         |  SELECT doc_id, p, w FROM win WHERE doc_id >= 2000000
@@ -544,8 +564,12 @@ object OraclesLlm {
         |         t.toks[e.a_start : e.a_start + e.len_tokens - 1], ' '))
         |         AS extent_md5
         |FROM ext e JOIN toks t ON t.doc_id = e.a
-        |ORDER BY a, b, a_start, b_start, len_tokens""".stripMargin,
+        |ORDER BY a, b, a_start, b_start, len_tokens""".stripMargin
 
+  /** the middle of the query mirrors (split from `mapped` so the
+    * extent-incremental builder def can sit between the halves)
+    */
+  private lazy val midSql: Map[String, String] = Map(
     // end-to-end mirror of Dedup.exactSubstrScrub over the same
     // corpus: keep-lowest-doc per window, covered positions = union
     // of scrubbed 12-token window spans, scrubbed text rebuilt from
@@ -656,6 +680,10 @@ object OraclesLlm {
         |WHERE rnk * 10 <= 3 * n ORDER BY stratum, rnk""".stripMargin,
 
     "score_importance" -> dsirSql,
+
+    // the segment-incremental fit + live scoring over the lifecycle
+    // store — the same DSIR mirror under the live predicate
+    "score_importance_store_incr" -> dsirSqlW(lifecycleLive),
     // the persisted-weights spelling serves the IDENTICAL result —
     // same mirror (the search_bm25_indexed precedent), so any drift
     // between the indexed and from-scratch DSIR plans is a hash
@@ -1373,9 +1401,23 @@ object OraclesLlm {
     // md5-top-60-bit token buckets, intercept), XᵀX upper triangle +
     // Xᵀy as exact-integer pair products — the whole training input
     // of the ridge solve, cross-engine
-    "clf_train_moments" ->
-      """WITH base AS (
+    "clf_train_moments" -> clfMomentsSqlW("TRUE"),
+
+    // the SEGMENT-INCREMENTAL moments over the lifecycle store serve
+    // the live rows — same mirror under the live predicate, so any
+    // drift in the netted partials is a hash mismatch
+    "clf_moments_store_incr" -> clfMomentsSqlW(lifecycleLive)) ++ tailSql
+
+  // mirror of clf_train_moments (parameterized by the corpus
+  // predicate): the quality_c4 planting + signal derivation restated
+  // 1:1, features unpivoted (8 signals, 8 md5-top-60-bit token
+  // buckets, intercept), XᵀX upper triangle + Xᵀy as exact-integer
+  // pair products — the whole training input of the ridge solve,
+  // cross-engine
+  private def clfMomentsSqlW(where: String) =
+      s"""WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE $where
         |), lined AS (
         |  SELECT doc_id,
         |    [array_to_string(toks[(i-1)*10+1 : (i-1)*10+10], ' ')
@@ -1465,8 +1507,12 @@ object OraclesLlm {
         |  FROM feat f JOIN lab USING (doc_id) GROUP BY 1
         |)
         |SELECT i, j, v FROM (SELECT * FROM xtx UNION ALL SELECT * FROM xty)
-        |ORDER BY i, j""".stripMargin,
+        |ORDER BY i, j""".stripMargin
 
+  /** the tail of the query mirrors (split from `mapped` so the
+    * clf-moments builder def can sit between the two halves)
+    */
+  private lazy val tailSql: Map[String, String] = Map(
     // mirror of text_tfidf_terms: the row_number() spelling of the
     // bounded-heap top-k, same micro-ln idf longs
     "text_tfidf_terms" ->

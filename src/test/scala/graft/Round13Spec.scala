@@ -67,6 +67,73 @@ class Round13Spec extends SparkSpec {
     assert(e.getMessage.contains("delete key column"))
   }
 
+  test("DSIR counts as a SegmentedAgg family: delta-only refresh, " +
+      "weights bit-identical to a from-scratch fit") {
+    import graft.core.{IndexSpec, SegmentedAgg, Store, Tables}
+    import graft.ops.Curation
+    val docs = Tables.documents(spark, sfDir)
+    val spec = IndexSpec(Seq("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("r13dsir").toString
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirBucketCounts(df, col("text"), col("doc_id"),
+        col("lang") === "en")
+    Store.write(docs.where(col("doc_id") % 2 === 0), dir, spec)
+    Store.delete(spark, dir, spec, "doc_id",
+      docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    SegmentedAgg.have(spark, dir, "dsir", "doc_id")(counts)
+    Store.append(docs.where(col("doc_id") % 2 === 1), dir, spec)
+    // the refresh builds EXACTLY the new segment's partial, scanning
+    // only its files
+    var scans = Seq.empty[String]
+    val built = SegmentedAgg.refresh(spark, dir, "dsir", "doc_id") { d =>
+      scans = scans :+ d.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("Location")).mkString("\n")
+      counts(d)
+    }
+    assert(built.size === 1 && built.head.startsWith("seg_"))
+    assert(scans.head.contains(s"data/${built.head}") &&
+      !scans.head.contains("data/seg_0"), scans.head)
+    // fitted weights from the netted counts == a from-scratch fit
+    val incrW = Curation.dsirWeightsFromCounts(
+      SegmentedAgg.read(spark, dir, "dsir"))
+    val live = Store.open(spark, dir, spec).frame.df
+    val freshW = Curation.dsirWeights(live, col("text"), col("doc_id"),
+      col("lang") === "en")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(incrW) === m(freshW))
+  }
+
+  test("classifier moments as a SegmentedAgg family: netted cells " +
+      "equal a from-scratch build, zero-valued cells included") {
+    import graft.core.{IndexSpec, SegmentedAgg, Store, Tables}
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val spec = IndexSpec(Seq("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("r13clf").toString
+    def mom(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.clfMomentsObs(
+        TextAnalysis.plantC4Docs(df, col("text"), col("doc_id")),
+        col("text"), col("doc_id"))
+    Store.write(docs.where(col("doc_id") % 4 < 2), dir, spec)
+    Store.append(docs.where(col("doc_id") % 4 === 2), dir, spec)
+    Store.delete(spark, dir, spec, "doc_id",
+      docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    Store.append(docs.where(col("doc_id") % 4 === 3), dir, spec)
+    val incr = SegmentedAgg.have(spark, dir, "clfm", "doc_id")(mom)
+      .select("i", "j", "v")
+    val live = Store.open(spark, dir, spec).frame.df
+    val fresh = TextAnalysis.clfMoments(
+      TextAnalysis.plantC4Docs(live, col("text"), col("doc_id")),
+      col("text"), col("doc_id"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (im, fm) = (m(incr), m(fresh))
+    assert(im === fm)
+    // steady state: nothing rebuilds
+    assert(SegmentedAgg.refresh(spark, dir, "clfm", "doc_id")(mom).isEmpty)
+  }
+
   test("write/append reject the reserved dropped-column namespace") {
     val dir = java.nio.file.Files.createTempDirectory("r13ns").toString
     val bad = (0 until 10).map(i => (i.toLong, s"c$i"))
