@@ -112,6 +112,16 @@ object Tables {
     canonicalizeEventTs(raw).withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+
+  // NOTE (r13): declaring `embedding: array<float> containsNull=false`
+  // at the loader does NOT stick — Spark file sources force any
+  // user-provided read schema asNullable, so the parquet-read column
+  // always types containsNull=true and VecUnit's static no-null
+  // specialization cannot fire on this table. The specialization
+  // stays (non-file inputs benefit); the per-element null branch's
+  // cost on the file path is measured by graft.VecNullStudy (≈0 —
+  // the r12 ANN bench drift is host-epoch, not the kernel; the most
+  // drifted rows use VecDot/VecLshSig, which carry no null branch).
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** STREAMING face of [[documents]] — the ingest feed the streaming

@@ -140,10 +140,21 @@ case class VecLshSig(child: Expression, planes: Array[Double], nbits: Int, dim: 
   * output, and the output's containsNull mirrors the input's — so
   * parquet embeddings (whose list elements read as nullable) are
   * legal input and a vector that actually carries nulls propagates
-  * them instead of yielding wrong values. Vectors WITHOUT nulls keep
-  * the primitive fast path.
+  * them instead of yielding wrong values.
+  *
+  * STATIC no-null specialization (r13, the r12 ANN-drift watch item):
+  * when the input type declares containsNull=false, the per-element
+  * isNullAt branch is omitted from the GENERATED code entirely (and
+  * skipped in eval) — the hot loop is the r11 primitive loop again,
+  * with the null-handling path kept only for inputs whose type says
+  * elements may actually be null.
   */
 case class VecUnit(child: Expression) extends UnaryExpression {
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -168,7 +179,9 @@ case class VecUnit(child: Expression) extends UnaryExpression {
     var s = 0.0
     var hasNull = false
     var i = 0
-    while (i < n) {
+    if (!elemsNullable) {
+      while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    } else while (i < n) {
       if (x.isNullAt(i)) hasNull = true
       else { val v = x.getFloat(i).toDouble; s += v * v }
       i += 1
@@ -202,34 +215,53 @@ case class VecUnit(child: Expression) extends UnaryExpression {
       val nrm = ctx.freshName("nrm")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      val boxed = ctx.freshName("boxed")
-      val hasNull = ctx.freshName("hasNull")
-      s"""
-         |int $n = $a.numElements();
-         |double $s = 0.0;
-         |boolean $hasNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { $hasNull = true; }
-         |  else { double v = (double)$a.getFloat($i); $s += v * v; }
-         |}
-         |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-30);
-         |if (!$hasNull) {
-         |  float[] $out = new float[$n];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
-         |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
-         |    .UnsafeArrayData.fromPrimitiveArray($out);
-         |} else {
-         |  Object[] $boxed = new Object[$n];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $boxed[$i] = $a.isNullAt($i) ? null
-         |      : (Object)(Float)(float)((double)$a.getFloat($i) / $nrm);
-         |  }
-         |  ${ev.value} =
-         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
-         |}
-       """.stripMargin
+      if (!elemsNullable)
+        // containsNull=false input: the generated hot loop carries NO
+        // per-element null branch at all (the r11 primitive loop)
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double v = (double)$a.getFloat($i); $s += v * v;
+           |}
+           |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-30);
+           |float[] $out = new float[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      else {
+        val boxed = ctx.freshName("boxed")
+        val hasNull = ctx.freshName("hasNull")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |boolean $hasNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $hasNull = true; }
+           |  else { double v = (double)$a.getFloat($i); $s += v * v; }
+           |}
+           |double $nrm = java.lang.Math.max(java.lang.Math.sqrt($s), 1e-30);
+           |if (!$hasNull) {
+           |  float[] $out = new float[$n];
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (float)((double)$a.getFloat($i) / $nrm);
+           |  }
+           |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |    .UnsafeArrayData.fromPrimitiveArray($out);
+           |} else {
+           |  Object[] $boxed = new Object[$n];
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $boxed[$i] = $a.isNullAt($i) ? null
+           |      : (Object)(Float)(float)((double)$a.getFloat($i) / $nrm);
+           |  }
+           |  ${ev.value} =
+           |    new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildInternal(newChild: Expression): VecUnit =

@@ -134,6 +134,39 @@ class Round13Spec extends SparkSpec {
     assert(SegmentedAgg.refresh(spark, dir, "clfm", "doc_id")(mom).isEmpty)
   }
 
+  test("VecUnit: the no-null static path and the null-branch path " +
+      "yield identical vectors") {
+    import org.apache.spark.sql.types._
+    import graft.functions.VecMath.vecUnit
+    // array(non-null cols) types containsNull=false → static path;
+    // the same data via parquet types containsNull=true → null path
+    // +/* only: % types as nullable (div-by-zero), which would flip
+    // the array's containsNull and skip the static path
+    val dense = spark.range(2000).selectExpr("id",
+      "array(CAST(id + 1 AS FLOAT), CAST(id * 2 + 3 AS FLOAT), " +
+        "CAST(id * 5 + 7 AS FLOAT)) AS v")
+    assert(dense.schema("v").dataType ===
+      ArrayType(FloatType, containsNull = false))
+    val p = java.nio.file.Files.createTempDirectory("vu").toString
+    dense.write.mode("overwrite").parquet(p)
+    val viaFile = spark.read.parquet(p)
+    assert(viaFile.schema("v").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), vecUnit(col("v")).as("u"))
+      .selectExpr("id", "CAST(aggregate(u, 0D, (s,x) -> s + x) AS DECIMAL(20,12)) AS s")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(m(dense) === m(viaFile))
+    // output type mirrors the input's containsNull on both routes
+    assert(dense.select(vecUnit(col("v")).as("u")).schema("u").dataType ===
+      ArrayType(FloatType, containsNull = false))
+    // and genuine null elements still propagate on the null path
+    val withNull = spark.sql(
+      "SELECT array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+    val r = withNull.select(vecUnit(col("v")).as("u")).head.getSeq[Any](0)
+    assert(r(1) == null && r(0) != null)
+  }
+
   test("write/append reject the reserved dropped-column namespace") {
     val dir = java.nio.file.Files.createTempDirectory("r13ns").toString
     val bad = (0 until 10).map(i => (i.toLong, s"c$i"))
