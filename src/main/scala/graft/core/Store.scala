@@ -780,6 +780,20 @@ object Store {
   private[core] def writeTombstone(spark: SparkSession, dir: String,
                              spec: IndexSpec, keyCol: String,
                              keys: DataFrame, commit: Boolean): Int = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    writeTombstoneAt(spark, dir, spec, keyCol, keys, commit,
+      claimUnitId(fs, root))
+  }
+
+  /** [[writeTombstone]] at an EXPLICIT (already claimed or
+    * deterministically owned) unit id — the [[upsertBatch]] face
+    * needs batch-keyed ids for redelivery idempotence
+    */
+  private def writeTombstoneAt(spark: SparkSession, dir: String,
+                               spec: IndexSpec, keyCol: String,
+                               keys: DataFrame, commit: Boolean,
+                               id: Int): Int = {
     spec.rowRefs.foreach(rk => require(rk == keyCol,
       s"store has row-refs keyed on '$rk' — delete must key on it too " +
         s"(got '$keyCol'), or the refs artifact would serve deleted rows"))
@@ -791,7 +805,6 @@ object Store {
     require(legacySegIds(spark, dir).isEmpty,
       s"delete on a mixed (legacy+manifest) store cannot be scoped — " +
         s"compact() first ($dir)")
-    val id = claimUnitId(fs, root)
     val live0 = dataAsOf(spark, dir, Some(id))
     require(live0.columns.contains(keyCol),
       s"no column '$keyCol' in store data (${live0.columns.mkString(",")})")
@@ -1618,6 +1631,99 @@ object Store {
     writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
     // appender half of delete∥append conflict detection (see append)
     repairTombstonesFor(spark, dir, spec, segId)
+    true
+  }
+
+  /** STREAMING UPSERT — the exactly-once CDC face (r13, the r12
+    * verdict's #6): the foreachBatch sink for a stream whose batches
+    * REPLACE rows by key ("re-curated docs arrive; swap them in, add
+    * the new ones"). Each micro-batch is one [[upsert]] whose BOTH
+    * unit ids key on the batchId — tombstone at `2*batchId`, segment
+    * at `2*batchId + 1` — so at-least-once redelivery composes to
+    * exactly-once visibility, the [[appendBatch]] contract extended
+    * to the two-unit commit:
+    *   - before anything persisted: redelivery re-runs in full;
+    *   - after the (uncommitted) tombstone, before the segment:
+    *     redelivery Overwrites the same unit dirs — byte-idempotent;
+    *   - after the segment's manifest, before the tombstone's marker
+    *     (the [[upsert]] duplicate window): redelivery FINISHES the
+    *     tombstone commit instead of re-appending — the one window
+    *     manual upsert retries cannot repair without re-running;
+    *   - fully committed (or folded below `_HIGHWATER`): no-op.
+    * The interleaved id layout preserves the scoping invariant a
+    * CDC stream needs: batch N+1's tombstone (2N+2) postdates batch
+    * N's segment (2N+1), so a key re-upserted every batch always
+    * nets to exactly its latest copy. The tombstone's marker goes
+    * through [[commitTombstone]]'s validate-at-commit like every
+    * delete.
+    *
+    * Usable directly as the sink:
+    * `.foreachBatch((b, id) => Store.upsertBatch(b, dir, spec, "k", id))`
+    *
+    * OWNERSHIP: the stream owns the store's id namespace under THIS
+    * mapping — do not interleave [[append]]/[[appendBatch]]/manual
+    * [[delete]] (checked like appendBatch: foreign units at or above
+    * the batch's ids fail loudly). The batch must be key-unique, as
+    * for [[upsert]]. Returns true iff this call changed the store.
+    */
+  def upsertBatch(batch: DataFrame, dir: String, spec: IndexSpec,
+                  keyCol: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    rejectReservedNames(batch.schema, spec)
+    require(batchId >= 0 && batchId < (Int.MaxValue / 2).toLong,
+      s"batchId out of the 2*batchId segment-id range: $batchId")
+    val delId = (2 * batchId).toInt
+    val segId = delId + 1
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    // idempotence gates FIRST (a redelivered batch must see its own
+    // prior progress before any ownership require can misfire on the
+    // later batches that legitimately followed it)
+    if (readHighWater(fs, root).exists(segId <= _)) return false
+    val segCommitted = readManifest(fs, s"$root/seg_$segId").isDefined
+    val delStarted = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_KEYCOL"))
+    val delCommitted = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_COMMITTED"))
+    if (segCommitted && (delCommitted || !delStarted)) return false
+    if (segCommitted && delStarted && !delCommitted) {
+      // the upsert duplicate window: the replacement segment landed
+      // but the tombstone's marker did not — finish the commit
+      commitTombstone(spark, dir, spec, keyCol, delId)
+      return true
+    }
+    // ownership: no FOREIGN committed unit at or above this batch's
+    // ids (later batches of this stream sit strictly above segId and
+    // are handled by the gates; an append()'s max+1 unit or a manual
+    // delete would collide exactly here). A COMMITTED tombstone at
+    // delId itself with our segment uncommitted is necessarily
+    // foreign — ours commits only after the segment — and rewriting
+    // its unit dirs would corrupt it.
+    require(!delCommitted,
+      s"a foreign committed tombstone occupies del_$delId — " +
+        s"upsertBatch owns the id namespace (tombstone 2b, segment " +
+        s"2b+1); keep manual deletes below the stream's ids")
+    require(!committedTombstones(spark, dir).exists(_._1 > delId),
+      s"a foreign tombstone at id > $delId exists — upsertBatch owns " +
+        s"the id namespace (tombstone 2b, segment 2b+1); compact first " +
+        s"or keep manual deletes below the stream's ids")
+    require(!committedRenames(spark, dir).exists(_._1 >= delId),
+      s"a rename at id >= $delId exists — it would wrongly remap this " +
+        s"later batch's columns; compact first")
+    // claim both ids (idempotent re-creates after a crash)
+    atomicCreate(fs, claimPath(root, delId))
+    atomicCreate(fs, claimPath(root, segId))
+    // tombstone only when prior segments exist (the first batch on an
+    // empty store has nothing to replace — and writeTombstone's
+    // victim scan requires a manifest-carrying store)
+    val hasPrior = segSnapshots(spark, dir).exists(_ < delId)
+    if (hasPrior)
+      writeTombstoneAt(spark, dir, spec, keyCol, batch.select(keyCol),
+        commit = false, id = delId)
+    // the replacement segment rides appendBatch's own idempotent
+    // commit protocol at the batch-keyed segment id
+    appendBatch(batch, dir, spec, segId.toLong)
+    if (hasPrior) commitTombstone(spark, dir, spec, keyCol, delId)
     true
   }
 

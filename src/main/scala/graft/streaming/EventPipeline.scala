@@ -686,6 +686,26 @@ object EventPipeline {
         ()
       })
 
+  /** EXACTLY-ONCE streaming UPSERT — the CDC sink (r13): each
+    * micro-batch REPLACES rows by key via
+    * [[graft.core.Store.upsertBatch]], whose tombstone/segment pair
+    * both key on the batchId, so a redelivered epoch repairs or
+    * no-ops instead of duplicating (incl. the half-committed upsert
+    * window — see upsertBatch's crash table). The append-only twin
+    * is [[storeIngest]]; a stream uses one or the other — the two id
+    * mappings must not interleave on one store.
+    */
+  def storeUpsert(docs: DataFrame, dir: String, spec: graft.core.IndexSpec,
+                  keyCol: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch(
+      (b: DataFrame, id: Long) => {
+        graft.core.Store.upsertBatch(b, dir, spec, keyCol, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          graft.core.Store.compact(b.sparkSession, dir)
+        ()
+      })
+
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
                    minQuality: Double = 0.6): DataFrame = {
     import graft.ops.Curation

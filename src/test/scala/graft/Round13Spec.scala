@@ -167,6 +167,57 @@ class Round13Spec extends SparkSpec {
     assert(r(1) == null && r(0) != null)
   }
 
+  test("upsertBatch: batch-keyed upserts replace by key, redelivery " +
+      "is a no-op, the half-committed window self-repairs") {
+    import graft.core.{IndexSpec, Store}
+    val spec = IndexSpec(Seq("cat"))
+    def mk(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, s"c${i % 4}", s"$tag-$i")).toDF("id", "cat", "pay")
+    val dir = java.nio.file.Files.createTempDirectory("r13ub").toString
+    // three batches with overlapping keys: 0..19, 10..29 (replaces
+    // 10..19), 5..14 (replaces again)
+    assert(Store.upsertBatch(mk(0 until 20, "b0"), dir, spec, "id", 0L))
+    assert(Store.upsertBatch(mk(10 until 30, "b1"), dir, spec, "id", 1L))
+    assert(Store.upsertBatch(mk(5 until 15, "b2"), dir, spec, "id", 2L))
+    def state(d: String) = Store.open(spark, d, spec).frame.df
+      .select("id", "pay").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = state(dir)
+    val want = (0 until 30).map { i =>
+      val tag = if (5 <= i && i < 15) "b2" else if (10 <= i && i < 30) "b1" else "b0"
+      i.toLong -> s"$tag-$i"
+    }.toMap
+    assert(got === want)
+    // the index nets identically to a from-scratch build
+    val st = Store.open(spark, dir, spec)
+    def ix(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ix(st.persistedIndex) ===
+      ix(graft.core.IndexedFrame(st.frame.df, spec).entries))
+    // redelivery of every batch: no-op, state unchanged
+    assert(!Store.upsertBatch(mk(0 until 20, "b0"), dir, spec, "id", 0L))
+    assert(!Store.upsertBatch(mk(10 until 30, "b1"), dir, spec, "id", 1L))
+    assert(!Store.upsertBatch(mk(5 until 15, "b2"), dir, spec, "id", 2L))
+    assert(state(dir) === want)
+    // half-committed window: segment landed, tombstone marker did not
+    // — simulate the crash by deleting batch 2's marker; redelivery
+    // must FINISH the commit (both copies visible in between)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/del_4/_COMMITTED"),
+      false)
+    assert(Store.open(spark, dir, spec).frame.df.count() > want.size,
+      "setup: duplicates visible")
+    assert(Store.upsertBatch(mk(5 until 15, "b2"), dir, spec, "id", 2L))
+    assert(state(dir) === want)
+    // equals the manual batch-upsert spelling on a twin store
+    val dir2 = java.nio.file.Files.createTempDirectory("r13ub2").toString
+    Store.write(mk(0 until 20, "b0"), dir2, spec)
+    Store.upsert(mk(10 until 30, "b1"), dir2, spec, "id")
+    Store.upsert(mk(5 until 15, "b2"), dir2, spec, "id")
+    assert(state(dir2) === want)
+  }
+
   test("write/append reject the reserved dropped-column namespace") {
     val dir = java.nio.file.Files.createTempDirectory("r13ns").toString
     val bad = (0 until 10).map(i => (i.toLong, s"c$i"))

@@ -276,6 +276,40 @@ class StoreDeleteSpec extends SparkSpec {
     assert(h === Seq((2, "append", "files=3")), h)
   }
 
+  test("storeUpsert face: CDC batches replace by key across batch " +
+      "breaks; final state equals the batch upsert spelling") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("upsertface")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.EventPipeline.storeUpsert(
+      stream.toDF().toDF("id", "cat", "v"), dir, spec, "id")
+      .start()
+    stream.addData((1L, "a", 10.0), (2L, "b", 20.0)); q.processAllAvailable()
+    stream.addData((2L, "b", 21.0), (3L, "a", 30.0)); q.processAllAvailable()
+    stream.addData((1L, "c", 12.0)); q.processAllAvailable()
+    q.stop()
+    val st = Store.open(spark, dir, spec)
+    val got = st.frame.df.select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "c", 12.0), (2L, "b", 21.0), (3L, "a", 30.0)))
+    // index netting matches a from-scratch build of the live rows
+    assert(ixMap(st) === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // the same upserts through the manual batch spelling agree
+    val dir2 = tmp("upsertface2")
+    Store.write(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "cat", "v"), dir2, spec)
+    Store.upsert(Seq((2L, "b", 21.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "v"), dir2, spec, "id")
+    Store.upsert(Seq((1L, "c", 12.0)).toDF("id", "cat", "v"),
+      dir2, spec, "id")
+    val got2 = Store.open(spark, dir2, spec).frame.df
+      .select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got2 === got)
+  }
+
   test("a reader planned before an in-stream compact materializes after it") {
     // the generation-retention guarantee under the streaming face
     // (r11 verdict #8): storeIngest's in-foreachBatch compact writes
