@@ -289,8 +289,11 @@ object Bench {
     val protocolFields =
       s""""reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${r2(sentRatio)},"canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_clamp_engaged":$canaryClampEngaged,"canary_ratio":${r2(canaryRatio)},"canary_ok":$canaryOk,"qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
 
-    // this run's own record — always written to bench_history verbatim
-    val thisRunJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"errors":$errJson,"regressions":$regressions,$protocolFields}"""
+    // this run's own record — always written to bench_history verbatim.
+    // canary_ratio/qualifies describe THIS run by construction here;
+    // the this_run_* aliases make that self-evident to a reader who
+    // only knows the official line's namespaced names (r12 verdict).
+    val thisRunJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"errors":$errJson,"regressions":$regressions,$protocolFields,"this_run_canary_ratio":${r2(canaryRatio)},"this_run_qualifies":$qualifies}"""
     if (only.isEmpty) {
       val hist = new java.io.File("bench_history")
       hist.mkdirs()

@@ -252,7 +252,7 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // §2b.29 — cumulative window: running order-count per customer in
+    // §2b.22h — cumulative window: running order-count per customer in
     // date order (rows-frame running aggregation).
     "running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -275,7 +275,7 @@ object Analytics {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
 
-    // §2b.29b — sketch path for percentiles: mergeable KLL-style
+    // §2b.22k2 — sketch path for percentiles: mergeable KLL-style
     // approx_percentile (rows-only; SketchSpec asserts each estimate
     // within 1% relative of the exact interpolated percentile). At
     // 100 TB the exact path's per-group value collection is the
@@ -724,7 +724,7 @@ object Analytics {
             .as("sum_value"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hr"))),
 
-    // §2b.29 — time-series resample + forward fill: each user's
+    // §2b.25t — time-series resample + forward fill: each user's
     // irregular event stream regularized onto its own hourly grid,
     // empty buckets forward-filled and flagged (ops/Resample).
     "events_resample" -> ((s, d) =>
@@ -996,7 +996,7 @@ object Analytics {
           col("total").cast("double"), 6).as("promo_pct"))
     }),
 
-    // §2b.26b — PARETO / cumulative-share analysis over customers
+    // §2b.25r — PARETO / cumulative-share analysis over customers
     // ("which heavy hitters make up half the revenue"): per-customer
     // monetary in EXACT integer cents, ranked desc, with the global
     // running total via the TWO-PHASE Rank.globalCumSum — no
