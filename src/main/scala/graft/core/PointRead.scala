@@ -371,6 +371,130 @@ object PointRead {
       }
       out.result()
     }
+
+    /** PREFIX/RANGE scan: every (value, payload) pair of one field
+      * whose value starts with `prefix` — the interactive index-NAV
+      * op (enumerate a field's terms under a prefix, the reference's
+      * DfTest index-navigation loop), served with the same
+      * footer/page pruning as [[lookup]] via the byte range
+      * [prefix, successor(prefix)). An empty prefix enumerates the
+      * whole field. Same correctness belt: every surviving row is
+      * re-checked exactly, so page granularity never leaks.
+      */
+    def scanPrefix(field: String, prefix: String): Seq[(String, Any)] = {
+      import org.apache.parquet.hadoop.metadata.ColumnPath
+      import org.apache.parquet.internal.filter2.columnindex.{
+        ColumnIndexFilter, ColumnIndexStore}
+      val fB = Binary.fromString(field)
+      val fBytes = fB.getBytes
+      val lo = Binary.fromString(prefix).getBytes
+      val hiOpt = byteSuccessor(lo) // None = unbounded (all-0xFF/empty)
+      val basePred = FilterApi.and(
+        FilterApi.eq(FilterApi.binaryColumn("field"), fB),
+        FilterApi.gtEq(FilterApi.binaryColumn("value"),
+          Binary.fromConstantByteArray(lo)))
+      val pred = hiOpt.fold(basePred)(h => FilterApi.and(basePred,
+        FilterApi.lt(FilterApi.binaryColumn("value"),
+          Binary.fromConstantByteArray(h))))
+      val filter = FilterCompat.get(pred)
+      def vInRange(v: Array[Byte]): Boolean =
+        unsignedCmp(v, lo) >= 0 &&
+          hiOpt.forall(h => unsignedCmp(v, h) < 0)
+      def straddlesR(r: Rng): Boolean = r match {
+        case None => true
+        case Some((fMin, fMax, vMin, vMax)) =>
+          if (unsignedCmp(fBytes, fMin) < 0 ||
+              unsignedCmp(fBytes, fMax) > 0) false
+          else if (unsignedCmp(fMin, fMax) == 0 &&
+                   unsignedCmp(fMin, fBytes) == 0)
+            // range overlap against the unit's [vMin, vMax]
+            hiOpt.forall(h => unsignedCmp(h, vMin) > 0) &&
+              unsignedCmp(lo, vMax) <= 0
+          else true
+      }
+      val out = Seq.newBuilder[(String, Any)]
+      metas.filter(m => straddlesR(m.range)).foreach { m =>
+        val r = readerFor(m)
+        val cols = m.proj.getColumns.asScala
+        val kTpe = m.proj.getFields.asScala
+          .find(_.getName == payload).get.asPrimitiveType()
+        val paths: java.util.Set[ColumnPath] =
+          cols.map(c => ColumnPath.get(c.getPath: _*)).toSet.asJava
+        val blocks = m.footer.getBlocks.asScala.toSeq
+        blocks.indices.foreach { bi =>
+          if (straddlesR(m.blockRanges(bi))) {
+            val store = indexStores.getOrElseUpdate((m.file, bi),
+              r.getColumnIndexStore(bi))
+            val pages =
+              try {
+                val ranges = ColumnIndexFilter.calculateRowRanges(
+                  filter, store, paths, blocks(bi).getRowCount)
+                if (ranges.rowCount == 0L) null
+                else r.readFilteredRowGroup(bi, ranges)
+              } catch {
+                case _: ColumnIndexStore.MissingOffsetIndexException =>
+                  r.readRowGroup(bi)
+              }
+            if (pages != null) {
+              val rows = pages.getRowCount
+              val crs = new ColumnReadStoreImpl(pages, sink, m.proj,
+                m.footer.getFileMetaData.getCreatedBy)
+              val fCol = crs.getColumnReader(
+                cols.find(_.getPath()(0) == "field").get)
+              val vCol = crs.getColumnReader(
+                cols.find(_.getPath()(0) == "value").get)
+              val kCol = crs.getColumnReader(
+                cols.find(_.getPath()(0) == payload).get)
+              val fDef = fCol.getDescriptor.getMaxDefinitionLevel
+              val vDef = vCol.getDescriptor.getMaxDefinitionLevel
+              val kDef = kCol.getDescriptor.getMaxDefinitionLevel
+              var i = 0L
+              while (i < rows) {
+                // same read-or-skip contract as lookup (see there)
+                val fHas = fCol.getCurrentDefinitionLevel == fDef
+                val vHas = vCol.getCurrentDefinitionLevel == vDef
+                val kHas = kCol.getCurrentDefinitionLevel == kDef
+                val fOk = fHas && fCol.getBinary == fB
+                val vB2 = if (vHas) vCol.getBinary else null
+                val vOk = vHas && vInRange(vB2.getBytes)
+                if (fOk && vOk) {
+                  val vs = vB2.toStringUsingUTF8
+                  if (!kHas) out += ((vs, null))
+                  else out += ((vs, kTpe.getPrimitiveTypeName match {
+                    case INT64   => kCol.getLong
+                    case INT32   => kCol.getInteger
+                    case BINARY  => kCol.getBinary.toStringUsingUTF8
+                    case DOUBLE  => kCol.getDouble
+                    case FLOAT   => kCol.getFloat
+                    case BOOLEAN => kCol.getBoolean
+                    case other => throw new UnsupportedOperationException(
+                      s"point scan of $payload: unsupported type $other")
+                  }))
+                } else if (kHas) kCol.skip()
+                fCol.consume(); vCol.consume(); kCol.consume()
+                i += 1
+              }
+            }
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** the exclusive upper bound of the byte range covering every
+    * string with prefix `p`: the rightmost non-0xFF byte incremented,
+    * bytes after it dropped; None (unbounded) for empty / all-0xFF
+    */
+  private def byteSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
   /** a queried (current) field name mapped BACK to the physical name
@@ -502,6 +626,30 @@ object PointRead {
                 .foldLeft(0L)((a, v) => a + v.asInstanceOf[Long])
           }
       })
+
+    /** prefix NAVIGATION: every (value, net f) of one field whose
+      * value starts with `prefix` — per-era range scans with the
+      * era's physical name, the tombstones' negative ixdelta/ixrepair
+      * entries riding the same sum (merge-on-read netting, like
+      * [[freq]]); zero-netted entries disappear, exactly like the
+      * plan path's merged index. Empty prefix enumerates the field.
+      * None if ineligible.
+      */
+    def prefix(field: String, prefix: String): Option[Seq[(String, Long)]] =
+      if (!ok) None
+      else {
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        fGroups.zipWithIndex.foreach { case ((dirs, rens), i) =>
+          reverseName(field, rens).foreach { phys =>
+            val rd = freqReaders.getOrElseUpdate(i,
+              new Reader(conf, dirs, "f"))
+            rd.scanPrefix(phys, prefix).foreach { case (v, f) =>
+              acc(v) = acc.getOrElse(v, 0L) + f.asInstanceOf[Long]
+            }
+          }
+        }
+        Some(acc.toSeq.filter(_._2 != 0L).sortBy(_._1))
+      }
 
     /** row keys for (field,value): per-era lookups with the era's
       * physical field name, each era's applicable victim key sets

@@ -2267,4 +2267,37 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     */
   def fAndPoint(f1: String, v1: String, f2: String, v2: String): Long =
     rowsOfAndPoint(f1, v1, f2, v2).size.toLong
+
+  /** INTERACTIVE point BOOLEAN ALGEBRA (r13 — `index_bool`'s
+    * two-bitmap half served driver-side): (AND, OR, a∖b DIFF, XOR)
+    * counts for two (field,value) entries from the SAME two point
+    * membership reads one [[fAndPoint]] pays — set identities do the
+    * rest, no third read. (NOT needs the row count, a frame-level
+    * fact — the plan spelling keeps it.)
+    */
+  def boolCountsPoint(f1: String, v1: String,
+                      f2: String, v2: String): (Long, Long, Long, Long) = {
+    val a = rowsOfPoint(f1, v1).toSet
+    val b = rowsOfPoint(f2, v2).toSet
+    val and = (a & b).size.toLong
+    (and, a.size + b.size - and, a.size - and, a.size + b.size - 2 * and)
+  }
+
+  /** INTERACTIVE prefix NAVIGATION (r13 — the reference's index-nav
+    * loop: enumerate a field's values under a prefix with their
+    * frequencies, `index_prefix`'s single-op face): served by one
+    * driver-side byte-range scan per era (no Spark job), tombstone
+    * netting and rename mapping applied like [[fPoint]]; plan-path
+    * fallback otherwise. Empty prefix lists the whole field. The
+    * BULK spelling stays the `persistedIndex` filter — hundreds of
+    * prefixes amortize better through one plan.
+    */
+  def prefixPoint(field: String, prefix: String): Seq[(String, Long)] =
+    point.flatMap(_.prefix(field, prefix)).getOrElse {
+      import org.apache.spark.sql.functions.{col => c}
+      persistedIndex
+        .where(c("field") === field && c("value").startsWith(prefix))
+        .select("value", "f").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    }
 }

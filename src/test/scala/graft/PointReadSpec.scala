@@ -205,6 +205,60 @@ class PointReadSpec extends SparkSpec {
       planAnd2("cat", "c1", "tag", "t2").toLong)
   }
 
+  test("prefixPoint enumerates a field's values like the plan, no job") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 200), s"$dir/s", spec)
+    Store.append(mkDf(200 until 300), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    def plan(f: String, p: String) = st.persistedIndex
+      .where(col("field") === f && col("value").startsWith(p))
+      .select("value", "f").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(st.prefixPoint("tag", "t1") === plan("tag", "t1"))
+    assert(st.prefixPoint("tag", "t1").map(_._1) ===
+      Seq("t1", "t10", "t11", "t12"))
+    // empty prefix = full field enumeration
+    assert(st.prefixPoint("cat", "") === plan("cat", ""))
+    assert(st.prefixPoint("cat", "zz").isEmpty)
+    st.prefixPoint("tag", "t0") // warm
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(st.prefixPoint("tag", "t2").nonEmpty)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "prefixPoint must stay driver-side")
+    // tombstones net; renames map
+    Store.delete(spark, s"$dir/s", spec, "id",
+      (0 until 300 by 2).map(_.toLong).toDF("id"))
+    val st2 = Store.open(spark, s"$dir/s", spec)
+    def plan2(f: String, p: String) = st2.persistedIndex
+      .where(col("field") === f && col("value").startsWith(p))
+      .select("value", "f").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(st2.prefixPoint("tag", "t") === plan2("tag", "t"))
+    Store.renameColumn(spark, s"$dir/s", "tag", "tags")
+    val sp3 = IndexSpec(Seq("cat", "tags")).withRowRefs("id")
+    val st3 = Store.open(spark, s"$dir/s", sp3)
+    val plan3 = st3.persistedIndex
+      .where(col("field") === "tags" && col("value").startsWith("t1"))
+      .select("value", "f").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(st3.prefixPoint("tags", "t1") === plan3)
+    assert(st3.prefixPoint("tag", "t1").isEmpty)
+  }
+
+  test("boolCountsPoint equals the set identities over plan rows") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 350), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    val a = planRows(st, "cat", "c2").toSet
+    val b = planRows(st, "tag", "t5").toSet
+    val (and, or, diff, xor) = st.boolCountsPoint("cat", "c2", "tag", "t5")
+    assert(and === (a & b).size.toLong)
+    assert(or === (a | b).size.toLong)
+    assert(diff === (a -- b).size.toLong)
+    assert(xor === ((a | b) -- (a & b)).size.toLong)
+  }
+
   test("string row keys read back as strings") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     val df = (0 until 120)
