@@ -53,6 +53,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // loud codegen: a compile failure is a bench defect (the stage
+      // would silently run interpreted), never a quiet fallback
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

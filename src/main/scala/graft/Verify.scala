@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // a janino compile failure must FAIL the gate, not silently
+      // interpret the stage (r13 verdict: the unrolled ADC fold
+      // compiled-failed + fell back for two rounds unnoticed)
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

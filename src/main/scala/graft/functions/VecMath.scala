@@ -268,6 +268,284 @@ case class VecUnit(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) fold for product-quantized codes:
+  * Σⱼ dtabs[j][(code >>> j·bits) & mask] over the m subspaces, as ONE
+  * generated loop.
+  *
+  * The declarative spelling (m unrolled `element_at(element_at(dtabs,
+  * j+1), shr(code, j·bits) & mask + 1)` terms summed) expands to a
+  * generated `processNext()` large enough that janino fails to compile
+  * it — Spark logs `ERROR CodeGenerator` and SILENTLY disables
+  * whole-stage codegen for the ADC scan stage, interpreting the
+  * hottest per-row arithmetic of the PQ family. This expression is the
+  * same fold (j-ascending double accumulation — bit-identical to the
+  * unrolled sum and the DuckDB oracle mirror) in a loop the size of a
+  * postcard.
+  *
+  * Null handling: null code or null dtabs → null (BinaryExpression
+  * default); inner tables are dense non-null query-side constants.
+  */
+case class PqAdc(left: Expression, right: Expression, m: Int, bits: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codeOk = left.dataType == LongType
+    val tabsOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codeOk && tabsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (bigint, array<array<double>>), got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  private val mask: Long = (1L << bits) - 1
+
+  override def nullSafeEval(codeAny: Any, tabsAny: Any): Any = {
+    val code = codeAny.asInstanceOf[Long]
+    val tabs = tabsAny.asInstanceOf[ArrayData]
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val sub = ((code >>> (j * bits)) & mask).toInt
+      s += tabs.getArray(j).getDouble(sub)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, tabs) => {
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val sub = ctx.freshName("sub")
+      s"""
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $sub = (int)(($code >>> ($j * $bits)) & ${mask}L);
+         |  $s += $tabs.getArray($j).getDouble($sub);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared driver-side constants for the PQ expressions: per-centroid
+  * ‖c‖² tables, folded once with the exact arithmetic the previous
+  * literal spelling used (ascending double fold over float squares).
+  */
+private[functions] object PqTables {
+  def ccTables(books: Array[Array[Array[Float]]]): Array[Array[Double]] =
+    books.map(_.map(_.map(x => x.toDouble * x.toDouble).sum))
+}
+
+/** Per-query ADC distance tables as ONE generated 3-level loop:
+  * out[j][c] = ‖cⱼ꜀‖² − 2·⟨qⱼ, cⱼ꜀⟩ over the m×ks codebook entries.
+  *
+  * The declarative spelling (an `array(array(...))` of m·ks unrolled
+  * [[graft.ops.Similarity]] centApproxDist terms — 256 inline vecDot
+  * loops at the default m=16, ks=16) generates a `processNext()` that
+  * janino rejects with "Code grows beyond 64 KB"; Spark then silently
+  * disables whole-stage codegen for the stage (r13 verdict #1). Same
+  * arithmetic in the same fold order (ascending double accumulation,
+  * ‖c‖² folded driver-side exactly as the literal was) — results are
+  * bit-identical, the generated code is three nested loops.
+  */
+case class PqDistTables(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_dist_tables requires array<float>, got $t")
+    }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_dist_tables"
+
+  private val m = books.length
+  private val sub = books(0)(0).length
+  @transient private lazy val cc = PqTables.ccTables(books)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val tabs = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val n = math.max(0, math.min(v.numElements() - off, sub))
+      val row = new Array[Double](books(j).length)
+      var c = 0
+      while (c < row.length) {
+        val cent = books(j)(c)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          dot += v.getFloat(off + d).toDouble * cent(d).toDouble
+          d += 1
+        }
+        row(c) = cc(j)(c) - dot * 2
+        c += 1
+      }
+      tabs(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tabs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "float[][][]")
+    val ccRef = ctx.addReferenceObj("cc", PqTables.ccTables(books), "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tabs = ctx.freshName("tabs")
+      val row = ctx.freshName("row")
+      val cent = ctx.freshName("cent")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      s"""
+         |Object[] $tabs = new Object[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $off = $j * $sub;
+         |  int $n = java.lang.Math.max(0,
+         |    java.lang.Math.min($v.numElements() - $off, $sub));
+         |  double[] $row = new double[$booksRef[$j].length];
+         |  for (int $c = 0; $c < $row.length; $c++) {
+         |    float[] $cent = $booksRef[$j][$c];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += (double)$v.getFloat($off + $d) * (double)$cent[$d];
+         |    }
+         |    $row[$c] = $ccRef[$j][$c] - $dot * 2;
+         |  }
+         |  $tabs[$j] =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tabs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTables =
+    copy(child = newChild)
+}
+
+/** PQ encode as ONE generated loop: pack each subspace's
+  * nearest-centroid index (ties → smallest code, matching the
+  * struct-`array_min` spelling it replaces) into bits
+  * [j·bits, (j+1)·bits) of one long. Replaces the m×ks unrolled
+  * struct/array_min expression tree for the same 64 KB reason as
+  * [[PqDistTables]]. The dropped ‖s‖² is constant per (row, subspace),
+  * so the argmin matches true sub-space L2.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]],
+                    bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<float>, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+
+  private val m = books.length
+  private val sub = books(0)(0).length
+  @transient private lazy val cc = PqTables.ccTables(books)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var code = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      val n = math.max(0, math.min(v.numElements() - off, sub))
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < books(j).length) {
+        val cent = books(j)(c)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          dot += v.getFloat(off + d).toDouble * cent(d).toDouble
+          d += 1
+        }
+        val dist = cc(j)(c) - dot * 2
+        // strict < keeps the FIRST (smallest-c) minimum — the
+        // array_min-over-(d, code)-structs tie rule
+        if (dist < best) { best = dist; bestC = c }
+        c += 1
+      }
+      code |= bestC.toLong << (j * bits)
+      j += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "float[][][]")
+    val ccRef = ctx.addReferenceObj("cc", PqTables.ccTables(books), "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val code = ctx.freshName("code")
+      val cent = ctx.freshName("cent")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |long $code = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $off = $j * $sub;
+         |  int $n = java.lang.Math.max(0,
+         |    java.lang.Math.min($v.numElements() - $off, $sub));
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $booksRef[$j].length; $c++) {
+         |    float[] $cent = $booksRef[$j][$c];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += (double)$v.getFloat($off + $d) * (double)$cent[$d];
+         |    }
+         |    double $dist = $ccRef[$j][$c] - $dot * 2;
+         |    if ($dist < $best) { $best = $dist; $bestC = $c; }
+         |  }
+         |  $code |= ((long)$bestC) << ($j * $bits);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 object VecMath {
   /** codegen'd Σ aᵢ·bᵢ as double */
   def vecDot(a: Column, b: Column): Column =
@@ -286,4 +564,17 @@ object VecMath {
     */
   def vecLshSig(v: Column, planes: Array[Double], nbits: Int, dim: Int): Column =
     GraftShims.column(VecLshSig(GraftShims.expression(v), planes, nbits, dim))
+
+  /** codegen'd one-loop ADC fold (see [[PqAdc]]) */
+  def pqAdc(code: Column, dtabs: Column, m: Int, bits: Int): Column =
+    GraftShims.column(
+      PqAdc(GraftShims.expression(code), GraftShims.expression(dtabs), m, bits))
+
+  /** codegen'd 3-level-loop per-query ADC tables (see [[PqDistTables]]) */
+  def pqDistTables(qv: Column, books: Array[Array[Array[Float]]]): Column =
+    GraftShims.column(PqDistTables(GraftShims.expression(qv), books))
+
+  /** codegen'd one-loop PQ encode (see [[PqEncode]]) */
+  def pqEncode(v: Column, books: Array[Array[Array[Float]]], bits: Int): Column =
+    GraftShims.column(PqEncode(GraftShims.expression(v), books, bits))
 }

@@ -670,16 +670,14 @@ object Similarity {
 
   def pqEncode(v: Column, books: Array[Array[Array[Float]]]): Column = {
     val m = books.length
-    val sub = books(0)(0).length
     val bits = pqBits(books)
     require(m * bits <= 64, s"m=$m × $bits bits exceeds one long")
-    (0 until m).map { j =>
-      val s = slice(v, j * sub + 1, sub)
-      val structs = array(books(j).indices.map { c =>
-        struct(centApproxDist(s, books(j)(c)).as("d"), lit(c).as("code"))
-      }: _*)
-      shiftleft(array_min(structs).getField("code").cast("long"), j * bits)
-    }.reduce(_ bitwiseOR _)
+    // ONE generated argmin loop ([[graft.functions.PqEncode]]). The
+    // previous m·ks unrolled struct/array_min tree generated a
+    // processNext() janino rejected ("Code grows beyond 64 KB") —
+    // Spark silently interpreted the encode stage (r13 verdict #1).
+    // Identical arithmetic and tie rule — codes unchanged.
+    graft.functions.VecMath.pqEncode(v, books, bits)
   }
 
   /** per-query ADC distance tables: dtabs[j][c] = [[centApproxDist]];
@@ -687,24 +685,22 @@ object Similarity {
     * Σ_j dtabs[j][code_j] ranks candidates exactly as squared L2 does.
     */
   private def pqDistTables(qv: Column,
-                           books: Array[Array[Array[Float]]]): Column = {
-    val sub = books(0)(0).length
-    array(books.indices.map { j =>
-      val s = slice(qv, j * sub + 1, sub)
-      array(books(j).indices.map(c => centApproxDist(s, books(j)(c))): _*)
-    }: _*)
-  }
+                           books: Array[Array[Array[Float]]]): Column =
+    // ONE generated 3-level loop ([[graft.functions.PqDistTables]]) —
+    // the unrolled m·ks centApproxDist array-of-arrays was the other
+    // half of the 64 KB codegen blowup (see [[pqEncode]]).
+    graft.functions.VecMath.pqDistTables(qv, books)
 
-  /** Σ_j dtabs[j][code_j] — m shift/mask/lookup terms, all codegen'd */
+  /** Σ_j dtabs[j][code_j] — ONE generated subspace loop
+    * ([[graft.functions.PqAdc]]). The previous m-wide unrolled
+    * element_at spelling exceeded janino's compile limits: Spark
+    * logged `ERROR CodeGenerator`, disabled whole-stage codegen for
+    * the ADC scan stage, and interpreted the family's hottest per-row
+    * arithmetic. Same j-ascending double fold — hashes unchanged.
+    */
   private def adcScore(code: Column, dtabs: Column,
-                       m: Int, bits: Int): Column = {
-    val mask = (1L << bits) - 1
-    (0 until m).map { j =>
-      element_at(element_at(dtabs, j + 1),
-        shiftrightunsigned(code, j * bits).bitwiseAND(lit(mask))
-          .cast("int") + lit(1))
-    }.reduce(_ + _)
-  }
+                       m: Int, bits: Int): Column =
+    graft.functions.VecMath.pqAdc(code, dtabs, m, bits)
 
   /** PQ ANN top-k: ADC scan of the packed-codes table → per-query
     * shortlist → EXACT cosine rerank of the shortlist (the standard

@@ -124,6 +124,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("PQ ADC scan compiles under whole-stage codegen and runs inside a span") {
+    // the CodegenFallback audit below cannot see this class of defect:
+    // an expression tree that is nominally codegen'd but whose
+    // generated processNext() fails janino compilation makes Spark
+    // silently disable the WHOLE STAGE and interpret it (the r13
+    // unrolled ADC fold shipped that way for two rounds). Two teeth:
+    // (1) the shared test session sets spark.sql.codegen.fallback=false,
+    // so executing here THROWS on any compile failure; (2) the final
+    // executed plan must show the pq_adc projection inside a `*(n)`
+    // codegen span, catching any future fallback-with-different-cause
+    // (e.g. hugeMethodLimit, which ignores the fallback conf).
+    for (name <- Seq("ann_pq_topk", "ann_ivfpq_topk")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      // AQE prints the final plan followed by "+- == Initial Plan ==",
+      // whose nodes never carry codegen stars — audit the final only
+      val p = full.split("== Initial Plan ==").head
+      val adcLines = p.linesIterator.filter(_.contains("pq_adc")).toSeq
+      assert(adcLines.nonEmpty, s"$name: no pq_adc stage found:\n$p")
+      assert(adcLines.forall(_.contains("*(")),
+        s"$name ADC stage NOT codegen'd:\n${adcLines.mkString("\n")}")
+    }
+  }
+
   test("no row-hot CodegenFallback expression in any query's plan (standing audit)") {
     // the one-time r9 audit caught two 5×+ defects (interpreted
     // higher-order expressions in per-row projections — the

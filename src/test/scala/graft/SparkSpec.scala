@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every executed test doubles as a codegen-compile gate: a
+      // janino failure throws instead of silently interpreting the
+      // stage (the r13 PQ ADC fold fell back unnoticed for 2 rounds)
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
