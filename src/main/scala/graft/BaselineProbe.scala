@@ -204,6 +204,43 @@ object BaselineProbe {
     }
     results += "rowrefs_point_fand" -> (pfa, 1L)
 
+    // 11e. interactive CoStats (r14 — the reference's hot cofreq
+    //    loop, CoStats over the four counts of two opened bitmaps):
+    //    the SAME two point reads as 11d plus closed-form math; n is
+    //    cached after the first call (frame metadata posture).
+    val pcs = bestOf(5) {
+      rst.coStatsPoint(kA.getString(0), kA.getString(1),
+        kB.getString(0), kB.getString(1)).mi
+    }
+    results += "costats_point" -> (pcs, 1L)
+
+    // 11f. interactive single-query knn (r14 — reference knn(k, v)):
+    //    served from the persisted weight artifact + per-entry
+    //    membership streams, driver-side — the reference's own
+    //    walk-the-weighted-bitmaps algorithm. Store indexes the
+    //    FEATURE fields with a unique row key (the knn contract).
+    // the synthetic lineitem has DUPLICATE (orderkey, linenumber)
+    // pairs — knnPoint's unique-key contract needs a synthesized id
+    // (consistency is per-store: the index/refs are built from the
+    // PERSISTED copy, so the id never recomputes differently)
+    val liK = li.withColumn("li_key", monotonically_increasing_id())
+    val knnSpec = IndexSpec(Seq("l_returnflag", "l_linestatus"))
+      .withRowRefs("li_key")
+    Store.write(liK, s"$outDir/knnstore", knnSpec)
+    val kst = Store.open(spark, s"$outDir/knnstore", knnSpec)
+    val knnW = graft.ops.Knn.keyValueWeights(liK,
+      Seq("l_returnflag", "l_linestatus"), col("l_quantity") > 25)
+    knnW.coalesce(1).write.mode("overwrite").parquet(s"$outDir/knnw")
+    val wDrv = Store.readWeightsDriver(spark, s"$outDir/knnw")
+    val knnQ = Map("l_returnflag" -> "R", "l_linestatus" -> "F")
+    // a None here (ineligible/gated) would time a no-op — fail loud
+    require(kst.knnPoint(wDrv, knnQ, 10).exists(_.size == 10),
+      "knnPoint probe: fast path ineligible — probe would be vacuous")
+    val pkn = bestOf(3) {
+      kst.knnPoint(wDrv, knnQ, 10)
+    }
+    results += "knn_point_single" -> (pkn, 1L)
+
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0
       s""""$k":{"ms":${math.round(ms * 10.0) / 10.0},"ops":$n,"us_per_op":$usPerOp}"""

@@ -186,6 +186,13 @@ object Bench {
     val sentStart = (1 to 3).map(_ => sentinel()).min
 
     if (canaryEnabled) canary()
+    // r13 verdict #6: the store-incr rows amortize a one-time
+    // snapshot-keyed ingest — their FIRST rep may pay the build while
+    // later reps serve the steady state. Keep the per-rep times so
+    // the artifact can report build vs serve separately; a
+    // 4-10 ms-class serve regression must not drown in a 3 s build.
+    val storeIncrReps =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = names.zipWithIndex.map { case (name, i) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -194,6 +201,7 @@ object Bench {
         clearState()
         t
       }
+      if (name.endsWith("_store_incr")) storeIncrReps(name) = times
       if (canaryEnabled && i % 20 == 19) canary()
       name -> times.min
     }
@@ -289,8 +297,15 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def r2(x: Double) = math.round(x * 100.0) / 100.0
     val canaryJson = canarySamples.map(r2).mkString("[", ",", "]")
+    // first rep (may include the one-time snapshot-keyed ingest) vs
+    // steady-state serve (min of the later reps) per store-incr row
+    val storeIncrJson = storeIncrReps.map { case (k, ts) =>
+      val steady = if (ts.size > 1) ts.tail.min else ts.head
+      "\"" + k + "\":{\"first_s\":" + ts.head + ",\"serve_s\":" +
+        steady + "}"
+    }.mkString("{", ",", "}")
     val protocolFields =
-      s""""reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${r2(sentRatio)},"canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_clamp_engaged":$canaryClampEngaged,"canary_ratio":${r2(canaryRatio)},"canary_ok":$canaryOk,"qualifies":$qualifies,"fingerprint":"$fingerprint","best_known_total":$bestKnownTotal,"sf":"$sfDir""""
+      s""""reps":$reps,"sentinel_start_sec":$sentStart,"sentinel_end_sec":$sentEnd,"sentinel_ratio":${r2(sentRatio)},"canary_samples":$canaryJson,"canary_ref_sec":${r2(canaryRef)},"canary_clamp_engaged":$canaryClampEngaged,"canary_ratio":${r2(canaryRatio)},"canary_ok":$canaryOk,"qualifies":$qualifies,"fingerprint":"$fingerprint","store_incr":$storeIncrJson,"best_known_total":$bestKnownTotal,"sf":"$sfDir""""
 
     // this run's own record — always written to bench_history verbatim.
     // canary_ratio/qualifies describe THIS run by construction here;

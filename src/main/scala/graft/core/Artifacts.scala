@@ -64,6 +64,28 @@ object Artifacts {
     s.read.parquet(dir)
   }
 
+  /** build-once STORE lifecycle (r14 — the store-incr bench split):
+    * `build` runs the store's ingest lifecycle (write/append/delete/
+    * append) only when the `_INGESTED` marker is absent, so a bench
+    * rep or repeated query call serves the STEADY STATE instead of
+    * re-paying the one-time ingest. The dir name must carry the
+    * source snapshot key (see [[tableSnapshotKey]]); a partial build
+    * (died mid-lifecycle, no marker) is wiped and rebuilt.
+    */
+  def haveStore(s: SparkSession, dir: String)
+               (build: String => Unit): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ready = new org.apache.hadoop.fs.Path(dir, "_INGESTED")
+    if (!fs.exists(ready)) {
+      fs.delete(path, true)
+      build(dir)
+      fs.create(ready, true).close()
+      gcSiblings(s, dir)
+    }
+    dir
+  }
+
   /** GC superseded generations of a snapshot-keyed artifact: the dir
     * name is <family>_<key>, so siblings sharing the prefix up to the
     * key are stale builds of THIS artifact against an older source

@@ -155,6 +155,11 @@ object PointRead {
   private final class ReaderState extends Runnable {
     val openReaders =
       scala.collection.mutable.HashMap.empty[Path, ParquetFileReader]
+    // set before the one-shot Cleaner action runs: a lookup after
+    // close() used to silently re-open file handles that NOTHING
+    // would ever release (the cleanable is spent, GC re-registration
+    // never happens) — a use-after-close fd leak (r13 advice #3)
+    @volatile var closed = false
     override def run(): Unit = {
       openReaders.values.foreach(r => scala.util.Try(r.close()))
       openReaders.clear()
@@ -226,15 +231,20 @@ object PointRead {
       (Path, Int),
       org.apache.parquet.internal.filter2.columnindex.ColumnIndexStore]
 
-    private def readerFor(m: FileMeta): ParquetFileReader =
+    private def readerFor(m: FileMeta): ParquetFileReader = {
+      if (state.closed) throw new IllegalStateException(
+        s"point Reader for $dirs is closed — a lookup after close() " +
+          "would re-open file handles nothing releases (fd leak)")
       openReaders.getOrElseUpdate(m.file, {
         val r = new ParquetFileReader(conf, m.file, m.footer,
           HadoopReadOptions.builder(conf, m.file).build())
         r.setRequestedSchema(m.proj)
         r
       })
+    }
 
     override def close(): Unit = {
+      state.closed = true // reject further lookups (see readerFor)
       cleanable.clean() // runs ReaderState.run at most once
       indexStores.clear()
     }
@@ -278,11 +288,31 @@ object PointRead {
                            value: Array[Byte]): Seq[FileMeta] =
       metas.filter(m => straddles(m.range, field, value))
 
-    /** all payload values for rows where field/value match exactly */
+    /** all payload values for rows where field/value match exactly
+      * (dir → file → block → row order, exactly the order
+      * [[lookupStreams]] yields — this is its eager concatenation)
+      */
     def lookup(field: String, value: String): Seq[Any] = {
-      import org.apache.parquet.hadoop.metadata.ColumnPath
-      import org.apache.parquet.internal.filter2.columnindex.{
-        ColumnIndexFilter, ColumnIndexStore}
+      val out = Seq.newBuilder[Any]
+      lookupStreams(field, value).foreach(_.foreach(out += _))
+      out.result()
+    }
+
+    /** per-DIR lazy payload streams for one (field,value): each input
+      * dir is one range-clustered segment sorted on (field, value,
+      * payload-order), so walking its candidate files (name order =
+      * range order under repartitionByRange), blocks, and rows in
+      * sequence yields that dir's payloads in WRITE-SORT order. The
+      * caller gets one iterator per dir — k sorted runs it can
+      * merge-intersect in O(1) memory instead of materializing a Set
+      * per side (r13 verdict #2: a hot entry is tens of millions of
+      * keys; a COUNT must not hold them). Page I/O happens lazily as
+      * each iterator advances; an unconsumed iterator costs only its
+      * first block's read.
+      */
+    def lookupStreams(field: String, value: String): Seq[Iterator[Any]] = {
+      if (state.closed) throw new IllegalStateException(
+        s"point Reader for $dirs is closed")
       val fB = Binary.fromString(field)
       val vB = Binary.fromString(value)
       val fBytes = fB.getBytes
@@ -291,67 +321,100 @@ object PointRead {
         FilterApi.eq(FilterApi.binaryColumn("field"), fB),
         FilterApi.eq(FilterApi.binaryColumn("value"), vB))
       val filter = FilterCompat.get(pred)
-      val out = Seq.newBuilder[Any]
-      candidates(fBytes, vBytes).foreach { m =>
-        val r = readerFor(m)
-        val cols = m.proj.getColumns.asScala
-        val kTpe = m.proj.getFields.asScala
-          .find(_.getName == payload).get.asPrimitiveType()
-        val paths: java.util.Set[ColumnPath] =
-          cols.map(c => ColumnPath.get(c.getPath: _*)).toSet.asJava
-        val blocks = m.footer.getBlocks.asScala.toSeq
-        blocks.indices.foreach { bi =>
-          if (straddles(m.blockRanges(bi), fBytes, vBytes)) {
-            // page-level prune from the CACHED column indexes — in
-            // memory after the first lookup that touches this group
-            val store = indexStores.getOrElseUpdate((m.file, bi),
-              r.getColumnIndexStore(bi))
-            val pages =
-              try {
-                val ranges = ColumnIndexFilter.calculateRowRanges(
-                  filter, store, paths, blocks(bi).getRowCount)
-                if (ranges.rowCount == 0L) null
-                else r.readFilteredRowGroup(bi, ranges)
-              } catch {
-                // no column/offset indexes (older writer): read the
-                // whole row group — the belt below still filters
-                case _: ColumnIndexStore.MissingOffsetIndexException =>
-                  r.readRowGroup(bi)
-              }
-            if (pages != null) {
-              val rows = pages.getRowCount
-            // row-synchronized typed readers (rowIndexes present ⇒
-            // SynchronizingColumnReader): all three columns yield the
-            // SAME surviving rows in lockstep — no Group assembly
-            val crs = new ColumnReadStoreImpl(pages, sink, m.proj,
-              m.footer.getFileMetaData.getCreatedBy)
-            val fCol = crs.getColumnReader(
-              cols.find(_.getPath()(0) == "field").get)
-            val vCol = crs.getColumnReader(
-              cols.find(_.getPath()(0) == "value").get)
-            val kCol = crs.getColumnReader(
-              cols.find(_.getPath()(0) == payload).get)
-            val fDef = fCol.getDescriptor.getMaxDefinitionLevel
-            val vDef = vCol.getDescriptor.getMaxDefinitionLevel
-            val kDef = kCol.getDescriptor.getMaxDefinitionLevel
-            var i = 0L
-            while (i < rows) {
-              // CONTRACT: every non-null position of every column must
-              // be read (getter) or skip()ed before consume() — an
-              // unread value is NOT advanced by consume() and the
-              // reader silently desyncs from its siblings. So f and v
-              // are read unconditionally (no short-circuit), and k is
-              // skipped when the row doesn't match.
-              val fHas = fCol.getCurrentDefinitionLevel == fDef
-              val vHas = vCol.getCurrentDefinitionLevel == vDef
-              val kHas = kCol.getCurrentDefinitionLevel == kDef
-              // exact-equality belt: page granularity never leaks
-              // neighbors, null field/value rows never match
-              val fOk = fHas && fCol.getBinary == fB
-              val vOk = vHas && vCol.getBinary == vB
-              if (fOk && vOk) {
-                if (!kHas) out += null
-                else out += (kTpe.getPrimitiveTypeName match {
+      val cands = candidates(fBytes, vBytes)
+      // one run per PARENT DIR, preserving metas order (= input dir
+      // order, file-name order within a dir). Grouping by the file's
+      // own parent rather than matching against `dirs` — listStatus
+      // returns scheme-QUALIFIED paths that need not equal the
+      // caller's unqualified dir Paths.
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[Path, scala.collection.mutable.ArrayBuffer[FileMeta]]
+      cands.foreach(m => groups.getOrElseUpdate(m.file.getParent,
+        scala.collection.mutable.ArrayBuffer.empty[FileMeta]) += m)
+      groups.values.toSeq
+        .map { fms =>
+          fms.iterator.flatMap { m =>
+            val blocks = m.footer.getBlocks.asScala.toSeq
+            blocks.indices.iterator
+              .filter(bi => straddles(m.blockRanges(bi), fBytes, vBytes))
+              .flatMap(bi => blockRows(m, bi, fB, vB, filter))
+          }
+        }
+    }
+
+    /** matching payload values of ONE row group, lazily: page-pruned
+      * read + the row-synchronized typed-reader walk as an iterator.
+      */
+    private def blockRows(m: FileMeta, bi: Int, fB: Binary, vB: Binary,
+        filter: FilterCompat.Filter): Iterator[Any] = {
+      import org.apache.parquet.hadoop.metadata.ColumnPath
+      import org.apache.parquet.internal.filter2.columnindex.{
+        ColumnIndexFilter, ColumnIndexStore}
+      val r = readerFor(m)
+      val cols = m.proj.getColumns.asScala
+      val kTpe = m.proj.getFields.asScala
+        .find(_.getName == payload).get.asPrimitiveType()
+      val paths: java.util.Set[ColumnPath] =
+        cols.map(c => ColumnPath.get(c.getPath: _*)).toSet.asJava
+      val blocks = m.footer.getBlocks.asScala.toSeq
+      // page-level prune from the CACHED column indexes — in
+      // memory after the first lookup that touches this group
+      val store = indexStores.getOrElseUpdate((m.file, bi),
+        r.getColumnIndexStore(bi))
+      val pages =
+        try {
+          val ranges = ColumnIndexFilter.calculateRowRanges(
+            filter, store, paths, blocks(bi).getRowCount)
+          if (ranges.rowCount == 0L) null
+          else r.readFilteredRowGroup(bi, ranges)
+        } catch {
+          // no column/offset indexes (older writer): read the
+          // whole row group — the belt below still filters
+          case _: ColumnIndexStore.MissingOffsetIndexException =>
+            r.readRowGroup(bi)
+        }
+      if (pages == null) Iterator.empty
+      else new Iterator[Any] {
+        private val rows = pages.getRowCount
+        // row-synchronized typed readers (rowIndexes present ⇒
+        // SynchronizingColumnReader): all three columns yield the
+        // SAME surviving rows in lockstep — no Group assembly
+        private val crs = new ColumnReadStoreImpl(pages, sink, m.proj,
+          m.footer.getFileMetaData.getCreatedBy)
+        private val fCol = crs.getColumnReader(
+          cols.find(_.getPath()(0) == "field").get)
+        private val vCol = crs.getColumnReader(
+          cols.find(_.getPath()(0) == "value").get)
+        private val kCol = crs.getColumnReader(
+          cols.find(_.getPath()(0) == payload).get)
+        private val fDef = fCol.getDescriptor.getMaxDefinitionLevel
+        private val vDef = vCol.getDescriptor.getMaxDefinitionLevel
+        private val kDef = kCol.getDescriptor.getMaxDefinitionLevel
+        private var i = 0L
+        private var nextV: Any = null
+        private var has = false
+        advance()
+
+        private def advance(): Unit = {
+          has = false
+          while (!has && i < rows) {
+            // CONTRACT: every non-null position of every column must
+            // be read (getter) or skip()ed before consume() — an
+            // unread value is NOT advanced by consume() and the
+            // reader silently desyncs from its siblings. So f and v
+            // are read unconditionally (no short-circuit), and k is
+            // skipped when the row doesn't match.
+            val fHas = fCol.getCurrentDefinitionLevel == fDef
+            val vHas = vCol.getCurrentDefinitionLevel == vDef
+            val kHas = kCol.getCurrentDefinitionLevel == kDef
+            // exact-equality belt: page granularity never leaks
+            // neighbors, null field/value rows never match
+            val fOk = fHas && fCol.getBinary == fB
+            val vOk = vHas && vCol.getBinary == vB
+            if (fOk && vOk) {
+              nextV =
+                if (!kHas) null
+                else kTpe.getPrimitiveTypeName match {
                   case INT64   => kCol.getLong
                   case INT32   => kCol.getInteger
                   case BINARY  => kCol.getBinary.toStringUsingUTF8
@@ -360,16 +423,22 @@ object PointRead {
                   case BOOLEAN => kCol.getBoolean
                   case other => throw new UnsupportedOperationException(
                     s"point read of $payload: unsupported parquet type $other")
-                })
-              } else if (kHas) kCol.skip()
-              fCol.consume(); vCol.consume(); kCol.consume()
-              i += 1
-            }
-            }
+                }
+              has = true
+            } else if (kHas) kCol.skip()
+            fCol.consume(); vCol.consume(); kCol.consume()
+            i += 1
           }
         }
+
+        override def hasNext: Boolean = has
+        override def next(): Any = {
+          if (!has) throw new NoSuchElementException
+          val v = nextV
+          advance()
+          v
+        }
       }
-      out.result()
     }
 
     /** PREFIX/RANGE scan: every (value, payload) pair of one field
@@ -497,6 +566,35 @@ object PointRead {
     }
   }
 
+  /** row-key order for driver-side merges: matches the refs WRITE
+    * sort (Spark's repartitionByRange + sortWithinPartitions on
+    * row_key) — numeric for integral keys (widened across eras —
+    * evolution may have widened int→long), unsigned UTF-8 byte order
+    * for strings (UTF8String's binary order, NOT Java String's
+    * UTF-16 order — they disagree above the BMP). Nulls first,
+    * Spark's ascending default.
+    */
+  private[core] def rowKeyCmp(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: java.lang.Number, y: java.lang.Number)
+        if !x.isInstanceOf[java.lang.Double] &&
+           !x.isInstanceOf[java.lang.Float] &&
+           !y.isInstanceOf[java.lang.Double] &&
+           !y.isInstanceOf[java.lang.Float] =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) =>
+      unsignedCmp(x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      java.lang.Boolean.compare(x, y)
+    case _ => throw new UnsupportedOperationException(
+      s"point merge: incomparable row keys ${a.getClass}/${b.getClass}")
+  }
+
   /** a queried (current) field name mapped BACK to the physical name
     * an era's files carry: walk the era's applicable renames newest-
     * first inverting each hop, then verify the forward chain round-
@@ -613,8 +711,19 @@ object PointRead {
       * tombstones' negative entries — the merge-on-read netting,
       * driver-side. None if the fast path is ineligible.
       */
+    /** the plan path filters the `__graft_dropped_*` hidden namespace
+      * out of every merged read (Store.mergedIndex); without this
+      * guard a point query BY the reserved physical name would
+      * round-trip through reverseName and resurrect the dropped
+      * column's entries (r13 advice #1). Dropped names serve
+      * 0/empty — same as the plan path.
+      */
+    private def hidden(field: String): Boolean =
+      field.startsWith(Store.DroppedPrefix)
+
     def freq(field: String, value: String): Option[Long] =
       if (!ok) None
+      else if (hidden(field)) Some(0L)
       else Some(fGroups.zipWithIndex.foldLeft(0L) {
         case (acc, ((dirs, rens), i)) =>
           reverseName(field, rens) match {
@@ -637,6 +746,7 @@ object PointRead {
       */
     def prefix(field: String, prefix: String): Option[Seq[(String, Long)]] =
       if (!ok) None
+      else if (hidden(field)) Some(Seq.empty)
       else {
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         fGroups.zipWithIndex.foreach { case ((dirs, rens), i) =>
@@ -659,7 +769,19 @@ object PointRead {
       * union. None if ineligible.
       */
     def rows(field: String, value: String): Option[Seq[Any]] =
+      rowStreams(field, value).map(_.flatten)
+
+    /** the same row keys as [[rows]] but as LAZY SORTED RUNS: one
+      * ascending iterator per (era, segment dir) — each refs segment
+      * is range-clustered and sorted on (field, value, row_key), so
+      * within one (field,value) its keys stream in ascending key
+      * order, victims filtered on the fly. Keys are unique across
+      * segments, so the runs merge into one strictly-ascending
+      * stream ([[kMerge]]) without materializing anything.
+      */
+    def rowStreams(field: String, value: String): Option[Seq[Iterator[Any]]] =
       if (!ok) None
+      else if (hidden(field)) Some(Nil)
       else Some(rGroups.zipWithIndex.flatMap {
         case ((dirs, rens, delIds), i) =>
           reverseName(field, rens) match {
@@ -667,14 +789,120 @@ object PointRead {
             case Some(phys) =>
               val rd = rowsReaders.getOrElseUpdate(i,
                 new Reader(conf, dirs, "row_key"))
-              val raw = rd.lookup(phys, value)
-              if (delIds.isEmpty) raw
+              val runs = rd.lookupStreams(phys, value)
+              if (delIds.isEmpty) runs
               else {
                 val vs = victims(delIds)
-                raw.filterNot(vs.contains)
+                runs.map(_.filterNot(vs.contains))
               }
           }
       })
+
+    /** merge k ascending runs into one ascending stream — O(k) state,
+      * never materializes a run (k = live segment count, small)
+      */
+    private def kMerge(runs: Seq[Iterator[Any]]): Iterator[Any] = {
+      val heads = scala.collection.mutable.ArrayBuffer
+        .from(runs.map(_.buffered).filter(_.hasNext))
+      new Iterator[Any] {
+        override def hasNext: Boolean = heads.nonEmpty
+        override def next(): Any = {
+          var mi = 0
+          var i = 1
+          while (i < heads.length) {
+            if (rowKeyCmp(heads(i).head, heads(mi).head) < 0) mi = i
+            i += 1
+          }
+          val v = heads(mi).next()
+          if (!heads(mi).hasNext) heads.remove(mi)
+          v
+        }
+      }
+    }
+
+    /** INTERSECTION of two entries' row keys, streaming: (fA, fB,
+      * AND count) from ONE two-pointer walk of the merged ascending
+      * streams — O(1) memory beyond the victim sets, no Set of
+      * either side (r13 verdict #2). The hot-entry gate is INLINE:
+      * the walk aborts once either side exceeds `maxF` consumed
+      * keys, so a stopword-class entry costs at most maxF decodes
+      * before the caller falls back to the plan join — no separate
+      * freq reads (a freq-gated draft paid two extra index lookups
+      * per call, doubling the warm latency: 27 ms vs the 12 ms
+      * class). fA/fB are the stream lengths (= net f: refs count ≡ f
+      * by construction), so boolean-algebra callers get all four
+      * counts from this one pass. None = ineligible or gated.
+      */
+    def andStats(f1: String, v1: String, f2: String, v2: String,
+                 maxF: Long): Option[(Long, Long, Long)] = {
+      if (!ok) return None
+      val saOpt = rowStreams(f1, v1)
+      val sbOpt = rowStreams(f2, v2)
+      if (saOpt.isEmpty || sbOpt.isEmpty) return None
+      val x = kMerge(saOpt.get).buffered
+      val y = kMerge(sbOpt.get).buffered
+      var fa = 0L
+      var fb = 0L
+      var and = 0L
+      while (x.hasNext && y.hasNext) {
+        if (fa > maxF || fb > maxF) return None
+        val c = rowKeyCmp(x.head, y.head)
+        if (c == 0) { and += 1; fa += 1; fb += 1; x.next(); y.next() }
+        else if (c < 0) { fa += 1; x.next() }
+        else { fb += 1; y.next() }
+      }
+      while (x.hasNext) { fa += 1; if (fa > maxF) return None; x.next() }
+      while (y.hasNext) { fb += 1; if (fb > maxF) return None; y.next() }
+      Some((fa, fb, and))
+    }
+
+    /** [[andStats]]'s AND count alone, stopping as soon as EITHER
+      * stream exhausts — the tail of the longer side stays lazy
+      * (undecoded pages), which matters when one entry is much
+      * rarer than the other. Same inline maxF gate.
+      */
+    def andCount(f1: String, v1: String, f2: String, v2: String,
+                 maxF: Long): Option[Long] = {
+      if (!ok) return None
+      val saOpt = rowStreams(f1, v1)
+      val sbOpt = rowStreams(f2, v2)
+      if (saOpt.isEmpty || sbOpt.isEmpty) return None
+      val x = kMerge(saOpt.get).buffered
+      val y = kMerge(sbOpt.get).buffered
+      var fa = 0L
+      var fb = 0L
+      var and = 0L
+      while (x.hasNext && y.hasNext) {
+        if (fa > maxF || fb > maxF) return None
+        val c = rowKeyCmp(x.head, y.head)
+        if (c == 0) { and += 1; fa += 1; fb += 1; x.next(); y.next() }
+        else if (c < 0) { fa += 1; x.next() }
+        else { fb += 1; y.next() }
+      }
+      Some(and)
+    }
+
+    /** the intersection's row keys themselves (ascending): memory is
+      * the ANSWER plus victim sets — neither input side is held.
+      */
+    def andRows(f1: String, v1: String,
+                f2: String, v2: String): Option[Seq[Any]] =
+      if (!ok) None
+      else for {
+        sa <- rowStreams(f1, v1)
+        sb <- rowStreams(f2, v2)
+      } yield {
+        val x = kMerge(sa).buffered
+        val y = kMerge(sb).buffered
+        val out = Seq.newBuilder[Any]
+        while (x.hasNext && y.hasNext) {
+          val c = rowKeyCmp(x.head, y.head)
+          if (c == 0) { out += x.next(); y.next() }
+          else if (c < 0) x.next()
+          else y.next()
+        }
+        out.result()
+      }
 
     /** release the warm file handles (safe to call even if no lookup
       * ever ran — the readers are lazy)

@@ -342,6 +342,18 @@ object Store {
   //    index netting incomplete until compact (which rebuilds from the
   //    keys-based data read and is always right). Data reads are
   //    correct throughout.
+  //    TRANSIENT window (r13 advice #4 — same mechanism, no crash
+  //    needed): between one side's publish (tombstone marker or
+  //    segment manifest) and the OTHER side's coverSegment repair
+  //    completing, a reader opening the store sees both units
+  //    committed but no ixrepair yet, so the merged index briefly
+  //    over-counts the racing segment's victim entries. This is the
+  //    unavoidable cost of publish-then-check without a global
+  //    commit lock: the index converges as soon as the repair lands
+  //    (ms-scale), DATA reads are exact throughout (keys-based
+  //    anti-join, never scan-derived), and compact always heals.
+  //    Readers needing index-vs-data exactness under active racing
+  //    writers should re-open after writers quiesce.
   //  - compact/vacuum: exclusive — they rewrite/reclaim shared state
   //    and may not run concurrently with any other writer.
 
@@ -629,7 +641,8 @@ object Store {
     */
   private def dataAsOf(spark: SparkSession, dir: String,
                        upTo: Option[Int],
-                       fixedSegs: Option[Seq[Int]] = None): DataFrame = {
+                       fixedSegs: Option[Seq[Int]] = None,
+                       excludeDel: Option[Int] = None): DataFrame = {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
     // fixedSegs pins the plan to an EXACT segment list (the tombstone
@@ -638,8 +651,13 @@ object Store {
     // committed after the caller's listing)
     val segIds = fixedSegs.getOrElse(
       segSnapshots(spark, dir).filter(id => upTo.forall(id <= _)))
+    // excludeDel: the victim RESCAN of an already-committed tombstone
+    // (r14 rescanTombstoneIndex) must view the data as if its own
+    // tombstone were not applied — otherwise its victims net to the
+    // empty set and the rescan erases its own ixdelta
     val dels = committedTombstones(spark, dir)
       .filter(d => upTo.forall(d._1 <= _))
+      .filterNot(d => excludeDel.contains(d._1))
     val rens = committedRenames(spark, dir)
       .filter(r => upTo.forall(r._1 <= _))
     // a tombstone's recorded key column is the name CURRENT when it
@@ -782,6 +800,23 @@ object Store {
                              keys: DataFrame, commit: Boolean): Int = {
     val (root, _) = currentIndexRoot(spark, dir)
     val (fs, _) = fsFor(spark, dir)
+    // cheap validations BEFORE claiming the unit id (r13 advice #5 —
+    // the r13 claim-first ordering permanently leaked a _claim_<id>
+    // file on any failed require, skipping that id for the rest of
+    // the generation). writeTombstoneAt re-runs the same checks for
+    // its direct (deterministic-id) callers; requires are idempotent.
+    spec.rowRefs.foreach(rk => require(rk == keyCol,
+      s"store has row-refs keyed on '$rk' — delete must key on it too " +
+        s"(got '$keyCol'), or the refs artifact would serve deleted rows"))
+    require(segSnapshots(spark, dir).nonEmpty,
+      s"delete requires a manifest-carrying store; rewrite legacy " +
+        s"stores with write() first ($dir)")
+    require(legacySegIds(spark, dir).isEmpty,
+      s"delete on a mixed (legacy+manifest) store cannot be scoped — " +
+        s"compact() first ($dir)")
+    val liveCols = dataAsOf(spark, dir, None).columns
+    require(liveCols.contains(keyCol),
+      s"no column '$keyCol' in store data (${liveCols.mkString(",")})")
     writeTombstoneAt(spark, dir, spec, keyCol, keys, commit,
       claimUnitId(fs, root))
   }
@@ -845,7 +880,8 @@ object Store {
     // does not delete rows of concurrently-committed HIGHER-id
     // segments, so indexing them as victims would over-negate (the
     // data read keeps them — index nets wrong)
-    val live = dataAsOf(spark, dir, Some(id), Some(scanned))
+    val live = dataAsOf(spark, dir, Some(id), Some(scanned),
+      excludeDel = Some(id))
     val persisted = spark.read.parquet(s"$root/del_$id/keys")
       .select(col("key").as("__graft_del_key"))
     // index the victims read back from the PERSISTED key set (the
@@ -910,14 +946,91 @@ object Store {
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_COMMITTED")).close()
     // post-commit re-check: an append whose manifest landed between
     // the loop's last listing and the marker is seen HERE (its own
-    // post-commit check may also see us — the token dedups). The
-    // symmetric tombstone-vs-tombstone post-marker window (two
-    // overlapping-key DELETES whose markers land inside each other's
-    // final listing gap) is NOT closed — concurrent deletes of
-    // overlapping keys remain a caller-serialized operation, as in
-    // any log-less commit protocol; compact() always heals.
+    // post-commit check may also see us — the token dedups).
     segSnapshots(spark, dir).filter(_ < id).foreach(s =>
       coverSegment(spark, dir, root, spec, keyCol, id, s))
+    // tombstone-vs-tombstone post-marker check (r14 — closing the r13
+    // residual, which left two overlapping-key DELETES whose markers
+    // land inside each other's final listing gap UNDETECTABLE): both
+    // sides re-list committed tombstones after publishing, so the
+    // later publisher ALWAYS sees the earlier one — publish-then-check
+    // now applies to delete ∥ delete too. Resolution: a DISJOINT key
+    // pair is provably unaffected by the then-live rule (no shared
+    // victims), so the missing `_delseen_` coverage token is written
+    // and the pair is cleared; an OVERLAPPING pair's later-id ixdelta
+    // may over-negate the shared rows, and since a committed unit
+    // cannot be rescanned in place without un-serving its ixdelta
+    // mid-read, the conflict FAILS LOUDLY naming the stale unit —
+    // data reads stay exact (keys-based), compact() heals the index.
+    // (a) tombstones BELOW us whose markers landed in OUR gap: our
+    //     own ixdelta is the potentially stale one;
+    committedTombstones(spark, dir).map(_._1).filter(_ < id)
+      .filterNot(t => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/del_$id/_delseen_$t"))).foreach { t =>
+        if (tombstoneKeysOverlap(spark, root, t, id))
+          throw new IllegalStateException(
+            s"concurrent overlapping-key deletes detected: del_$t " +
+              s"committed inside del_$id's commit window — del_$id's " +
+              s"index netting may over-negate the shared keys (data " +
+              s"reads are unaffected); heal with rescanTombstoneIndex " +
+              s"(exclusive) or compact() on a refs-carrying store, " +
+              s"and serialize overlapping deletes")
+        else atomicCreate(fs, new org.apache.hadoop.fs.Path(
+          s"$root/del_$id/_delseen_$t"))
+      }
+    // (b) committed tombstones ABOVE us that missed OUR marker: their
+    //     ixdelta is the potentially stale one.
+    committedTombstones(spark, dir).map(_._1).filter(_ > id)
+      .filterNot(t => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/del_$t/_delseen_$id"))).foreach { t =>
+        if (tombstoneKeysOverlap(spark, root, id, t))
+          throw new IllegalStateException(
+            s"concurrent overlapping-key deletes detected: del_$id " +
+              s"committed inside del_$t's commit window — del_$t's " +
+              s"index netting may over-negate the shared keys (data " +
+              s"reads are unaffected); heal with rescanTombstoneIndex " +
+              s"(exclusive) or compact() on a refs-carrying store, " +
+              s"and serialize overlapping deletes")
+        else atomicCreate(fs, new org.apache.hadoop.fs.Path(
+          s"$root/del_$t/_delseen_$id"))
+      }
+  }
+
+  /** EXCLUSIVE index-netting repair for one committed tombstone
+    * (r14): re-run its victim scan against everything committed NOW
+    * — the rescan lists all segments and earlier tombstones, so the
+    * then-live rule lands correctly even when the original scan
+    * raced an overlapping-key delete (the conflict
+    * [[commitTombstone]] fails loudly on). O(victims), never a
+    * corpus pass. EXCLUSIVE like compact/vacuum: the rescan
+    * Overwrites the live `ixdelta` a concurrent reader may be
+    * planning over — quiesce readers and writers first.
+    */
+  def rescanTombstoneIndex(spark: SparkSession, dir: String,
+                           spec: IndexSpec, keyCol: String,
+                           id: Int): Unit = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/del_$id/_COMMITTED")),
+      s"del_$id is not a committed tombstone under $root")
+    scanVictimIndex(spark, dir, root, spec, keyCol, id)
+  }
+
+  /** do two committed tombstones' key sets intersect? Driver-side
+    * read of both key parquets (key sets are small by the delete
+    * contract) — the cheap disambiguator between a harmless
+    * interleaved delete pair (disjoint keys: the then-live rule is
+    * vacuous between them) and a genuinely conflicting one.
+    */
+  private def tombstoneKeysOverlap(spark: SparkSession, root: String,
+                                   a: Int, b: Int): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ka = PointRead.readColumn(conf,
+      new org.apache.hadoop.fs.Path(s"$root/del_$a/keys"), "key").toSet
+    PointRead.readColumn(conf,
+      new org.apache.hadoop.fs.Path(s"$root/del_$b/keys"), "key")
+      .exists(ka.contains)
   }
 
   /** idempotent, exclusive repair of one (tombstone, segment) pair:
@@ -1179,6 +1292,26 @@ object Store {
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
     writeManifest(fs, s"$dir/index/seg_0", dataNames)
     writeSchemaSidecar(fs, s"$dir/index/seg_0", persisted.schema)
+  }
+
+  /** DRIVER-SIDE read of a small persisted weight artifact (the
+    * [[graft.ops.Knn.haveWeights]] parquet) — no Spark job, for
+    * [[StoredFrame.knnPoint]]'s interactive path. Column reads share
+    * one deterministic file order (name-sorted part files, row order
+    * within), so per-column seqs zip back into aligned rows. Weight
+    * tables are bounded (one row per distinct (field,value)) by
+    * construction.
+    */
+  def readWeightsDriver(spark: SparkSession,
+                        dir: String): Seq[(String, String, Double, Double)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = PointRead.readColumn(conf, p, "field")
+    val v = PointRead.readColumn(conf, p, "value")
+    val w1 = PointRead.readColumn(conf, p, "w1")
+    val w2 = PointRead.readColumn(conf, p, "w2")
+    f.indices.map(i => (f(i).asInstanceOf[String], v(i).asInstanceOf[String],
+      w1(i).asInstanceOf[Double], w2(i).asInstanceOf[Double]))
   }
 
   /** reopen a written frame + its persisted index (openIndexedDf);
@@ -1681,6 +1814,22 @@ object Store {
     // later batches that legitimately followed it)
     if (readHighWater(fs, root).exists(segId <= _)) return false
     val segCommitted = readManifest(fs, s"$root/seg_$segId").isDefined
+    // ownership proof for the committed-segment no-op (r13 advice #2):
+    // this stream drops a `_STREAM` marker into its del unit dir
+    // BEFORE writing anything else, so a committed segment at segId
+    // with no marker is necessarily FOREIGN (an interleaved append()
+    // that claimed 2b+1) — without this check the idempotence gate
+    // would read it as "already delivered" and silently drop the
+    // batch's data. (A store streamed by a pre-marker version fails
+    // loudly here on REdelivery of an old batch — conservative, and
+    // one compact() raises `_HIGHWATER` past the old ids.)
+    val streamMarked = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_STREAM"))
+    require(!segCommitted || streamMarked,
+      s"a FOREIGN committed segment occupies seg_$segId — upsertBatch " +
+        s"owns the id namespace (tombstone 2b, segment 2b+1) and would " +
+        s"otherwise silently no-op and DROP this batch; keep append()s " +
+        s"off upsert-streamed stores")
     val delStarted = fs.exists(new org.apache.hadoop.fs.Path(
       s"$root/del_$delId/_KEYCOL"))
     val delCommitted = fs.exists(new org.apache.hadoop.fs.Path(
@@ -1710,7 +1859,11 @@ object Store {
     require(!committedRenames(spark, dir).exists(_._1 >= delId),
       s"a rename at id >= $delId exists — it would wrongly remap this " +
         s"later batch's columns; compact first")
-    // claim both ids (idempotent re-creates after a crash)
+    // claim both ids (idempotent re-creates after a crash) and stamp
+    // stream ownership FIRST — everything later (tombstone subdirs,
+    // segment manifest) postdates the marker, so committed-without-
+    // marker can only mean a foreign unit
+    atomicCreate(fs, new org.apache.hadoop.fs.Path(s"$root/del_$delId/_STREAM"))
     atomicCreate(fs, claimPath(root, delId))
     atomicCreate(fs, claimPath(root, segId))
     // tombstone only when prior segments exist (the first batch on an
@@ -1991,8 +2144,23 @@ object Store {
       }
     // sorted (field,value) clustering belongs to the WRITE, not the
     // read ([[mergedIndex]] serves unordered): the folded segment's
-    // parquet stats must prune point reads like a write()n one's do
-    merged.orderBy("field", "value")
+    // parquet stats must prune point reads like a write()n one's do.
+    // WHICH index folds (r14): with live tombstones AND a refs
+    // artifact, the entries are REBUILT from the folded refs
+    // (f ≡ refs count per entry by construction, and the refs view
+    // is keys-based/anti-joined — exact even when a conflict left a
+    // tombstone's scan-derived ixdelta stale), so compact genuinely
+    // heals index netting damage on refs-carrying stores. Without
+    // refs the merged (netted) index folds as-is — an unrepaired
+    // conflict persists; [[rescanTombstoneIndex]] is the heal there.
+    val foldedEntries = (dels, rows) match {
+      case (ds, Some(r)) if ds.nonEmpty =>
+        r.groupBy(col("field"), col("value"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("f"))
+      case _ => merged
+    }
+    foldedEntries.orderBy("field", "value")
       .write.mode(SaveMode.Overwrite)
       .options(PointRead.SegWriteOptions).parquet(s"$newRoot/seg_$foldId")
     // row-refs fold to one re-clustered segment inside the same
@@ -2252,35 +2420,53 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     * amortize better through one Spark plan.
     */
   def rowsOfAndPoint(f1: String, v1: String,
-                     f2: String, v2: String): Seq[Any] = {
-    val a = rowsOfPoint(f1, v1)
-    if (a.isEmpty) Seq.empty
-    else {
-      val b = rowsOfPoint(f2, v2).toSet
-      a.filter(b.contains)
+                     f2: String, v2: String): Seq[Any] =
+    point.flatMap(_.andRows(f1, v1, f2, v2)).getOrElse {
+      // plan fallback: index-only refs join — never the base table
+      import org.apache.spark.sql.functions.col
+      rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key"))
+        .orderBy(col("row_key")).collect().toSeq.map(_.get(0))
     }
-  }
+
+  /** per-side frequency bound for the driver-side pair ops: above
+    * this the two-pointer merge is no longer interactive-latency work
+    * (tens of millions of key decodes single-threaded) and the plan
+    * join amortizes it across executors — the pair ops fall back
+    * transparently. 2M keys/side ≈ tens of ms of merge; memory is
+    * O(1) either way (r13 verdict #2: the merge never holds a side).
+    */
+  val pairPointMaxF: Long = 2L * 1000 * 1000
 
   /** INTERACTIVE point co-occurrence count — popcount(a AND b), the
     * exact number `index_fand`'s plan spelling computes for the same
-    * pair. See [[rowsOfAndPoint]].
+    * pair. Served as a STREAMING two-pointer merge of the two
+    * entries' sorted row-key runs (O(1) memory — neither side is
+    * materialized; see [[PointRead.StorePoint.andStats]]), f-gated
+    * at [[pairPointMaxF]] per side with transparent plan fallback.
     */
-  def fAndPoint(f1: String, v1: String, f2: String, v2: String): Long =
-    rowsOfAndPoint(f1, v1, f2, v2).size.toLong
+  def fAndPoint(f1: String, v1: String, f2: String, v2: String,
+                maxF: Long = pairPointMaxF): Long =
+    point.flatMap(_.andCount(f1, v1, f2, v2, maxF))
+      .getOrElse(rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key")).count())
 
   /** INTERACTIVE point BOOLEAN ALGEBRA (r13 — `index_bool`'s
     * two-bitmap half served driver-side): (AND, OR, a∖b DIFF, XOR)
-    * counts for two (field,value) entries from the SAME two point
-    * membership reads one [[fAndPoint]] pays — set identities do the
-    * rest, no third read. (NOT needs the row count, a frame-level
-    * fact — the plan spelling keeps it.)
+    * counts for two (field,value) entries from two freq point reads
+    * plus ONE streaming merge-intersection — set identities do the
+    * rest; no side is ever held in memory, and above the
+    * [[pairPointMaxF]] gate the AND count comes from the plan join
+    * instead (counts identical). (NOT needs the row count, a
+    * frame-level fact — the plan spelling keeps it.)
     */
-  def boolCountsPoint(f1: String, v1: String,
-                      f2: String, v2: String): (Long, Long, Long, Long) = {
-    val a = rowsOfPoint(f1, v1).toSet
-    val b = rowsOfPoint(f2, v2).toSet
-    val and = (a & b).size.toLong
-    (and, a.size + b.size - and, a.size - and, a.size + b.size - 2 * and)
+  def boolCountsPoint(f1: String, v1: String, f2: String, v2: String,
+                      maxF: Long = pairPointMaxF): (Long, Long, Long, Long) = {
+    val (fa, fb, and) =
+      point.flatMap(_.andStats(f1, v1, f2, v2, maxF)).getOrElse {
+        val a = fPoint(f1, v1)
+        val b = fPoint(f2, v2)
+        (a, b, rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key")).count())
+      }
+    (and, fa + fb - and, fa - and, fa + fb - 2 * and)
   }
 
   /** INTERACTIVE prefix NAVIGATION (r13 — the reference's index-nav
@@ -2299,5 +2485,109 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
         .where(c("field") === field && c("value").startsWith(prefix))
         .select("value", "f").collect()
         .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    }
+
+  /** net frame ROW COUNT served driver-side from the freq index:
+    * Σ net f over one field's entries (one [[prefixPoint]]-style
+    * range scan per era, tombstone netting riding the same sum) —
+    * exact when `field` is identity-indexed and never null, because
+    * each live row then contributes exactly one entry occurrence.
+    * Cached per field for the handle's lifetime (the warm-mmap
+    * model). None when the point face is ineligible — callers fall
+    * back to the plan count.
+    */
+  private val nPointCache =
+    scala.collection.mutable.HashMap.empty[String, Option[Long]]
+  def nPoint(field: String): Option[Long] =
+    nPointCache.getOrElseUpdate(field,
+      point.flatMap(_.prefix(field, "")).map(_.map(_._2).sum))
+
+  /** INTERACTIVE CoStats (r14 — closes the reference's hot cofreq
+    * loop, CoStats.scala:7-35 + DfTest.scala:236-253: open two
+    * bitmaps, fAnd, then the smoothed statistics on the four
+    * counts): CoStats is closed-form over (n, fA, fB, fAB), so the
+    * whole op is the SAME two point reads [[fAndPoint]] pays — n
+    * rides f1's field scan ([[nPoint]], cached after the first
+    * call; exact for an identity-indexed never-null field) and
+    * fA/fB/fAB come from one [[PointRead.StorePoint.andStats]]
+    * streaming merge. Transparent plan fallback (ineligible store,
+    * gated hot entry) computes the identical counts with one
+    * aggregation pass.
+    */
+  def coStatsPoint(f1: String, v1: String, f2: String, v2: String,
+                   maxF: Long = pairPointMaxF): CoStats = {
+    val fast = for {
+      p <- point
+      s <- p.andStats(f1, v1, f2, v2, maxF)
+      n <- nPoint(f1)
+    } yield CoStats(n, s._1, s._2, s._3)
+    fast.getOrElse(
+      frame.coStats(frame.predicate(f1, v1), frame.predicate(f2, v2)))
+  }
+
+  /** INTERACTIVE single-query knn (r14 — the reference's `knn(k, v)`
+    * posture, ml/Knn.scala:71-76: ONE query row served from the held
+    * weights, no per-query build): walk every weighted entry's
+    * membership stream into a driver-side distance accumulator —
+    * the reference's bitmap-walk algorithm (Knn.scala:28-69) over
+    * [[PointRead]] streams instead of mmap'd bitmaps. distance(r) =
+    * baseline + Σ_{kv∈r∩W∖q} w1 − Σ_{kv∈r∩W∩q} w2 with baseline =
+    * Σ_{kv∈q∩W} w2 — term-for-term what [[graft.ops.Knn.topK]]'s
+    * plan computes, so the top-k (ties by key) pins to the plan row.
+    *
+    * The accumulator is O(n) driver memory — the reference's own
+    * single-node posture — so the op self-gates: None when the point
+    * face is ineligible, when n (from [[nPoint]] on `weights`' first
+    * field) exceeds `maxRows`, or when some rows carry NO weighted
+    * feature (their keys are unenumerable driver-side but could tie
+    * into the top-k at exactly `baseline`). Callers fall back to
+    * [[graft.ops.Knn.topK]]. `weights` is the persisted artifact
+    * read driver-side ([[Store.readTableDriver]] — no Spark job).
+    */
+  def knnPoint(weights: Seq[(String, String, Double, Double)],
+               queryKVs: Map[String, String], k: Int,
+               maxRows: Long = pairPointMaxF): Option[Seq[(Any, Double)]] =
+    point.flatMap { p =>
+      val nFieldOpt = weights.headOption.map(_._1)
+      val n = nFieldOpt.flatMap(nPoint).getOrElse(0L)
+      if (nFieldOpt.isEmpty || n > maxRows) None
+      else {
+        val baseline = weights.collect {
+          case (f, v, _, w2) if queryKVs.get(f).contains(v) => w2
+        }.sum
+        // presize to ~n (capped — a caller-raised maxRows must not
+        // overflow the int ctor); HashMap grows past the cap fine
+        val acc = new java.util.HashMap[Any, Double](
+          math.min(n * 2, 1L << 26).toInt)
+        var ok = true
+        weights.foreach { case (f, v, w1, w2) =>
+          if (ok) {
+            val inQuery = queryKVs.get(f).contains(v)
+            val delta = if (inQuery) -w2 else w1
+            p.rowStreams(f, v) match {
+              case None => ok = false
+              case Some(runs) => runs.foreach(_.foreach { key =>
+                acc.merge(key, delta, (a, b) => a + b)
+              })
+            }
+          }
+        }
+        if (!ok || acc.size.toLong != n) None
+        else {
+          // top-k by (round(score+baseline, 6), key) — the plan's
+          // orderBy(distance, idCol) tie rule
+          val ord = new Ordering[(Any, Double)] {
+            override def compare(a: (Any, Double), b: (Any, Double)): Int = {
+              val c = java.lang.Double.compare(a._2, b._2)
+              if (c != 0) c else PointRead.rowKeyCmp(a._1, b._1)
+            }
+          }
+          val all = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+          acc.forEach((key, s) => all += ((key,
+            BigDecimal(s + baseline).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)))
+          Some(all.sorted(ord).take(k).toSeq)
+        }
+      }
     }
 }

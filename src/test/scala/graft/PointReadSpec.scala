@@ -270,4 +270,124 @@ class PointReadSpec extends SparkSpec {
     val plan = st.rowsOf("cat", "c1").collect().map(_.getString(0)).sorted.toSeq
     assert(fast === plan && fast.nonEmpty)
   }
+
+  test("pair ops fall back transparently above the f gate (r14)") {
+    // maxF=0 gates EVERY entry: counts must equal the streaming
+    // answer through the plan join instead — the hot-entry contract
+    // (a 100 TB store's stopword-class pair should cost a Spark job,
+    // not a driver merge of tens of millions of keys)
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 300), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    val fastAnd = st.fAndPoint("cat", "c2", "tag", "t5")
+    assert(st.fAndPoint("cat", "c2", "tag", "t5", maxF = 0L) === fastAnd)
+    val fast4 = st.boolCountsPoint("cat", "c2", "tag", "t5")
+    assert(st.boolCountsPoint("cat", "c2", "tag", "t5", maxF = 0L) === fast4)
+  }
+
+  test("hidden dropped-column names serve 0/empty on the fast path (r14 advice)") {
+    // the PLAN path filters the __graft_dropped_* namespace out of
+    // every merged read; the fast path must not resurrect the dropped
+    // column's entries when queried BY its reserved physical name
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    val sp = IndexSpec(Seq("cat", "tag")).withRowRefs("id")
+    Store.write(mkDf(0 until 90), s"$dir/s", sp)
+    Store.dropColumn(spark, s"$dir/s", "cat")
+    val spAfter = IndexSpec(Seq("tag")).withRowRefs("id")
+    val st = Store.open(spark, s"$dir/s", spAfter)
+    // find the actual hidden physical name from the index files'
+    // namespace contract: any __graft_dropped_*_cat name must serve
+    // nothing (unit id varies; probe a range)
+    val hiddenNames = (0 to 8).map(i => s"__graft_dropped_${i}_cat")
+    hiddenNames.foreach { h =>
+      assert(st.fPoint(h, "c1") === 0L, s"resurrected freq via $h")
+      assert(st.rowsOfPoint(h, "c1").isEmpty, s"resurrected rows via $h")
+      assert(st.prefixPoint(h, "").isEmpty, s"resurrected prefix via $h")
+    }
+    // the live field still serves
+    assert(st.fPoint("tag", "t3") === planF(st, "tag", "t3"))
+  }
+
+  test("point Reader rejects lookups after close (r14 advice: fd leak)") {
+    // the defect was on the Reader itself: after close() its one-shot
+    // Cleaner action is SPENT, so a lookup re-opening file handles
+    // leaves them unreleasable by a second close() or by GC. (A
+    // closed StorePoint is fine — it builds FRESH Readers with fresh
+    // cleanables.)
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 50), s"$dir/s", spec)
+    val rd = new graft.core.PointRead.Reader(
+      spark.sparkContext.hadoopConfiguration,
+      Seq(new org.apache.hadoop.fs.Path(s"$dir/s/index/seg_0")), "f")
+    assert(rd.lookup("cat", "c1").nonEmpty) // open the handles
+    rd.close()
+    intercept[IllegalStateException] { rd.lookup("cat", "c1") }
+  }
+
+  test("coStatsPoint pins to the plan CoStats on clean and tombstoned stores, no job") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 420), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    def planStats(s: graft.core.StoredFrame, v1: String, v2: String) =
+      s.frame.coStats(s.frame.predicate("cat", v1), s.frame.predicate("tag", v2))
+    // exact count equality (same CoStats class ⇒ identical smoothed
+    // stats); several value pairs including an empty intersection
+    for ((cv, tv) <- Seq(("c0", "t0"), ("c3", "t7"), ("c6", "t12"))) {
+      assert(st.coStatsPoint("cat", cv, "tag", tv) === planStats(st, cv, tv))
+    }
+    // derived stats equal to 6dp as well (mi is the deepest formula)
+    val fastMi = st.coStatsPoint("cat", "c2", "tag", "t5").mi
+    val planMi = planStats(st, "c2", "t5").mi
+    assert(math.abs(fastMi - planMi) < 1e-12)
+    // warm, then: no Spark job
+    st.coStatsPoint("cat", "c1", "tag", "t1")
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    st.coStatsPoint("cat", "c4", "tag", "t9")
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "coStatsPoint must stay driver-side")
+    // tombstoned store: n, fA, fB, fAB all net like the plan
+    Store.delete(spark, s"$dir/s", spec, "id",
+      (0 until 420 by 4).map(_.toLong).toDF("id"))
+    val st2 = Store.open(spark, s"$dir/s", spec)
+    for ((cv, tv) <- Seq(("c1", "t2"), ("c5", "t11"))) {
+      assert(st2.coStatsPoint("cat", cv, "tag", tv) === planStats(st2, cv, tv))
+    }
+  }
+
+  test("knnPoint pins to the Knn.topK plan row, no job") {
+    import graft.ops.Knn
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    val df = mkDf(0 until 360)
+    Store.write(df, s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    // build + persist the weight artifact exactly like knn_topk does
+    val weights = Knn.keyValueWeights(df, Seq("cat", "tag"), col("v") > 300.0)
+    weights.coalesce(1).write.mode("overwrite").parquet(s"$dir/w")
+    val query = Map("cat" -> "c1", "tag" -> "t2")
+    val plan = Knn.topK(df, spark.read.parquet(s"$dir/w"),
+        Seq("cat", "tag"), query, "id", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val w = Store.readWeightsDriver(spark, s"$dir/w")
+    assert(w.nonEmpty)
+    val fast0 = st.knnPoint(w, query, 10)
+    assert(fast0.isDefined, "knnPoint should be eligible on a clean store")
+    assert(fast0.get.map { case (k, d) => (k.asInstanceOf[Long], d) } === plan)
+    // warm, then: no Spark job on the fast path
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val fast = st.knnPoint(w, query, 10).get
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "knnPoint must stay driver-side")
+    assert(fast.map { case (k, d) => (k.asInstanceOf[Long], d) } === plan)
+    // row-count gate: maxRows=0 declines, caller falls back to topK
+    assert(st.knnPoint(w, query, 10, maxRows = 0L).isEmpty)
+    // a different query point also pins (baseline changes)
+    val q2 = Map("cat" -> "c3", "tag" -> "t10")
+    val plan2 = Knn.topK(df, spark.read.parquet(s"$dir/w"),
+        Seq("cat", "tag"), q2, "id", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(st.knnPoint(w, q2, 5).get
+      .map { case (k, d) => (k.asInstanceOf[Long], d) } === plan2)
+  }
 }

@@ -151,6 +151,88 @@ class ConflictDetectionSpec extends graft.SparkSpec {
     assert(live.count() === (0 until 60).count(i => i % 3 != 0 && i % 2 != 0))
   }
 
+  test("delete ∥ delete, overlapping keys, markers inside each other's " +
+      "gap: DETECTED and loud (r14 — the r13 undetectable residual)") {
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 60), dir, spec) // seg 0
+    // A claims 1, B claims 2; BOTH scan while the other is
+    // uncommitted. B commits first — A is invisible to B's validate
+    // loop (uncommitted), so B's ixdelta counts the shared %6 rows.
+    // Then A's marker lands inside what used to be the undetectable
+    // window: pre-r14 both committed silently and the merged index
+    // over-negated the %6 rows until compact.
+    val delA = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 60 by 3).map(_.toLong).toDF("id"), commit = false)
+    val delB = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 60 by 2).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, spec, "id", delB)
+    // the later publisher ALWAYS sees the earlier one now: A's
+    // post-marker tombstone check finds del_2 missing _delseen_1,
+    // reads both key sets, sees the overlap, and fails loudly
+    val e = intercept[IllegalStateException] {
+      Store.commitTombstone(spark, dir, spec, "id", delA)
+    }
+    assert(e.getMessage.contains("rescanTombstoneIndex"), e.getMessage)
+    // DATA reads were exact throughout (keys-based netting)...
+    val live = Store.open(spark, dir, spec).frame.df
+    assert(live.select("id").collect().map(_.getLong(0)).toSet ===
+      (0 until 60).filter(i => i % 3 != 0 && i % 2 != 0)
+        .map(_.toLong).toSet)
+    // ...and the exclusive rescan heals the stale unit's netting
+    // (del_B over-negated the shared %6 rows): re-run B's victim
+    // scan now that A is visible — the then-live rule lands right
+    Store.rescanTombstoneIndex(spark, dir, spec, "id", delB)
+    check(dir)
+    // compact stays correct over the healed store
+    Store.compact(spark, dir)
+    check(dir)
+  }
+
+  test("compact on a refs-carrying store rebuilds entries from refs " +
+      "and heals conflict-damaged netting (r14)") {
+    // same undetectable-window interleaving, but the store carries
+    // row-refs: the refs view is keys-based (exact under any
+    // interleaving), so the fold's refs-derived entries heal the
+    // index WITHOUT a rescan
+    val rspec = IndexSpec(Seq("cat")).withRowRefs("id")
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 60), dir, rspec)
+    val delA = Store.writeTombstone(spark, dir, rspec, "id",
+      (0 until 60 by 3).map(_.toLong).toDF("id"), commit = false)
+    val delB = Store.writeTombstone(spark, dir, rspec, "id",
+      (0 until 60 by 2).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, rspec, "id", delB)
+    intercept[IllegalStateException] {
+      Store.commitTombstone(spark, dir, rspec, "id", delA)
+    }
+    Store.compact(spark, dir)
+    val st = Store.open(spark, dir, rspec)
+    val fresh = indexAsMap(IndexedFrame(st.frame.df, rspec).entries)
+    assert(indexAsMap(st.persistedIndex) === fresh)
+    // the healed store still serves point reads and refs
+    assert(st.fPoint("cat", "c1") === fresh(("cat", "c1")))
+  }
+
+  test("delete ∥ delete, DISJOINT keys, same interleaving: cleared " +
+      "with a coverage token, index exact (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 60), dir, spec)
+    val delA = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 10).map(_.toLong).toDF("id"), commit = false)
+    val delB = Store.writeTombstone(spark, dir, spec, "id",
+      (30 until 40).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, spec, "id", delB)
+    // disjoint pair: the then-live rule is vacuous between them — A's
+    // post-marker check writes the missing token instead of throwing
+    Store.commitTombstone(spark, dir, spec, "id", delA)
+    val fs = fsOf(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/index/del_$delB/_delseen_$delA")))
+    check(dir)
+    val live = Store.open(spark, dir, spec).frame.df
+    assert(live.count() === 40)
+  }
+
   test("true race: concurrent delete and append of overlapping keys " +
       "always net correctly") {
     import scala.concurrent.{Await, Future}
