@@ -65,6 +65,98 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("upsertBatch fails loudly on a FOREIGN committed segment at its id " +
+      "(r14 advice: was a silent batch drop)") {
+    val spec = IndexSpec(Seq("cat"))
+    val dir = java.nio.file.Files.createTempDirectory("r14up").toString
+    val df0 = mkDf(0 until 40).select("id", "cat", "v")
+    Store.write(df0, s"$dir/s", spec)
+    assert(Store.upsertBatch(mkDf(40 until 60).select("id", "cat", "v"),
+      s"$dir/s", spec, "id", batchId = 1L)) // seg 3, del 2 namespace
+    // an interleaved append() claims the NEXT id = 4 — exactly where
+    // batch 2's replacement segment (2*2+1=5)... make it collide:
+    // append twice so a manifest lands at seg 4 AND seg 5
+    Store.append(mkDf(100 until 110).select("id", "cat", "v"), s"$dir/s", spec)
+    Store.append(mkDf(110 until 120).select("id", "cat", "v"), s"$dir/s", spec)
+    // batch 2 (del 4 / seg 5): seg_5 is committed and carries NO
+    // _STREAM marker — pre-r14 this read as "already delivered" and
+    // DROPPED the batch; now it must throw
+    val e = intercept[IllegalArgumentException] {
+      Store.upsertBatch(mkDf(60 until 80).select("id", "cat", "v"),
+        s"$dir/s", spec, "id", batchId = 2L)
+    }
+    assert(e.getMessage.contains("FOREIGN"), e.getMessage)
+  }
+
+  test("a failed delete precondition does not leak a claim file " +
+      "(r14 advice: requires run before claimUnitId)") {
+    val spec = IndexSpec(Seq("cat")).withRowRefs("id")
+    val dir = java.nio.file.Files.createTempDirectory("r14cl").toString
+    Store.write(mkDf(0 until 30), s"$dir/s", spec)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def claims() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/s/index"))
+      .map(_.getPath.getName).filter(_.startsWith("_claim_")).toSet
+    val before = claims()
+    // refs keyed on 'id' — deleting by 'cat' must fail BEFORE claiming
+    intercept[IllegalArgumentException] {
+      Store.delete(spark, s"$dir/s", spec, "cat",
+        Seq("c1").toDF("cat"))
+    }
+    // a key column absent from the data — same (checked pre-claim)
+    val noRefs = IndexSpec(Seq("cat"))
+    intercept[IllegalArgumentException] {
+      Store.delete(spark, s"$dir/s", noRefs, "nope",
+        Seq(1L).toDF("nope"))
+    }
+    assert(claims() === before,
+      "failed preconditions must not burn unit ids")
+    // and a VALID delete still works, consuming the next id
+    Store.delete(spark, s"$dir/s", spec, "id", Seq(2L).toDF("id"))
+    assert(claims().size === before.size + 1)
+  }
+
+  test("TRUE RACE: concurrent overlapping-key deletes either both net " +
+      "correctly or fail loudly — data exact either way (r14)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spec = IndexSpec(Seq("cat"))
+    (0 until 3).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory("r14race").toString
+      Store.write(mkDf(0 until 60).select("id", "cat", "v"), s"$dir/s", spec)
+      def tryDel(step: Int) = Future {
+        try Right(Store.delete(spark, s"$dir/s", spec, "id",
+          (0 until 60 by step).map(_.toLong).toDF("id")))
+        catch { case e: IllegalStateException => Left(e) }
+      }
+      val (a, b) = (tryDel(2), tryDel(3))
+      val results = Await.result(Future.sequence(Seq(a, b)), 300.seconds)
+      val conflicts = results.collect { case Left(e) => e }
+      conflicts.foreach(e =>
+        assert(e.getMessage.contains("rescanTombstoneIndex"), e.getMessage))
+      // DATA is exact regardless of which side detected (keys-based)
+      val st = Store.open(spark, s"$dir/s", spec)
+      val ids = st.frame.df.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === (0 until 60).filter(i => i % 2 != 0 && i % 3 != 0)
+        .map(_.toLong).toSet, s"round $round: data must be exact")
+      // the INDEX either survived correct (no conflict / token-cleared)
+      // or heals with one compact (refs absent → rescan both then fold)
+      if (conflicts.nonEmpty) {
+        Seq(1, 2).foreach(id => if (new java.io.File(
+            s"$dir/s/index/del_$id/_COMMITTED").exists())
+          Store.rescanTombstoneIndex(spark, s"$dir/s", spec, "id", id))
+      }
+      val fresh = graft.core.IndexedFrame(st.frame.df, spec).entries
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val served = Store.open(spark, s"$dir/s", spec).persistedIndex
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(served === fresh, s"round $round: index must equal fresh")
+    }
+  }
+
   test("fuzz: knnPoint == Knn.topK across a random lifecycle store") {
     import graft.ops.Knn
     val spec = IndexSpec(Seq("cat", "tag")).withRowRefs("id")
