@@ -620,8 +620,22 @@ object PointRead {
     * path broadcast-joins the same data). Nulls come back as null.
     */
   private[core] def readColumn(conf: Configuration, dir: Path,
-                               column: String): Seq[Any] = {
+                               column: String): Seq[Any] =
+    readColumnCapped(conf, dir, column, Long.MaxValue).get
+
+  /** [[readColumn]] with a DRIVER-MEMORY CAP: None once more than
+    * `max` values would be materialized — callers treat "too big to
+    * hold" as their conservative branch instead of paying unbounded
+    * driver memory on contract-violating inputs (r14 advice #3:
+    * the delete-race overlap check read both tombstones' full key
+    * columns with nothing enforcing the 'key sets are small'
+    * contract).
+    */
+  private[core] def readColumnCapped(conf: Configuration, dir: Path,
+                                     column: String,
+                                     max: Long): Option[Seq[Any]] = {
     val out = Seq.newBuilder[Any]
+    var read = 0L
     partFiles(conf, dir).foreach { file =>
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -642,6 +656,8 @@ object PointRead {
           var i = 0L
           val n = pages.getRowCount
           while (i < n) {
+            read += 1
+            if (read > max) return None
             if (cr.getCurrentDefinitionLevel == maxDef)
               out += (tpe match {
                 case INT64   => cr.getLong
@@ -661,7 +677,7 @@ object PointRead {
         }
       } finally rd.close()
     }
-    out.result()
+    Some(out.result())
   }
 
   /** one freq-side unit group: (field,value,f)-shaped dirs (index
@@ -798,6 +814,25 @@ object PointRead {
           }
       })
 
+    /** drop consecutive equal keys from an ASCENDING stream — row
+      * keys are unique across segments by construction, so this is
+      * pure contract armor: a refs artifact violating uniqueness
+      * degrades to set semantics here exactly as the plan fallbacks'
+      * distinct() does (r14 advice #4), instead of multiplying
+      * counts. One extra compare per emitted key.
+      */
+    private def dedupAsc(it: Iterator[Any]): Iterator[Any] = {
+      val b = it.buffered
+      new Iterator[Any] {
+        override def hasNext: Boolean = b.hasNext
+        override def next(): Any = {
+          val v = b.next()
+          while (b.hasNext && rowKeyCmp(b.head, v) == 0) b.next()
+          v
+        }
+      }
+    }
+
     /** merge k ascending runs into one ascending stream — O(k) state,
       * never materializes a run (k = live segment count, small)
       */
@@ -839,8 +874,8 @@ object PointRead {
       val saOpt = rowStreams(f1, v1)
       val sbOpt = rowStreams(f2, v2)
       if (saOpt.isEmpty || sbOpt.isEmpty) return None
-      val x = kMerge(saOpt.get).buffered
-      val y = kMerge(sbOpt.get).buffered
+      val x = dedupAsc(kMerge(saOpt.get)).buffered
+      val y = dedupAsc(kMerge(sbOpt.get)).buffered
       var fa = 0L
       var fb = 0L
       var and = 0L
@@ -867,8 +902,8 @@ object PointRead {
       val saOpt = rowStreams(f1, v1)
       val sbOpt = rowStreams(f2, v2)
       if (saOpt.isEmpty || sbOpt.isEmpty) return None
-      val x = kMerge(saOpt.get).buffered
-      val y = kMerge(sbOpt.get).buffered
+      val x = dedupAsc(kMerge(saOpt.get)).buffered
+      val y = dedupAsc(kMerge(sbOpt.get)).buffered
       var fa = 0L
       var fb = 0L
       var and = 0L
@@ -892,8 +927,8 @@ object PointRead {
         sa <- rowStreams(f1, v1)
         sb <- rowStreams(f2, v2)
       } yield {
-        val x = kMerge(sa).buffered
-        val y = kMerge(sb).buffered
+        val x = dedupAsc(kMerge(sa)).buffered
+        val y = dedupAsc(kMerge(sb)).buffered
         val out = Seq.newBuilder[Any]
         while (x.hasNext && y.hasNext) {
           val c = rowKeyCmp(x.head, y.head)

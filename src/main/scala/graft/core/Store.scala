@@ -868,10 +868,18 @@ object Store {
     * the fresh ixdelta re-covers their segments, so keeping them
     * would double-negate.
     */
-  private def scanVictimIndex(spark: SparkSession, dir: String,
-                              root: String, spec: IndexSpec,
-                              keyCol: String, id: Int): Unit = {
-    val (fs, _) = fsFor(spark, dir)
+  /** the scan body shared by [[scanVictimIndex]] (pre-commit, writes
+    * the unit's main `ixdelta`) and [[rescanTombstoneIndex]]
+    * (post-commit, writes a fresh VERSIONED delta published
+    * atomically): list, pin the plan to the listing, index the
+    * then-live victims, write the negated entries to `outDir`.
+    * Returns (segments scanned, tombstones seen) for the caller's
+    * coverage records.
+    */
+  private def scanVictimEntriesTo(spark: SparkSession, dir: String,
+                                  root: String, spec: IndexSpec,
+                                  keyCol: String, id: Int,
+                                  outDir: String): (Seq[Int], Seq[Int]) = {
     // listings BEFORE the plan; the plan is pinned to them exactly
     val scanned = segSnapshots(spark, dir).filter(_ < id)
     val delsSeen = committedTombstones(spark, dir).map(_._1)
@@ -892,7 +900,16 @@ object Store {
     IndexedFrame(victims, spec).entries
       .select(col("field"), col("value"), (-col("f")).as("f"))
       .write.mode(SaveMode.Overwrite)
-      .options(PointRead.SegWriteOptions).parquet(s"$root/del_$id/ixdelta")
+      .options(PointRead.SegWriteOptions).parquet(outDir)
+    (scanned, delsSeen)
+  }
+
+  private def scanVictimIndex(spark: SparkSession, dir: String,
+                              root: String, spec: IndexSpec,
+                              keyCol: String, id: Int): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    val (scanned, delsSeen) = scanVictimEntriesTo(spark, dir, root,
+      spec, keyCol, id, s"$root/del_$id/ixdelta")
     val base = new org.apache.hadoop.fs.Path(s"$root/del_$id")
     fs.listStatus(base).map(_.getPath).filter(
       _.getName.startsWith("ixrepair_")).foreach(fs.delete(_, true))
@@ -954,57 +971,69 @@ object Store {
     // land inside each other's final listing gap UNDETECTABLE): both
     // sides re-list committed tombstones after publishing, so the
     // later publisher ALWAYS sees the earlier one — publish-then-check
-    // now applies to delete ∥ delete too. Resolution: a DISJOINT key
-    // pair is provably unaffected by the then-live rule (no shared
-    // victims), so the missing `_delseen_` coverage token is written
-    // and the pair is cleared; an OVERLAPPING pair's later-id ixdelta
-    // may over-negate the shared rows, and since a committed unit
-    // cannot be rescanned in place without un-serving its ixdelta
-    // mid-read, the conflict FAILS LOUDLY naming the stale unit —
-    // data reads stay exact (keys-based), compact() heals the index.
+    // now applies to delete ∥ delete too. Resolution (r15 — AUTO-HEAL,
+    // closing the r14 missing #3 which detected but made the caller
+    // heal manually): a DISJOINT key pair is provably unaffected by
+    // the then-live rule (no shared victims), so the missing
+    // `_delseen_` coverage token is written and the pair is cleared;
+    // an OVERLAPPING pair's later-id ixdelta may over-negate the
+    // shared rows, so the detecting side RESCANS the stale unit
+    // itself via the versioned reader-safe [[rescanTombstoneIndex]]
+    // (write-new + atomic publish — no in-place overwrite, so no
+    // reader quiesce needed). Data reads were exact throughout
+    // (keys-based); the heal restores the index netting.
     // (a) tombstones BELOW us whose markers landed in OUR gap: our
-    //     own ixdelta is the potentially stale one;
-    committedTombstones(spark, dir).map(_._1).filter(_ < id)
-      .filterNot(t => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$root/del_$id/_delseen_$t"))).foreach { t =>
-        if (tombstoneKeysOverlap(spark, root, t, id))
-          throw new IllegalStateException(
-            s"concurrent overlapping-key deletes detected: del_$t " +
-              s"committed inside del_$id's commit window — del_$id's " +
-              s"index netting may over-negate the shared keys (data " +
-              s"reads are unaffected); heal with rescanTombstoneIndex " +
-              s"(exclusive) or compact() on a refs-carrying store, " +
-              s"and serialize overlapping deletes")
-        else atomicCreate(fs, new org.apache.hadoop.fs.Path(
-          s"$root/del_$id/_delseen_$t"))
-      }
+    //     own ixdelta is the potentially stale one. ONE rescan of our
+    //     unit covers every such tombstone at once (it re-lists), so
+    //     detect-any first, heal once, then record the tokens (the
+    //     rescan writes them too; atomicCreate is idempotent).
+    val unseenBelow = committedTombstones(spark, dir).map(_._1)
+      .filter(_ < id).filterNot(t => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/del_$id/_delseen_$t")))
+    if (unseenBelow.exists(t => tombstoneKeysOverlap(spark, root, t, id)))
+      rescanTombstoneIndex(spark, dir, spec, keyCol, id)
+    unseenBelow.foreach(t => atomicCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_delseen_$t")))
     // (b) committed tombstones ABOVE us that missed OUR marker: their
-    //     ixdelta is the potentially stale one.
-    committedTombstones(spark, dir).map(_._1).filter(_ > id)
-      .filterNot(t => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$root/del_$t/_delseen_$id"))).foreach { t =>
+    //     ixdelta is the potentially stale one — rescan each with ITS
+    //     recorded key column (valid at its id: dataAsOf maps renames
+    //     up to the unit's own id, the name era the keys were
+    //     recorded in). The other side may heal itself concurrently;
+    //     version slots keep the two rescans apart and either
+    //     published result is post-conflict-correct.
+    committedTombstones(spark, dir).filter(_._1 > id)
+      .filterNot { case (t, _) => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/del_$t/_delseen_$id")) }.foreach { case (t, kcT) =>
         if (tombstoneKeysOverlap(spark, root, id, t))
-          throw new IllegalStateException(
-            s"concurrent overlapping-key deletes detected: del_$id " +
-              s"committed inside del_$t's commit window — del_$t's " +
-              s"index netting may over-negate the shared keys (data " +
-              s"reads are unaffected); heal with rescanTombstoneIndex " +
-              s"(exclusive) or compact() on a refs-carrying store, " +
-              s"and serialize overlapping deletes")
-        else atomicCreate(fs, new org.apache.hadoop.fs.Path(
+          rescanTombstoneIndex(spark, dir, spec, kcT, t)
+        atomicCreate(fs, new org.apache.hadoop.fs.Path(
           s"$root/del_$t/_delseen_$id"))
       }
   }
 
-  /** EXCLUSIVE index-netting repair for one committed tombstone
-    * (r14): re-run its victim scan against everything committed NOW
-    * — the rescan lists all segments and earlier tombstones, so the
-    * then-live rule lands correctly even when the original scan
-    * raced an overlapping-key delete (the conflict
-    * [[commitTombstone]] fails loudly on). O(victims), never a
-    * corpus pass. EXCLUSIVE like compact/vacuum: the rescan
-    * Overwrites the live `ixdelta` a concurrent reader may be
-    * planning over — quiesce readers and writers first.
+  /** READER-SAFE index-netting repair for one committed tombstone
+    * (r14, made concurrent in r15): re-run its victim scan against
+    * everything committed NOW — the rescan lists all segments and
+    * earlier tombstones, so the then-live rule lands correctly even
+    * when the original scan raced an overlapping-key delete.
+    * O(victims), never a corpus pass.
+    *
+    * SAFE UNDER CONCURRENT READERS (r15 — the r14 spelling
+    * Overwrote the live `ixdelta` in place and had to demand
+    * exclusivity): the fresh delta is written to a brand-new
+    * `ixdelta_v<k>` directory (version slot claimed by
+    * `_ixvclaim_<k>`, create-if-absent) and published by an atomic
+    * `_IXPUBLISHED` marker — a concurrent [[mergedIndex]] /
+    * [[openAt]] / point read either still sees the previous delta
+    * (the pre-heal state, exactly what it was already serving) or
+    * the complete new one, never a partial write. The version
+    * records which per-segment `ixrepair_*` units its scan folded
+    * (a `_folds` sidecar, underscore-named so the parquet reader
+    * skips it); [[tombstoneIxDirs]] serves the highest published
+    * version plus only the UNfolded repairs. Superseded versions
+    * are reclaimed when the generation retires (compact/vacuum).
+    * This is what lets [[commitTombstone]] AUTO-HEAL a detected
+    * delete ∥ delete conflict instead of failing loudly.
     */
   def rescanTombstoneIndex(spark: SparkSession, dir: String,
                            spec: IndexSpec, keyCol: String,
@@ -1014,23 +1043,67 @@ object Store {
     require(fs.exists(new org.apache.hadoop.fs.Path(
         s"$root/del_$id/_COMMITTED")),
       s"del_$id is not a committed tombstone under $root")
-    scanVictimIndex(spark, dir, root, spec, keyCol, id)
+    // claim a fresh version slot — two concurrent healers (both
+    // sides of a race may try) land on distinct slots; both rescans
+    // are post-conflict and self-consistent, so either winning the
+    // "highest published" read is correct
+    var k = 1
+    while (!atomicCreate(fs, new org.apache.hadoop.fs.Path(
+      s"$root/del_$id/_ixvclaim_$k"))) k += 1
+    val out = s"$root/del_$id/ixdelta_v$k"
+    val (scanned, delsSeen) = scanVictimEntriesTo(spark, dir, root,
+      spec, keyCol, id, out)
+    // record the repairs this version folds: its scan covered every
+    // segment it listed, so those segments' ixrepair units (complete
+    // OR in flight — a racer that claimed its token before our
+    // listing publishes into a segment we cover) must not be summed
+    // on top of it
+    val folds = fs.create(
+      new org.apache.hadoop.fs.Path(s"$out/_folds"), true)
+    try folds.write(scanned.mkString("\n").getBytes("UTF-8"))
+    finally folds.close()
+    // publish LAST — the marker flips readers to this version
+    atomicCreate(fs, new org.apache.hadoop.fs.Path(s"$out/_IXPUBLISHED"))
+    scanned.foreach(s => atomicCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_scope_$s")))
+    delsSeen.foreach(t => atomicCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$root/del_$id/_delseen_$t")))
   }
+
+  /** driver-memory bound for the delete-race overlap check: above
+    * this many keys per tombstone the driver-side Set is no longer
+    * "small by the delete contract" and the check answers
+    * conservatively instead of materializing (r14 advice #3)
+    */
+  private val overlapCheckMaxKeys: Long = 4L * 1000 * 1000
 
   /** do two committed tombstones' key sets intersect? Driver-side
     * read of both key parquets (key sets are small by the delete
     * contract) — the cheap disambiguator between a harmless
     * interleaved delete pair (disjoint keys: the then-live rule is
     * vacuous between them) and a genuinely conflicting one.
+    * BOUNDED (r14 advice #3): a contract-violating giant key set
+    * aborts the driver read at [[overlapCheckMaxKeys]] and the check
+    * answers TRUE — conservative, because the overlap branch's
+    * remedy (a versioned index rescan) is correct for disjoint pairs
+    * too; only the skip-the-rescan fast path needs certainty.
     */
   private def tombstoneKeysOverlap(spark: SparkSession, root: String,
                                    a: Int, b: Int): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val ka = PointRead.readColumn(conf,
-      new org.apache.hadoop.fs.Path(s"$root/del_$a/keys"), "key").toSet
-    PointRead.readColumn(conf,
-      new org.apache.hadoop.fs.Path(s"$root/del_$b/keys"), "key")
-      .exists(ka.contains)
+    PointRead.readColumnCapped(conf,
+        new org.apache.hadoop.fs.Path(s"$root/del_$a/keys"), "key",
+        overlapCheckMaxKeys) match {
+      case None => true
+      case Some(keysA) =>
+        val ka = keysA.toSet
+        PointRead.readColumnCapped(conf,
+            new org.apache.hadoop.fs.Path(s"$root/del_$b/keys"), "key",
+            overlapCheckMaxKeys) match {
+          case None        => true
+          case Some(keysB) => keysB.exists(ka.contains)
+        }
+    }
   }
 
   /** idempotent, exclusive repair of one (tombstone, segment) pair:
@@ -1114,20 +1187,75 @@ object Store {
     }
   }
 
-  /** the index-delta directories of one committed tombstone: the main
-    * `ixdelta` plus any completed conflict repairs (`ixrepair_<seg>`,
-    * published by their `_SUCCESS`)
+  /** REPAIR-ON-OPEN (r15 — closing the transient netting window that
+    * was documented-only in r14): a reader that opens the store
+    * between an append's manifest commit and the completion of its
+    * post-commit [[repairTombstonesFor]] pass would briefly serve a
+    * merged index missing the tombstone's negations for that segment.
+    * Before serving, scan for committed (tombstone, segment<id) pairs
+    * with NO `_scope_` coverage token and run the idempotent
+    * O(segment) [[coverSegment]] pass on each — the token
+    * create-if-absent keeps this exactly-once against the crashed (or
+    * still-running) writer and against other concurrently-opening
+    * readers. Steady state (every pair covered) this is pure
+    * driver-side metadata probes: #tombstones × #segments existence
+    * checks, zero Spark jobs.
+    */
+  private def repairUncoveredPairs(spark: SparkSession, dir: String,
+                                   spec: IndexSpec): Unit = {
+    val (root, _) = currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
+    val dels = committedTombstones(spark, dir)
+    if (dels.isEmpty) return
+    val segs = segSnapshots(spark, dir)
+    dels.foreach { case (t, kcT) =>
+      segs.filter(_ < t).foreach { s =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/del_$t/_scope_$s")))
+          coverSegment(spark, dir, root, spec, kcT, t, s)
+      }
+    }
+  }
+
+  /** the index-delta directories of one committed tombstone: the
+    * live main delta — the highest PUBLISHED `ixdelta_v<k>` rescan
+    * version if any ([[rescanTombstoneIndex]]), else the original
+    * `ixdelta` — plus any completed conflict repairs
+    * (`ixrepair_<seg>`, published by their `_SUCCESS`) the live
+    * version has not folded (its `_folds` sidecar)
     */
   private def tombstoneIxDirs(fs: org.apache.hadoop.fs.FileSystem,
                               root: String, id: Int): Seq[String] = {
     val base = s"$root/del_$id"
-    val repairs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(base))
       .map(_.getPath.getName).toSeq
+    val published = names.filter(_.startsWith("ixdelta_v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("ixdelta_v").toInt).toOption)
+      .filter(k => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$base/ixdelta_v$k/_IXPUBLISHED")))
+    val (main, folded) =
+      if (published.isEmpty) (s"$base/ixdelta", Set.empty[Int])
+      else {
+        val k = published.max
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          s"$base/ixdelta_v$k/_folds"))
+        val txt = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+        val f = txt.split("\n").toSeq.filter(_.nonEmpty).map(_.toInt).toSet
+        (s"$base/ixdelta_v$k", f)
+      }
+    val repairs = names
       .filter(_.startsWith("ixrepair_"))
+      .filterNot(n => scala.util.Try(
+        n.stripPrefix("ixrepair_").toInt).toOption.exists(folded))
       .filter(n => fs.exists(
         new org.apache.hadoop.fs.Path(s"$base/$n/_SUCCESS")))
       .map(n => s"$base/$n")
-    s"$base/ixdelta" +: repairs.sorted
+    main +: repairs.sorted
   }
 
   /** the store's commit HISTORY (the DESCRIBE HISTORY analog):
@@ -1315,14 +1443,20 @@ object Store {
   }
 
   /** reopen a written frame + its persisted index (openIndexedDf);
-    * the served index is the merge-on-read union of all segments
+    * the served index is the merge-on-read union of all segments.
+    * Runs [[repairUncoveredPairs]] first (r15): an uncovered
+    * (tombstone, segment) pair left by a crashed or still-racing
+    * writer is repaired before the merged index is served, so the
+    * first reader already sees exact netting.
     */
-  def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame =
+  def open(spark: SparkSession, dir: String, spec: IndexSpec): StoredFrame = {
+    repairUncoveredPairs(spark, dir, spec)
     StoredFrame(
       IndexedFrame(dataFrame(spark, dir), spec),
       mergedIndex(spark, dir),
       rowRefsFrame(spark, dir),
       Some(pointReader(spark, dir)))
+  }
 
   /** the driver-side point-read face for [[StoredFrame.fPoint]] /
     * [[StoredFrame.rowsOfPoint]] — fully lazy (no footer I/O until
@@ -1428,6 +1562,7 @@ object Store {
   def openAt(spark: SparkSession, dir: String, spec: IndexSpec,
              upToSeg: Int): StoredFrame = {
     import org.apache.spark.sql.functions._
+    repairUncoveredPairs(spark, dir, spec)
     val (root, _) = currentIndexRoot(spark, dir)
     val segIds = segSnapshots(spark, dir).filter(_ <= upToSeg)
     val delIds = committedTombstones(spark, dir).map(_._1)
@@ -2418,13 +2553,23 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     * the intersection is one linear pass. The BULK spelling stays
     * [[graft.core.IndexedFrame.countsDF]] — hundreds of pair counts
     * amortize better through one Spark plan.
+    *
+    * ORDERING (r14 semantics, documented per advice #4): results are
+    * globally KEY-ASCENDING ([[PointRead.rowKeyCmp]] order — unsigned
+    * UTF-8 for strings, matching Spark's sort), not first-argument
+    * read order as in r13's Set-based spelling. Both paths agree: the
+    * streaming merge emits ascending by construction and the plan
+    * fallback sorts. Duplicate row_keys in the refs artifact violate
+    * the refs contract; both paths DEDUP so a violation degrades to
+    * set semantics rather than multiplying counts.
     */
   def rowsOfAndPoint(f1: String, v1: String,
                      f2: String, v2: String): Seq[Any] =
     point.flatMap(_.andRows(f1, v1, f2, v2)).getOrElse {
       // plan fallback: index-only refs join — never the base table
       import org.apache.spark.sql.functions.col
-      rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key"))
+      rowsOf(f1, v1).distinct().join(rowsOf(f2, v2).distinct(),
+          Seq("row_key"))
         .orderBy(col("row_key")).collect().toSeq.map(_.get(0))
     }
 
@@ -2447,7 +2592,8 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
   def fAndPoint(f1: String, v1: String, f2: String, v2: String,
                 maxF: Long = pairPointMaxF): Long =
     point.flatMap(_.andCount(f1, v1, f2, v2, maxF))
-      .getOrElse(rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key")).count())
+      .getOrElse(rowsOf(f1, v1).distinct()
+        .join(rowsOf(f2, v2).distinct(), Seq("row_key")).count())
 
   /** INTERACTIVE point BOOLEAN ALGEBRA (r13 — `index_bool`'s
     * two-bitmap half served driver-side): (AND, OR, a∖b DIFF, XOR)
@@ -2464,7 +2610,8 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
       point.flatMap(_.andStats(f1, v1, f2, v2, maxF)).getOrElse {
         val a = fPoint(f1, v1)
         val b = fPoint(f2, v2)
-        (a, b, rowsOf(f1, v1).join(rowsOf(f2, v2), Seq("row_key")).count())
+        (a, b, rowsOf(f1, v1).distinct()
+          .join(rowsOf(f2, v2).distinct(), Seq("row_key")).count())
       }
     (and, fa + fb - and, fa - and, fa + fb - 2 * and)
   }
@@ -2547,7 +2694,10 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
   def knnPoint(weights: Seq[(String, String, Double, Double)],
                queryKVs: Map[String, String], k: Int,
                maxRows: Long = pairPointMaxF): Option[Seq[(Any, Double)]] =
-    point.flatMap { p =>
+    // k <= 0 mirrors the plan path's limit(0): empty, never a heap
+    // probe on an empty PriorityQueue (r14 advice #2)
+    if (k <= 0) point.map(_ => Seq.empty)
+    else point.flatMap { p =>
       val nFieldOpt = weights.headOption.map(_._1)
       val n = nFieldOpt.flatMap(nPoint).getOrElse(0L)
       if (nFieldOpt.isEmpty || n > maxRows) None
@@ -2584,21 +2734,31 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
           // tie with the k-th) pays the exact BigDecimal — identical
           // results, O(n log k) + O(|window|) instead of
           // O(n·BigDecimal + n log n).
+          // selection, pruning, and rounding all operate on the SAME
+          // s + baseline doubles (r14 advice #1 — pruning on raw s
+          // while rounding s + baseline let a large-|baseline| fp add
+          // collapse a gap wider than the threshold, so a pruned
+          // candidate could round equal to the k-th and win the key
+          // tie-break; folding baseline first makes the monotonicity
+          // argument airtight at every magnitude)
           val heap = scala.collection.mutable.PriorityQueue.empty[Double]
           acc.forEach((_, s) => {
-            if (heap.size < k) heap.enqueue(s)
-            else if (s < heap.head) { heap.dequeue(); heap.enqueue(s) }
+            val t = s + baseline
+            if (heap.size < k) heap.enqueue(t)
+            else if (t < heap.head) { heap.dequeue(); heap.enqueue(t) }
           })
           // anything with raw ≤ kthRaw + 1e-6 can round equal to the
-          // k-th rounded value and win on the key tie-break; the
-          // extra 1e-9 absorbs the fp add
+          // k-th rounded value and win on the key tie-break
           val threshold =
             if (heap.size < k) Double.PositiveInfinity
             else heap.head + 1.001e-6
           val cand = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
-          acc.forEach((key, s) => if (s <= threshold) cand += ((key,
-            BigDecimal(s + baseline).setScale(6,
-              BigDecimal.RoundingMode.HALF_UP).toDouble)))
+          acc.forEach((key, s) => {
+            val t = s + baseline
+            if (t <= threshold) cand += ((key,
+              BigDecimal(t).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble))
+          })
           val ord = new Ordering[(Any, Double)] {
             override def compare(a: (Any, Double), b: (Any, Double)): Int = {
               val c = java.lang.Double.compare(a._2, b._2)

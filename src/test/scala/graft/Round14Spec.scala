@@ -116,8 +116,8 @@ class Round14Spec extends SparkSpec {
     assert(claims().size === before.size + 1)
   }
 
-  test("TRUE RACE: concurrent overlapping-key deletes either both net " +
-      "correctly or fail loudly — data exact either way (r14)") {
+  test("TRUE RACE: concurrent overlapping-key deletes net correctly " +
+      "with NO manual intervention — auto-heal at commit (r15)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -132,21 +132,18 @@ class Round14Spec extends SparkSpec {
       }
       val (a, b) = (tryDel(2), tryDel(3))
       val results = Await.result(Future.sequence(Seq(a, b)), 300.seconds)
+      // r15: the conflict AUTO-HEALS at commit (versioned rescan of
+      // the stale unit) — neither side throws anymore
       val conflicts = results.collect { case Left(e) => e }
-      conflicts.foreach(e =>
-        assert(e.getMessage.contains("rescanTombstoneIndex"), e.getMessage))
-      // DATA is exact regardless of which side detected (keys-based)
+      assert(conflicts.isEmpty,
+        s"round $round: delete ∥ delete must auto-heal, got " +
+          conflicts.map(_.getMessage).mkString("; "))
+      // DATA is exact regardless of interleaving (keys-based)
       val st = Store.open(spark, s"$dir/s", spec)
       val ids = st.frame.df.select("id").collect().map(_.getLong(0)).toSet
       assert(ids === (0 until 60).filter(i => i % 2 != 0 && i % 3 != 0)
         .map(_.toLong).toSet, s"round $round: data must be exact")
-      // the INDEX either survived correct (no conflict / token-cleared)
-      // or heals with one compact (refs absent → rescan both then fold)
-      if (conflicts.nonEmpty) {
-        Seq(1, 2).foreach(id => if (new java.io.File(
-            s"$dir/s/index/del_$id/_COMMITTED").exists())
-          Store.rescanTombstoneIndex(spark, s"$dir/s", spec, "id", id))
-      }
+      // the INDEX is exact WITHOUT any manual rescan or compact
       val fresh = graft.core.IndexedFrame(st.frame.df, spec).entries
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap

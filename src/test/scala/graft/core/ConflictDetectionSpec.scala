@@ -152,7 +152,7 @@ class ConflictDetectionSpec extends graft.SparkSpec {
   }
 
   test("delete ∥ delete, overlapping keys, markers inside each other's " +
-      "gap: DETECTED and loud (r14 — the r13 undetectable residual)") {
+      "gap: AUTO-HEALED at commit (r15 — was detect-and-throw in r14)") {
     val dir = java.nio.file.Files.createTempDirectory("cds").toString
     Store.write(mkDf(0 until 60), dir, spec) // seg 0
     // A claims 1, B claims 2; BOTH scan while the other is
@@ -160,28 +160,31 @@ class ConflictDetectionSpec extends graft.SparkSpec {
     // loop (uncommitted), so B's ixdelta counts the shared %6 rows.
     // Then A's marker lands inside what used to be the undetectable
     // window: pre-r14 both committed silently and the merged index
-    // over-negated the %6 rows until compact.
+    // over-negated the %6 rows until compact; r14 threw; r15 heals.
     val delA = Store.writeTombstone(spark, dir, spec, "id",
       (0 until 60 by 3).map(_.toLong).toDF("id"), commit = false)
     val delB = Store.writeTombstone(spark, dir, spec, "id",
       (0 until 60 by 2).map(_.toLong).toDF("id"), commit = false)
     Store.commitTombstone(spark, dir, spec, "id", delB)
-    // the later publisher ALWAYS sees the earlier one now: A's
+    // the later publisher ALWAYS sees the earlier one: A's
     // post-marker tombstone check finds del_2 missing _delseen_1,
-    // reads both key sets, sees the overlap, and fails loudly
-    val e = intercept[IllegalStateException] {
-      Store.commitTombstone(spark, dir, spec, "id", delA)
-    }
-    assert(e.getMessage.contains("rescanTombstoneIndex"), e.getMessage)
+    // sees the key overlap, and RESCANS the stale unit (del_B)
+    // itself — versioned write + atomic publish, no throw, no
+    // manual intervention (r14 missing #3)
+    Store.commitTombstone(spark, dir, spec, "id", delA)
+    val fs = fsOf(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/index/del_$delB/ixdelta_v1/_IXPUBLISHED")),
+      "the heal must publish a versioned rescan of the stale unit")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/index/del_$delB/_delseen_$delA")))
     // DATA reads were exact throughout (keys-based netting)...
     val live = Store.open(spark, dir, spec).frame.df
     assert(live.select("id").collect().map(_.getLong(0)).toSet ===
       (0 until 60).filter(i => i % 3 != 0 && i % 2 != 0)
         .map(_.toLong).toSet)
-    // ...and the exclusive rescan heals the stale unit's netting
-    // (del_B over-negated the shared %6 rows): re-run B's victim
-    // scan now that A is visible — the then-live rule lands right
-    Store.rescanTombstoneIndex(spark, dir, spec, "id", delB)
+    // ...and the INDEX is exact immediately — no rescan call, no
+    // compact needed
     check(dir)
     // compact stays correct over the healed store
     Store.compact(spark, dir)
@@ -202,15 +205,43 @@ class ConflictDetectionSpec extends graft.SparkSpec {
     val delB = Store.writeTombstone(spark, dir, rspec, "id",
       (0 until 60 by 2).map(_.toLong).toDF("id"), commit = false)
     Store.commitTombstone(spark, dir, rspec, "id", delB)
-    intercept[IllegalStateException] {
-      Store.commitTombstone(spark, dir, rspec, "id", delA)
-    }
+    Store.commitTombstone(spark, dir, rspec, "id", delA) // r15: auto-heals
     Store.compact(spark, dir)
     val st = Store.open(spark, dir, rspec)
     val fresh = indexAsMap(IndexedFrame(st.frame.df, rspec).entries)
     assert(indexAsMap(st.persistedIndex) === fresh)
     // the healed store still serves point reads and refs
     assert(st.fPoint("cat", "c1") === fresh(("cat", "c1")))
+  }
+
+  test("REPAIR-ON-OPEN: an uncovered (tombstone, segment) pair left " +
+      "by a crashed writer is healed before the first read (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 40), dir, spec)
+    val fs = fsOf(dir)
+    val root = s"$dir/index"
+    // the r14-documented transient window, frozen by a crash: the
+    // appender committed its manifest but died before its post-commit
+    // repairTombstonesFor pass — simulate by letting the repair run,
+    // then deleting its artifacts (token + ixrepair), exactly the
+    // on-disk state a crash right after the manifest commit leaves
+    val apId = Store.claimUnitId(fs, root)
+    val delId = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 100 by 4).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, spec, "id", delId)
+    Store.appendSegment(mkDf(40 until 80), dir, spec, apId, root)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_scope_$apId"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/ixrepair_$apId"), true)
+    // the FIRST reader repairs before serving: exact netting, no
+    // transient over-count of the racing segment's %4 victims
+    check(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_scope_$apId")),
+      "open() must have re-run the coverSegment pass")
+    val live = Store.open(spark, dir, spec).frame.df
+    assert(live.count() === (0 until 80).count(_ % 4 != 0))
   }
 
   test("delete ∥ delete, DISJOINT keys, same interleaving: cleared " +
