@@ -241,6 +241,27 @@ object BaselineProbe {
     }
     results += "knn_point_single" -> (pkn, 1L)
 
+    // 11g. K-ENTRY interactive boolean algebra (r15 — the reference's
+    //    composed bitmap expressions, LBits.scala:141-207
+    //    createAnd/createOr over many open bitmaps): a 3-term
+    //    AND/OR/NOT count set from ONE simultaneous driver-side walk
+    //    of the three entries' row-key streams, n from the cached
+    //    nPoint field scan.
+    val kC = pairKeys.find(r => r.getString(0) != kA.getString(0) &&
+      r.getString(0) != kB.getString(0)).getOrElse(pairKeys.last)
+    val terms3 = Seq(kA, kB, kC).map(r => (r.getString(0), r.getString(1)))
+    val pbp = bestOf(5) { rst.boolPoint(terms3) }
+    results += "bool_point_3term" -> (pbp, 1L)
+
+    // 11h. numeric-range point navigation (r15 — prefixPoint's
+    //    numeric sibling over the sorted typed entry ordering): every
+    //    l_suppkey entry with value in [100, 200], native numeric
+    //    order, from the per-era driver-side field scan.
+    require(rst.rangePoint("l_suppkey", 100, 200).nonEmpty,
+      "rangePoint probe: empty answer — probe would be vacuous")
+    val prg = bestOf(5) { rst.rangePoint("l_suppkey", 100, 200) }
+    results += "range_point" -> (prg, 1L)
+
     val json = results.map { case (k, (ms, n)) =>
       val usPerOp = math.round(ms * 1000.0 / math.max(n, 1) * 100.0) / 100.0
       s""""$k":{"ms":${math.round(ms * 10.0) / 10.0},"ops":$n,"us_per_op":$usPerOp}"""

@@ -777,6 +777,44 @@ object PointRead {
         Some(acc.toSeq.filter(_._2 != 0L).sortBy(_._1))
       }
 
+    /** NUMERIC-RANGE navigation (r15 — the numeric analog of
+      * [[prefix]], closing the reference's sorted typed ordering over
+      * a numeric field's entries, Dfs.scala:310-328 / the
+      * `index_nav_num` plan row): every (value, net f) of one field
+      * whose value PARSES numerically into [lo, hi], ordered by
+      * native numeric value ("10" never lands before "2"). Index
+      * values are persisted as strings, so numeric order is not the
+      * parquet sort order and page pruning cannot bound lo..hi — the
+      * scan is the same per-era byte-range enumeration of the FIELD
+      * that [[prefix]]("") pays (bounded by the field's entry
+      * cardinality, never its row count), with the range filter
+      * applied per entry before accumulation and the tombstones'
+      * negative entries riding the same netting sum. Non-parsing
+      * values are outside any numeric range — excluded, exactly like
+      * the plan spelling's cast-to-double (null) comparison.
+      */
+    def range(field: String, lo: Double,
+              hi: Double): Option[Seq[(String, Long)]] =
+      if (!ok) None
+      else if (hidden(field)) Some(Seq.empty)
+      else {
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        fGroups.zipWithIndex.foreach { case ((dirs, rens), i) =>
+          reverseName(field, rens).foreach { phys =>
+            val rd = freqReaders.getOrElseUpdate(i,
+              new Reader(conf, dirs, "f"))
+            rd.scanPrefix(phys, "").foreach { case (v, f) =>
+              val d = try java.lang.Double.parseDouble(v)
+                      catch { case _: NumberFormatException => Double.NaN }
+              if (d >= lo && d <= hi) // NaN fails both — excluded
+                acc(v) = acc.getOrElse(v, 0L) + f.asInstanceOf[Long]
+            }
+          }
+        }
+        Some(acc.toSeq.filter(_._2 != 0L)
+          .sortBy { case (v, _) => (java.lang.Double.parseDouble(v), v) })
+      }
+
     /** row keys for (field,value): per-era lookups with the era's
       * physical field name, each era's applicable victim key sets
       * subtracted (a key re-appended after its delete is live — it
@@ -915,6 +953,64 @@ object PointRead {
         else { fb += 1; y.next() }
       }
       Some(and)
+    }
+
+    /** K-ENTRY boolean stats (r15 — the reference's composed-bitmap
+      * surface, utils/LBits.scala:141-207 createAnd/createOr over
+      * arbitrarily many open bitmaps and the ioseq/IoBits.scala:24-90
+      * dense/sparse AND/OR kernels, generalized from the r14
+      * two-entry walk): per-term frequencies f_i, the AND count
+      * (rows present in ALL k terms) and the OR count (rows present
+      * in ANY) from ONE simultaneous n-way walk of the k merged
+      * ascending streams — O(k) state, no side ever materialized,
+      * the same INLINE per-side gate as [[andStats]] (any side
+      * exceeding `maxF` consumed keys aborts to the plan fallback).
+      * Every other boolean combination over k terms is a set
+      * identity away for the caller (NOT via the frame row count —
+      * [[graft.core.StoredFrame.boolPoint]] supplies it from its
+      * cached nPoint). None = ineligible or gated.
+      */
+    def multiStats(terms: Seq[(String, String)],
+                   maxF: Long): Option[(Seq[Long], Long, Long)] = {
+      if (!ok) return None
+      if (terms.isEmpty) return Some((Nil, 0L, 0L))
+      val streamOpts = terms.map { case (f, v) => rowStreams(f, v) }
+      if (streamOpts.exists(_.isEmpty)) return None
+      val its = streamOpts.map(s => dedupAsc(kMerge(s.get)).buffered)
+        .toIndexedSeq
+      val k = its.length
+      val fCnt = Array.fill(k)(0L)
+      var and = 0L
+      var or = 0L
+      var exhausted = its.count(!_.hasNext)
+      while (exhausted < k) {
+        // min head across live streams, then advance every stream
+        // sitting on it — one OR row; an AND row iff all k matched
+        var minIdx = -1
+        var i = 0
+        while (i < k) {
+          if (its(i).hasNext &&
+              (minIdx < 0 || rowKeyCmp(its(i).head, its(minIdx).head) < 0))
+            minIdx = i
+          i += 1
+        }
+        val minKey = its(minIdx).head
+        var matched = 0
+        i = 0
+        while (i < k) {
+          if (its(i).hasNext && rowKeyCmp(its(i).head, minKey) == 0) {
+            fCnt(i) += 1
+            if (fCnt(i) > maxF) return None
+            its(i).next()
+            if (!its(i).hasNext) exhausted += 1
+            matched += 1
+          }
+          i += 1
+        }
+        or += 1
+        if (matched == k) and += 1
+      }
+      Some((fCnt.toSeq, and, or))
     }
 
     /** the intersection's row keys themselves (ascending): memory is

@@ -2491,6 +2491,18 @@ object Store {
   * (pre-aggregated — index_freqs-style lookups hit the small sorted
   * parquet instead of rescanning the data).
   */
+/** the k-entry interactive boolean result ([[StoredFrame.boolPoint]]):
+  * the frame row count, per-term frequencies aligned with the query's
+  * term order, and the n-way AND / OR counts — every other boolean
+  * combination is a set identity over these
+  */
+final case class BoolPoint(n: Long, fs: Seq[Long], and: Long, or: Long) {
+  /** rows matching NO term — the NOT of the union */
+  def none: Long = n - or
+  /** rows failing at least one term — the NOT of the intersection */
+  def notAll: Long = n - and
+}
+
 final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
                              rowRefs: Option[DataFrame] = None,
                              point: Option[PointRead.StorePoint] = None) {
@@ -2616,6 +2628,48 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     (and, fa + fb - and, fa - and, fa + fb - 2 * and)
   }
 
+  /** K-ENTRY INTERACTIVE BOOLEAN ALGEBRA (r15 — closes the
+    * reference's composed-bitmap-expression surface: chained `&`/`|`
+    * over many open bitmaps, utils/LBits.scala:141-207
+    * fAnd/createAnd/createOr and ioseq/IoBits.scala:24-90, which the
+    * r14 face served for exactly two entries): per-term frequencies,
+    * n-way AND and OR counts for ANY number of (field,value) terms
+    * from ONE simultaneous streaming walk of the k merged row-key
+    * runs ([[PointRead.StorePoint.multiStats]] — O(k) state, no side
+    * held, the same inline [[pairPointMaxF]] gate per side), plus
+    * the NOT counts the r14 face omitted: n rides the cached
+    * [[nPoint]] field scan (exact for an identity-indexed never-null
+    * `nField`, defaulting to the first term's field — the
+    * [[coStatsPoint]] convention), so `none`/`notAll` are one
+    * subtraction away. Transparent plan fallback (ineligible store,
+    * gated hot entry) computes identical counts from index-only refs
+    * joins — never the base table.
+    */
+  def boolPoint(terms: Seq[(String, String)],
+                maxF: Long = pairPointMaxF,
+                nField: Option[String] = None): BoolPoint = {
+    val nf = nField.orElse(terms.headOption.map(_._1))
+    val fast = for {
+      p <- point
+      s <- p.multiStats(terms, maxF)
+      n <- nf.flatMap(nPoint)
+    } yield BoolPoint(n, s._1, s._2, s._3)
+    fast.getOrElse {
+      // plan fallback: per-term f from the merged index, AND from
+      // the k-way refs join, OR from the distinct union — index-only
+      val fs = terms.map { case (f, v) => fPoint(f, v) }
+      val sides = terms.map { case (f, v) => rowsOf(f, v).distinct() }
+      val and =
+        if (sides.isEmpty) 0L
+        else sides.reduce(_.join(_, Seq("row_key"))).count()
+      val or =
+        if (sides.isEmpty) 0L
+        else sides.reduce(_.unionByName(_)).distinct().count()
+      val n = nf.flatMap(nPoint).getOrElse(frame.df.count())
+      BoolPoint(n, fs, and, or)
+    }
+  }
+
   /** INTERACTIVE prefix NAVIGATION (r13 — the reference's index-nav
     * loop: enumerate a field's values under a prefix with their
     * frequencies, `index_prefix`'s single-op face): served by one
@@ -2632,6 +2686,32 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
         .where(c("field") === field && c("value").startsWith(prefix))
         .select("value", "f").collect()
         .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    }
+
+  /** INTERACTIVE numeric-range NAVIGATION (r15 — the numeric sibling
+    * of [[prefixPoint]], closing the reference's sorted typed entry
+    * ordering, Dfs.scala:310-408 / `index_nav_num`'s plan row, as a
+    * single-op driver-side face): every (value, net f) of `field`
+    * whose value parses into [lo, hi], ordered by NATIVE numeric
+    * value. Served by the same per-era byte-range field scan as
+    * [[prefixPoint]] (bounded by entry cardinality — no Spark job),
+    * tombstone netting and rename mapping riding the same sum;
+    * transparent plan fallback computes the identical rows from the
+    * merged index with a cast-to-double filter. The BULK spelling
+    * stays the `persistedIndex` filter — hundreds of ranges amortize
+    * better through one plan.
+    */
+  def rangePoint(field: String, lo: Double,
+                 hi: Double): Seq[(String, Long)] =
+    point.flatMap(_.range(field, lo, hi)).getOrElse {
+      import org.apache.spark.sql.functions.{col => c}
+      persistedIndex
+        .where(c("field") === field &&
+          c("value").cast("double").between(lo, hi))
+        .select("value", "f").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .sortBy { case (v, _) => (java.lang.Double.parseDouble(v), v) }
+        .toSeq
     }
 
   /** net frame ROW COUNT served driver-side from the freq index:

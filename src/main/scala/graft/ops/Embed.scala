@@ -95,7 +95,13 @@ object Embed {
     * past 9.2e18); documented, not routed, at this SF.
     */
   def pcaPower(df: DataFrame, vec: Column, id: Column,
-               iterations: Int = 3): DataFrame = {
+               iterations: Int = 3,
+               checkpointGram: Boolean = true): DataFrame = {
+    // checkpointGram=false is a DIAGNOSTIC seam (PcaStudy r15): it
+    // re-plans the Gram pass inside every iteration instead of
+    // reusing the materialized 4096 rows — never the production
+    // shape, only the A/B arm that tests whether localCheckpoint
+    // itself is implicated in the r12-r14 drift
     require(iterations >= 1)
     val vm = df.select(id.as("vec_id"),
         posexplode(transform(vec,
@@ -111,10 +117,12 @@ object Embed {
       .agg(sum(col("p.c") * col("q.c")).as("s"))
       .select(col("i"), col("j"),
         floorDiv(col("s"), lit(1000000L)).cast("long").as("s"))
-      .localCheckpoint() // built once; iterations reuse the 4096 rows
+    val gramCk =
+      if (checkpointGram) gram.localCheckpoint() // built once; reused
+      else gram
     val w0 = mean.select(col("dim"), lit(1000000L).as("w"))
     val wT = (1 to iterations).foldLeft(w0) { (w, _) =>
-      val u = gram.join(w, gram("j") === w("dim"))
+      val u = gramCk.join(w, gramCk("j") === w("dim"))
         .groupBy(col("i")).agg(sum(col("s") * col("w")).as("u"))
       val m = u.agg(max(abs(col("u"))).as("m"))
       // renormalize to ~1e6 magnitude WITHOUT forming u·1e6 (which

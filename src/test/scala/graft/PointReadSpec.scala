@@ -246,6 +246,103 @@ class PointReadSpec extends SparkSpec {
     assert(st3.prefixPoint("tag", "t1").isEmpty)
   }
 
+  test("boolPoint: k-entry AND/OR/NOT equals set identities over " +
+      "plan rows on clean/tombstoned/renamed stores, no job (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkDf(0 until 420), s"$dir/s", spec)
+    Store.append(mkDf(420 until 500), s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    val terms = Seq(("cat", "c1"), ("tag", "t3"), ("tag", "t7"))
+    def checkAgainstPlan(s: graft.core.StoredFrame,
+                         ts: Seq[(String, String)]): Unit = {
+      val sets = ts.map { case (f, v) => planRows(s, f, v).toSet }
+      val bp = s.boolPoint(ts)
+      assert(bp.fs === sets.map(_.size.toLong))
+      assert(bp.and === sets.reduce(_ & _).size.toLong)
+      assert(bp.or === sets.reduce(_ | _).size.toLong)
+      val n = s.frame.df.count()
+      assert(bp.n === n, "n must ride the cached nPoint field scan")
+      assert(bp.none === n - bp.or)
+      assert(bp.notAll === n - bp.and)
+    }
+    checkAgainstPlan(st, terms)
+    checkAgainstPlan(st, Seq(("cat", "c0"), ("cat", "c1"))) // disjoint: and=0
+    checkAgainstPlan(st, Seq(("cat", "c2")))                // k=1
+    // 4 terms, mixed presence/absence
+    checkAgainstPlan(st,
+      Seq(("cat", "c1"), ("tag", "t1"), ("tag", "t8"), ("cat", "zzz")))
+    // warm, then: the k-entry walk stays driver-side
+    st.boolPoint(terms)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val bpFast = st.boolPoint(terms)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "boolPoint must not schedule a Spark job")
+    // the gate falls back to the PLAN spelling with identical counts
+    val bpGated = st.boolPoint(terms, maxF = 3)
+    assert(bpGated === bpFast,
+      "gated plan fallback must compute identical counts")
+    // tombstoned store: both paths net
+    Store.delete(spark, s"$dir/s", spec, "id",
+      (0 until 500 by 3).map(_.toLong).toDF("id"))
+    val st2 = Store.open(spark, s"$dir/s", spec)
+    checkAgainstPlan(st2, terms)
+    // renamed store: terms speak the NEW name through the reverse map
+    Store.renameColumn(spark, s"$dir/s", "tag", "tags")
+    val sp3 = IndexSpec(Seq("cat", "tags")).withRowRefs("id")
+    val st3 = Store.open(spark, s"$dir/s", sp3)
+    checkAgainstPlan(st3, Seq(("cat", "c1"), ("tags", "t3"), ("tags", "t7")))
+  }
+
+  test("rangePoint: numeric-range navigation equals the plan in " +
+      "native numeric order on clean/tombstoned/renamed stores, no job (r15)") {
+    val nspec = IndexSpec(Seq("cat", "num")).withRowRefs("id")
+    def mkN(ids: Range) = ids.map(i =>
+      (i.toLong, s"c${i % 5}", (i % 25).toLong, i * 1.0))
+      .toDF("id", "cat", "num", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    Store.write(mkN(0 until 300), s"$dir/s", nspec)
+    Store.append(mkN(300 until 400), s"$dir/s", nspec)
+    val st = Store.open(spark, s"$dir/s", nspec)
+    def plan(s: graft.core.StoredFrame, f: String,
+             lo: Double, hi: Double) = s.persistedIndex
+      .where(col("field") === f &&
+        col("value").cast("double").between(lo, hi))
+      .select("value", "f").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (v, _) => (v.toDouble, v) }.toSeq
+    assert(st.rangePoint("num", 3, 11) === plan(st, "num", 3, 11))
+    assert(st.rangePoint("num", 0, 24) === plan(st, "num", 0, 24))
+    // NATIVE numeric order: "10" lands after "9", never after "1"
+    assert(st.rangePoint("num", 9, 11).map(_._1) === Seq("9", "10", "11"))
+    val all = st.rangePoint("num", 0, 24).map(_._1.toDouble)
+    assert(all.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "entries must come back strictly ascending by numeric value")
+    // boundary inclusivity + empty range
+    assert(st.rangePoint("num", 24, 24).map(_._1) === Seq("24"))
+    assert(st.rangePoint("num", 100, 200).isEmpty)
+    // warm, then: no Spark job
+    st.rangePoint("num", 1, 2)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(st.rangePoint("num", 5, 15).nonEmpty)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "rangePoint must stay driver-side")
+    // tombstone nets: delete every row whose num == 7 — the entry
+    // must disappear from the range enumeration entirely
+    Store.delete(spark, s"$dir/s", nspec, "id",
+      (0 until 400).filter(_ % 25 == 7).map(_.toLong).toDF("id"))
+    val st2 = Store.open(spark, s"$dir/s", nspec)
+    assert(st2.rangePoint("num", 6, 8).map(_._1) === Seq("6", "8"))
+    assert(st2.rangePoint("num", 0, 24) === plan(st2, "num", 0, 24))
+    // renamed field: the new name serves through the reverse map
+    Store.renameColumn(spark, s"$dir/s", "num", "size")
+    val sp3 = IndexSpec(Seq("cat", "size")).withRowRefs("id")
+    val st3 = Store.open(spark, s"$dir/s", sp3)
+    assert(st3.rangePoint("size", 3, 5) === plan(st3, "size", 3, 5))
+    assert(st3.rangePoint("num", 3, 5).isEmpty)
+  }
+
   test("boolCountsPoint equals the set identities over plan rows") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     Store.write(mkDf(0 until 350), s"$dir/s", spec)

@@ -63,6 +63,25 @@ class Round14Spec extends SparkSpec {
         st.frame.predicate("cat", cv), st.frame.predicate("tag", tv))
       assert(cs === plan, s"coStats $cv/$tv")
     }
+    // r15: the K-ENTRY walk over the same composed store — random
+    // term lists (2..4 terms, absent values included) must match the
+    // set identities over plan rows, and the gated fallback must
+    // agree with the streamed answer
+    val n = st.frame.df.count()
+    (1 to 6).foreach { _ =>
+      val k = 2 + rnd.nextInt(3)
+      val terms = (1 to k).map(_ =>
+        if (rnd.nextBoolean()) ("cat", s"c${rnd.nextInt(8)}")
+        else ("tag", s"t${rnd.nextInt(14)}"))
+      val sets = terms.map { case (f, v) => planRows(f, v) }
+      val bp = st.boolPoint(terms, nField = Some("cat"))
+      assert(bp.fs === sets.map(_.size.toLong), s"boolPoint fs $terms")
+      assert(bp.and === sets.reduce(_ & _).size.toLong, s"and $terms")
+      assert(bp.or === sets.reduce(_ | _).size.toLong, s"or $terms")
+      assert(bp.n === n, s"n $terms")
+      val gated = st.boolPoint(terms, maxF = 0L, nField = Some("cat"))
+      assert(gated === bp, s"gated boolPoint $terms")
+    }
   }
 
   test("upsertBatch fails loudly on a FOREIGN committed segment at its id " +
