@@ -2393,6 +2393,44 @@ object Store {
             new org.apache.hadoop.fs.Path(s"$root/$n/_COMMITTED")))
           fs.delete(st.getPath, true)
       }
+      // SUPERSEDED tombstone-rescan versions (r15): within a committed
+      // del unit, every published `ixdelta_v<j>` below the highest
+      // published one — and the original `ixdelta` once any version is
+      // published — is unreachable by [[tombstoneIxDirs]], as are the
+      // repair dirs the live version's `_folds` subsumes and any
+      // unpublished (crashed) version dirs. Reclaim under vacuum's
+      // existing no-stale-readers contract (a reader planned before
+      // the heal may still hold the old delta's files).
+      committedTombstones(spark, dir).foreach { case (id, _) =>
+        val base = s"$root/del_$id"
+        val names = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+          .map(_.getPath.getName).toSeq
+        val published = names.filter(_.startsWith("ixdelta_v"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("ixdelta_v").toInt).toOption)
+          .filter(k => fs.exists(new org.apache.hadoop.fs.Path(
+            s"$base/ixdelta_v$k/_IXPUBLISHED")))
+        if (published.nonEmpty) {
+          val live = published.max
+          val served = tombstoneIxDirs(fs, root, id).toSet
+          names.foreach { n =>
+            val stale =
+              if (n == "ixdelta") true // superseded by the live version
+              else if (n.startsWith("ixdelta_v"))
+                // only the live version survives: lower published
+                // versions are unreachable, unpublished ones crashed
+                scala.util.Try(n.stripPrefix("ixdelta_v").toInt)
+                  .toOption.exists(_ != live)
+              else if (n.startsWith("ixrepair_"))
+                // folded by the live version's scan, or crashed
+                // (no _SUCCESS) — either way never served again
+                !served.contains(s"$base/$n")
+              else false
+            if (stale)
+              fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
+          }
+        }
+      }
     }
   }
 

@@ -214,6 +214,33 @@ class ConflictDetectionSpec extends graft.SparkSpec {
     assert(st.fPoint("cat", "c1") === fresh(("cat", "c1")))
   }
 
+  test("vacuum reclaims superseded rescan versions and the original " +
+      "ixdelta; the healed store still serves exactly (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 60), dir, spec)
+    val delA = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 60 by 3).map(_.toLong).toDF("id"), commit = false)
+    val delB = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 60 by 2).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, spec, "id", delB)
+    Store.commitTombstone(spark, dir, spec, "id", delA) // heals B → v1
+    // a second (manual) heal supersedes v1 with v2
+    Store.rescanTombstoneIndex(spark, dir, spec, "id", delB)
+    val fs = fsOf(dir)
+    val base = s"$dir/index/del_$delB"
+    def ex(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(ex(s"$base/ixdelta") && ex(s"$base/ixdelta_v1") &&
+      ex(s"$base/ixdelta_v2/_IXPUBLISHED"))
+    Store.vacuum(spark, dir)
+    assert(!ex(s"$base/ixdelta"), "superseded original must be reclaimed")
+    assert(!ex(s"$base/ixdelta_v1"), "superseded version must be reclaimed")
+    assert(ex(s"$base/ixdelta_v2/_IXPUBLISHED"), "live version survives")
+    check(dir)
+    // ...and the whole lifecycle still composes after the reclaim
+    Store.compact(spark, dir)
+    check(dir)
+  }
+
   test("REPAIR-ON-OPEN: an uncovered (tombstone, segment) pair left " +
       "by a crashed writer is healed before the first read (r15)") {
     val dir = java.nio.file.Files.createTempDirectory("cds").toString
