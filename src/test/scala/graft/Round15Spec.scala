@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
 class Round15Spec extends SparkSpec {
   import spark.implicits._
 
+  test("THREE-WAY concurrent overlapping-key deletes all auto-heal: " +
+      "no throw, index equals a fresh build, zero intervention (r15)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spec = IndexSpec(Seq("cat"))
+    (0 until 2).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory("r15race3").toString
+      (0 until 120).map(i => (i.toLong, s"c${i % 4}"))
+        .toDF("id", "cat").write.mode("overwrite")
+        .parquet(s"$dir/raw") // seed via Store.write below
+      val df = spark.read.parquet(s"$dir/raw")
+      Store.write(df, s"$dir/s", spec)
+      def tryDel(step: Int) = Future {
+        try Right(Store.delete(spark, s"$dir/s", spec, "id",
+          (0 until 120 by step).map(_.toLong).toDF("id")))
+        catch { case e: IllegalStateException => Left(e) }
+      }
+      // pairwise-overlapping victim sets (%6, %10, %15 shared)
+      val results = Await.result(
+        Future.sequence(Seq(tryDel(2), tryDel(3), tryDel(5))), 300.seconds)
+      val thrown = results.collect { case Left(e) => e }
+      assert(thrown.isEmpty, s"round $round: " +
+        thrown.map(_.getMessage).mkString("; "))
+      val st = Store.open(spark, s"$dir/s", spec)
+      val ids = st.frame.df.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === (0 until 120)
+        .filter(i => i % 2 != 0 && i % 3 != 0 && i % 5 != 0)
+        .map(_.toLong).toSet, s"round $round: data must be exact")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(asMap(st.persistedIndex) ===
+        asMap(graft.core.IndexedFrame(st.frame.df, spec).entries),
+        s"round $round: merged index must equal a fresh build")
+    }
+  }
+
   test("dsir store-incr SERVE plan is delta/artifact-bounded: exactly " +
       "one live-data scan (the corpus-sized scored output itself) plus " +
       "the 1024-bucket counts artifact — never a second corpus pass " +
