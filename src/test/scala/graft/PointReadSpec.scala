@@ -343,6 +343,47 @@ class PointReadSpec extends SparkSpec {
     assert(st3.rangePoint("num", 3, 5).isEmpty)
   }
 
+  test("knnPoint: k<=0 serves empty like the plan's limit(0), and a " +
+      "large-|baseline| query still pins to the plan row (r15: the " +
+      "two r14-advice knnPoint fixes)") {
+    import graft.ops.Knn
+    val dir = java.nio.file.Files.createTempDirectory("pt").toString
+    val df = mkDf(0 until 240)
+    Store.write(df, s"$dir/s", spec)
+    val st = Store.open(spark, s"$dir/s", spec)
+    val w = Knn.keyValueWeights(df, Seq("cat", "tag"), col("v") > 200.0)
+    w.coalesce(1).write.mode("overwrite").parquet(s"$dir/w")
+    val wDrv = Store.readWeightsDriver(spark, s"$dir/w")
+    // k <= 0: the r14 spelling threw NoSuchElementException on
+    // heap.head of an empty PriorityQueue; now it answers the plan's
+    // limit(0) result on the FAST path (Some, not a fallback)
+    assert(st.knnPoint(wDrv, Map("cat" -> "c1"), 0) === Some(Seq.empty))
+    assert(st.knnPoint(wDrv, Map("cat" -> "c1"), -3) === Some(Seq.empty))
+    // large-|baseline| regime: w2 ≈ 2e9 on every entry, so a 2-field
+    // query's baseline ≈ 4e9 — where ulp(s+baseline) ≈ 9.5e-7 rivals
+    // the 6dp rounding grain (the r14 advice #1 failure regime: the
+    // old code pruned on raw s but rounded s+baseline, so the fp add
+    // could collapse a gap wider than the prune threshold). w1
+    // carries sub-1e-6 gaps so top-k boundaries are genuinely tight.
+    // Every row matches exactly 2 weighted entries (its cat + its
+    // tag), so each per-row sum is one commutative fp add —
+    // deterministic on both the plan and the driver path.
+    val bigW = ((0 until 7).map(i =>
+        ("cat", s"c$i", 1.0 + i * 3e-7, 2.0e9)) ++
+      (0 until 13).map(j =>
+        ("tag", s"t$j", 2.0 + j * 7e-7, 2.0e9)))
+      .toDF("field", "value", "w1", "w2")
+    bigW.coalesce(1).write.mode("overwrite").parquet(s"$dir/bw")
+    val bwDrv = Store.readWeightsDriver(spark, s"$dir/bw")
+    val q = Map("cat" -> "c2", "tag" -> "t5")
+    val plan = Knn.topK(df, spark.read.parquet(s"$dir/bw"),
+        Seq("cat", "tag"), q, "id", 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fast = st.knnPoint(bwDrv, q, 12)
+    assert(fast.isDefined)
+    assert(fast.get.map { case (k, d) => (k.asInstanceOf[Long], d) } === plan)
+  }
+
   test("boolCountsPoint equals the set identities over plan rows") {
     val dir = java.nio.file.Files.createTempDirectory("pt").toString
     Store.write(mkDf(0 until 350), s"$dir/s", spec)
