@@ -1013,6 +1013,51 @@ object PointRead {
       Some((fCnt.toSeq, and, or))
     }
 
+    /** K-ENTRY row ENUMERATION (r15 — the other half of the composed
+      * bitmap surface: the reference reads the composed bitmap's set
+      * bits, IoBits AND/OR kernels): the row keys matching ALL k
+      * terms (`intersect = true`) or ANY term (`intersect = false`),
+      * ascending. OR is simply the k·m-run merge de-duplicated
+      * (union of sorted runs IS a merge); AND is the [[multiStats]]
+      * walk keeping the keys every stream advanced on. Memory is the
+      * ANSWER plus victim sets — no input side is held.
+      */
+    def multiRows(terms: Seq[(String, String)],
+                  intersect: Boolean): Option[Seq[Any]] = {
+      if (!ok) return None
+      if (terms.isEmpty) return Some(Seq.empty)
+      val streamOpts = terms.map { case (f, v) => rowStreams(f, v) }
+      if (streamOpts.exists(_.isEmpty)) return None
+      if (!intersect)
+        return Some(dedupAsc(kMerge(streamOpts.flatMap(_.get))).toSeq)
+      val its = streamOpts.map(s => dedupAsc(kMerge(s.get)).buffered)
+        .toIndexedSeq
+      val k = its.length
+      val out = Seq.newBuilder[Any]
+      var exhausted = its.count(!_.hasNext)
+      while (exhausted == 0) { // one empty stream ends an intersection
+        var minIdx = 0
+        var i = 1
+        while (i < k) {
+          if (rowKeyCmp(its(i).head, its(minIdx).head) < 0) minIdx = i
+          i += 1
+        }
+        val minKey = its(minIdx).head
+        var matched = 0
+        i = 0
+        while (i < k) {
+          if (rowKeyCmp(its(i).head, minKey) == 0) {
+            its(i).next()
+            if (!its(i).hasNext) exhausted += 1
+            matched += 1
+          }
+          i += 1
+        }
+        if (matched == k) out += minKey
+      }
+      Some(out.result())
+    }
+
     /** the intersection's row keys themselves (ascending): memory is
       * the ANSWER plus victim sets — neither input side is held.
       */

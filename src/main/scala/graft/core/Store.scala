@@ -2708,6 +2708,38 @@ final case class StoredFrame(frame: IndexedFrame, persistedIndex: DataFrame,
     }
   }
 
+  /** K-ENTRY row ENUMERATION, AND (r15 — the other half of 8e's
+    * composed-bitmap surface: after composing `createAnd` bitmaps
+    * the reference READS the set bits): the row keys matching ALL
+    * `terms`, globally key-ascending, from one simultaneous k-stream
+    * walk ([[PointRead.StorePoint.multiRows]] — memory is the answer
+    * plus victim sets, like [[rowsOfAndPoint]]). Plan fallback: the
+    * k-way index-only refs join, deduped per side (same degradation
+    * contract as the pair ops).
+    */
+  def rowsOfAllPoint(terms: Seq[(String, String)]): Seq[Any] =
+    point.flatMap(_.multiRows(terms, intersect = true)).getOrElse {
+      import org.apache.spark.sql.functions.col
+      if (terms.isEmpty) Seq.empty
+      else terms.map { case (f, v) => rowsOf(f, v).distinct() }
+        .reduce(_.join(_, Seq("row_key")))
+        .orderBy(col("row_key")).collect().toSeq.map(_.get(0))
+    }
+
+  /** K-ENTRY row ENUMERATION, OR: the row keys matching ANY term —
+    * the union of k sorted-run sets is itself one de-duplicated
+    * k·m-run merge, so the fast path never holds a side either.
+    * Plan fallback: the distinct union of the index-only refs reads.
+    */
+  def rowsOfAnyPoint(terms: Seq[(String, String)]): Seq[Any] =
+    point.flatMap(_.multiRows(terms, intersect = false)).getOrElse {
+      import org.apache.spark.sql.functions.col
+      if (terms.isEmpty) Seq.empty
+      else terms.map { case (f, v) => rowsOf(f, v) }
+        .reduce(_.unionByName(_)).distinct()
+        .orderBy(col("row_key")).collect().toSeq.map(_.get(0))
+    }
+
   /** INTERACTIVE prefix NAVIGATION (r13 — the reference's index-nav
     * loop: enumerate a field's values under a prefix with their
     * frequencies, `index_prefix`'s single-op face): served by one

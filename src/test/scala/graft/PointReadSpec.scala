@@ -264,6 +264,13 @@ class PointReadSpec extends SparkSpec {
       assert(bp.n === n, "n must ride the cached nPoint field scan")
       assert(bp.none === n - bp.or)
       assert(bp.notAll === n - bp.and)
+      // the enumeration half: composed AND/OR row sets, ascending
+      val andRows = s.rowsOfAllPoint(ts).map(_.asInstanceOf[Long])
+      val orRows = s.rowsOfAnyPoint(ts).map(_.asInstanceOf[Long])
+      assert(andRows.toSet === sets.reduce(_ & _), s"rowsOfAllPoint $ts")
+      assert(orRows.toSet === sets.reduce(_ | _), s"rowsOfAnyPoint $ts")
+      assert(andRows === andRows.sorted && orRows === orRows.sorted,
+        "enumerations must come back key-ascending")
     }
     checkAgainstPlan(st, terms)
     checkAgainstPlan(st, Seq(("cat", "c0"), ("cat", "c1"))) // disjoint: and=0
