@@ -911,8 +911,9 @@ object Store {
     val (scanned, delsSeen) = scanVictimEntriesTo(spark, dir, root,
       spec, keyCol, id, s"$root/del_$id/ixdelta")
     val base = new org.apache.hadoop.fs.Path(s"$root/del_$id")
-    fs.listStatus(base).map(_.getPath).filter(
-      _.getName.startsWith("ixrepair_")).foreach(fs.delete(_, true))
+    fs.listStatus(base).map(_.getPath).filter(p =>
+      p.getName.startsWith("ixrepair_") ||
+        p.getName.startsWith("_ixtmp_")).foreach(fs.delete(_, true))
     scanned.foreach(s => atomicCreate(fs,
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_scope_$s")))
     delsSeen.foreach(t => atomicCreate(fs,
@@ -1106,26 +1107,51 @@ object Store {
     }
   }
 
-  /** idempotent, exclusive repair of one (tombstone, segment) pair:
-    * win the `_scope_<segId>` token (create-if-absent — the loser
-    * returns immediately), scan JUST that segment for the tombstone's
-    * victims under the then-live rule (rows an intermediate tombstone
-    * already killed are excluded), and publish their negated index
-    * entries as `del_<id>/ixrepair_<segId>` (read by every index
-    * merge alongside the main ixdelta). O(segment), never a corpus
-    * pass. Shared by the delete-side validate loop and the
-    * appender-side post-commit check.
+  /** idempotent repair of one (tombstone, segment) pair: scan JUST
+    * that segment for the tombstone's victims under the then-live
+    * rule (rows an intermediate tombstone already killed are
+    * excluded) and publish their negated index entries as
+    * `del_<id>/ixrepair_<segId>` (read by every index merge
+    * alongside the main ixdelta). O(segment), never a corpus pass.
+    * Shared by the delete-side validate loop, the appender-side
+    * post-commit check, and repair-on-open.
+    *
+    * CRASH-SAFE ORDERING (r15 — closing the r14 "crash between token
+    * and repair" residual): the entries are written to a `_ixtmp_*`
+    * staging dir, atomically RENAMED to `ixrepair_<segId>`, and the
+    * `_scope_<segId>` coverage token is claimed LAST — so a token
+    * can never exist without the repair it stands for. The r14
+    * spelling claimed the token first; a writer crashing after the
+    * claim left a coverage token with no entries, a netting hole
+    * indistinguishable from legitimate token-only coverage. Every
+    * crash state is now self-healing: tmp orphans are never read
+    * (and are reclaimed by vacuum / the full rescan); a published
+    * repair missing its token is re-tokenized by the next caller
+    * (first check below). A lost rename race deletes its own tmp —
+    * both racers computed identical content, so either publication
+    * is correct. The loser-returns-immediately property is kept via
+    * the token fast-path; the rare double-compute in the claim
+    * window is wasted work, never wrong data.
     */
   private[core] def coverSegment(spark: SparkSession, dir: String,
                                  root: String, spec: IndexSpec,
                                  keyCol: String, id: Int,
                                  segId: Int): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    if (!atomicCreate(fs, new org.apache.hadoop.fs.Path(
-        s"$root/del_$id/_scope_$segId"))) return
+    val token = new org.apache.hadoop.fs.Path(
+      s"$root/del_$id/_scope_$segId")
+    if (fs.exists(token)) return
+    val repaired = new org.apache.hadoop.fs.Path(
+      s"$root/del_$id/ixrepair_$segId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$repaired/_SUCCESS"))) {
+      // a crashed (or racing) coverer published the repair but not
+      // the token — finish its job
+      atomicCreate(fs, token)
+      return
+    }
     val files = readManifest(fs, s"$root/seg_$segId")
       .getOrElse(Nil).map(n => s"$dir/data/$n")
-    if (files.isEmpty) return
+    if (files.isEmpty) { atomicCreate(fs, token); return }
     val raw = readSchemaSidecar(fs, s"$root/seg_$segId") match {
       case Some(sc) => spark.read.schema(sc).parquet(files: _*)
       case None     => spark.read.parquet(files: _*)
@@ -1140,7 +1166,9 @@ object Store {
       if (rensBetween.isEmpty) raw
       else raw.select(raw.columns.map(c =>
         col(c).as(currentName(c, rensBetween))).toSeq: _*)
-    if (!seg.columns.contains(keyCol)) return // no victims possible
+    if (!seg.columns.contains(keyCol)) { // no victims possible
+      atomicCreate(fs, token); return
+    }
     // then-live: exclude rows an intermediate tombstone (segId < t' <
     // id) already killed, or their entries would be negated twice
     val earlier = committedTombstones(spark, dir)
@@ -1159,12 +1187,20 @@ object Store {
       .select(col("key").as("__graft_del_key"))
     val victims = base.join(keys,
       base(keyCol) === col("__graft_del_key"), "left_semi")
-    if (victims.isEmpty) return // token alone records the coverage
+    if (victims.isEmpty) { // token alone records the coverage
+      atomicCreate(fs, token); return
+    }
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/del_$id/_ixtmp_" +
+      s"${segId}_${java.util.UUID.randomUUID.toString.take(8)}")
     IndexedFrame(victims, spec).entries
       .select(col("field"), col("value"), (-col("f")).as("f"))
       .write.mode(SaveMode.Overwrite)
       .options(PointRead.SegWriteOptions)
-      .parquet(s"$root/del_$id/ixrepair_$segId")
+      .parquet(tmp.toString)
+    // publish atomically; a lost race (dest exists) discards its own
+    // staging copy — identical content either way
+    if (!fs.rename(tmp, repaired)) fs.delete(tmp, true)
+    atomicCreate(fs, token)
   }
 
   /** the appender half of conflict detection: after a segment's
@@ -2405,6 +2441,9 @@ object Store {
         val base = s"$root/del_$id"
         val names = fs.listStatus(new org.apache.hadoop.fs.Path(base))
           .map(_.getPath.getName).toSeq
+        // crashed coverSegment staging dirs are never read — reclaim
+        names.filter(_.startsWith("_ixtmp_")).foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true))
         val published = names.filter(_.startsWith("ixdelta_v"))
           .flatMap(n => scala.util.Try(
             n.stripPrefix("ixdelta_v").toInt).toOption)

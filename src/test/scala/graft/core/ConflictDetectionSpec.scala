@@ -271,6 +271,44 @@ class ConflictDetectionSpec extends graft.SparkSpec {
     assert(live.count() === (0 until 80).count(_ % 4 != 0))
   }
 
+  test("coverSegment crash states self-heal: a published repair " +
+      "missing its token is re-tokenized, a staging orphan is never " +
+      "read and vacuum reclaims it (r15 — token now claimed LAST)") {
+    val dir = java.nio.file.Files.createTempDirectory("cds").toString
+    Store.write(mkDf(0 until 40), dir, spec)
+    val fs = fsOf(dir)
+    val root = s"$dir/index"
+    val apId = Store.claimUnitId(fs, root)
+    val delId = Store.writeTombstone(spark, dir, spec, "id",
+      (0 until 100 by 4).map(_.toLong).toDF("id"), commit = false)
+    Store.commitTombstone(spark, dir, spec, "id", delId)
+    Store.appendSegment(mkDf(40 until 80), dir, spec, apId, root)
+    // crash state A (the ONLY mid-crash state the r15 ordering can
+    // leave): repair published, token not yet claimed
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_scope_$apId"), false)
+    // crash state B: a staging dir a dead writer abandoned
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_ixtmp_${apId}_dead1234")
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(s"$orphan/part-junk"))
+      .close()
+    // the first reader: exact netting (repair still served, orphan
+    // ignored), token re-claimed, and NO second repair dir
+    check(dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/del_$delId/_scope_$apId")),
+      "open must finish the crashed coverer's token claim")
+    val repairs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/del_$delId")).map(_.getPath.getName)
+      .filter(_.startsWith("ixrepair_"))
+    assert(repairs.toSeq === Seq(s"ixrepair_$apId"),
+      "healing must not publish a duplicate repair")
+    Store.vacuum(spark, dir)
+    assert(!fs.exists(orphan), "vacuum must reclaim staging orphans")
+    check(dir)
+  }
+
   test("delete ∥ delete, DISJOINT keys, same interleaving: cleared " +
       "with a coverage token, index exact (r14)") {
     val dir = java.nio.file.Files.createTempDirectory("cds").toString
