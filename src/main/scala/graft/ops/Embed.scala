@@ -83,25 +83,106 @@ object Embed {
     * DuckDB mirror hashes identically. The all-ones start vector
     * makes the sign deterministic.
     *
-    * Scale shape: the ONLY corpus-sized work is the Gram pass — one
-    * self equi-join of the (vec_id, dim, c) rows on vec_id (map-side
-    * d² blowup per vector, collapsed by partial aggregation to d²
-    * rows per partition before the exchange). Everything after is
-    * d² = 4096 rows: the iteration joins S' (4096 rows) to w (d
-    * rows) — both broadcast-sized at ANY corpus size, so adding
-    * vectors only grows the one Gram pass, which is embarrassingly
-    * parallel. At ≥10⁸ vectors the Gram sums would move to
-    * DECIMAL(38) (long holds |c|≤2e6 squared × 1e8 rows = 4e20 —
-    * past 9.2e18); documented, not routed, at this SF.
+    * Scale shape (r15 optimization round): ONE corpus-sized pass —
+    * the per-(i,j) co-moment aggregation (map-side d² blowup per
+    * vector, collapsed by partial aggregation to d² rows per
+    * partition before the exchange; the exchange itself carries
+    * O(d²·partitions) rows, never corpus rows). The centered Gram
+    * falls out of the exact integer identity
+    *   Σ(vᵢ−μᵢ)(vⱼ−μⱼ) = Σvᵢvⱼ − μᵢ·Tⱼ − μⱼ·Tᵢ + n·μᵢ·μⱼ
+    * (μ the FLOORED integer mean, T the per-dim long total — every
+    * term an exact long, so this is the same number the former
+    * center-then-multiply spelling produced, bit for bit; the
+    * correction terms share S_uc's overflow envelope, so the
+    * documented ≥10⁸-vectors DECIMAL(38) move is unchanged). The
+    * former shape paid THREE corpus passes (mean, a mean equi-join,
+    * and a corpus-wide self-join on vec_id whose exchange carried
+    * every (vec_id, dim, c) row twice). Everything after the
+    * co-moment pass is d² = 4096 rows folded onto ONE row, where the
+    * power steps are array arithmetic (zip_with/aggregate — exact
+    * long sums in index order; integer addition is associative, so
+    * the fold equals the former SQL sum) — zero per-iteration
+    * shuffles vs. the former join+agg round per step. PcaStudy keeps
+    * the former spelling as [[pcaPowerV1]] for paired A/B evidence;
+    * PcaEquivSpec pins bit-equality of the two shapes.
     */
   def pcaPower(df: DataFrame, vec: Column, id: Column,
+               iterations: Int = 3): DataFrame = {
+    require(iterations >= 1)
+    // micro-rounded vectors; id is not referenced — the co-moment
+    // pass is row-order-free (exact integer sums)
+    val vm = df.select(transform(vec,
+      x => round(x.cast("double") * 1e6, 0).cast("long")).as("v"))
+    // ONE corpus pass: uncentered co-moments per (i,j). Each row
+    // contributes vᵢ to every (i,·) group and vⱼ to every (·,j)
+    // group, so the per-dim totals and n ride the same aggregation.
+    val co = vm
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i"), col("vi"),
+        posexplode(col("v")).as(Seq("j", "vj")))
+      .groupBy("i", "j")
+      .agg(sum(col("vi") * col("vj")).as("suc"),
+        sum(col("vi")).as("ti"), sum(col("vj")).as("tj"),
+        count(lit(1)).as("n"))
+    val gram = co.select(col("i"), col("j"), {
+        val mui = floorDiv(col("ti"), col("n")).cast("long")
+        val muj = floorDiv(col("tj"), col("n")).cast("long")
+        val s = col("suc") - mui * col("tj") - muj * col("ti") +
+          col("n") * mui * muj
+        floorDiv(s, lit(1000000L)).cast("long")
+      }.as("s"))
+    // fold S' onto ONE row as a nested array g[i][j] (sort_array on
+    // the unique (i,j)/(i) keys makes the element order, and so the
+    // exact-long fold order, deterministic)
+    val g1 = gram.groupBy("i")
+      .agg(sort_array(collect_list(struct(col("j"), col("s")))).as("r"))
+      .select(col("i"), transform(col("r"), e => e.getField("s")).as("r"))
+      .agg(sort_array(collect_list(struct(col("i"), col("r")))).as("g"))
+      .select(transform(col("g"), e => e.getField("r")).as("g"))
+    // power steps as single-row array math inside ONE aggregate()
+    // fold over `iterations` dummy steps: the accumulator w is a
+    // runtime VALUE between steps, so each step costs O(d²) — this
+    // must NOT be spelled as per-step projections, where
+    // CollapseProject inlines the (statically single-referenced) w
+    // into the next step's per-element lambda and the evaluation
+    // tree goes exponential (observed: a 64-dim 3-step chain pinned
+    // a core for >15 min). `bind` is the let-binding idiom — wrap in
+    // a 1-element array and transform — so u and m are evaluated
+    // once per step, not once per use. Per step: u = S'·w, then
+    // renormalize to max |u| = 1e6 via the same floored division as
+    // before; m < 1e6 (incl. the degenerate all-zero u) passes u
+    // through — already in range; u·1e6 is never formed (overflow at
+    // u ~ 3e17).
+    def bind(value: Column, body: Column => Column): Column =
+      element_at(transform(array(value), v => body(v)), 1)
+    val wFinal = aggregate(
+      sequence(lit(1), lit(iterations)),
+      transform(col("g"), _ => lit(1000000L)),
+      (w, _) => bind(
+        transform(col("g"), row =>
+          aggregate(zip_with(row, w, (s, wj) => s * wj),
+            lit(0L), (acc, e) => acc + e)),
+        u => bind(array_max(transform(u, e => abs(e))), m =>
+          when(m < 1000000L, u)
+            .otherwise(transform(u, x =>
+              floorDiv(x, floorDiv(m, lit(1000000L)).cast("long"))
+                .cast("long"))))))
+    g1.select(posexplode(wFinal).as(Seq("dim", "w_micro")))
+      .select(col("dim").cast("long").as("dim"),
+        col("w_micro").cast("long").as("w_micro"))
+      .orderBy("dim")
+  }
+
+  /** The pre-r15 spelling of [[pcaPower]] — mean pass, mean
+    * equi-join, corpus self-join on vec_id for the Gram, then one
+    * join+agg Spark round per power step over the localCheckpoint'd
+    * 4096-row S'. Kept ONLY as the paired-A/B reference arm
+    * (PcaStudy) and the bit-equality oracle (PcaEquivSpec) for the
+    * r15 single-pass shape; never registered as a query.
+    */
+  private[graft] def pcaPowerV1(df: DataFrame, vec: Column, id: Column,
                iterations: Int = 3,
                checkpointGram: Boolean = true): DataFrame = {
-    // checkpointGram=false is a DIAGNOSTIC seam (PcaStudy r15): it
-    // re-plans the Gram pass inside every iteration instead of
-    // reusing the materialized 4096 rows — never the production
-    // shape, only the A/B arm that tests whether localCheckpoint
-    // itself is implicated in the r12-r14 drift
     require(iterations >= 1)
     val vm = df.select(id.as("vec_id"),
         posexplode(transform(vec,
@@ -125,10 +206,6 @@ object Embed {
       val u = gramCk.join(w, gramCk("j") === w("dim"))
         .groupBy(col("i")).agg(sum(col("s") * col("w")).as("u"))
       val m = u.agg(max(abs(col("u"))).as("m"))
-      // renormalize to ~1e6 magnitude WITHOUT forming u·1e6 (which
-      // would overflow long at u ~ 3e17): divide by the down-scaled
-      // max. m < 1e6 (incl. the degenerate all-zero u) passes u
-      // through — already in range.
       u.crossJoin(broadcast(m))
         .select(col("i").as("dim"),
           when(col("m") < 1000000L, col("u"))

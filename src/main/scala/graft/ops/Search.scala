@@ -288,16 +288,118 @@ object Search {
     * kmeans/pcaPower evidence pattern applied to iterative
     * retrieval).
     *
-    * Scale shape (100 TB of embeddings): stage 1 is the brute/ANN
-    * shortlist — per-query cost is the corpus scan (or the ANN
-    * route), exactly ann_cosine_topk's plan through the bounded-heap
-    * operator. EVERYTHING after is bounded by `shortlist` (default
-    * 20): the pairwise-sim table is ≤ C² rows per query and each of
-    * the k−1 greedy steps joins tables of ≤ C rows per query — the
-    * iterative tail never touches the corpus again. The per-group
-    * argmax is min(struct(−score, id)) — no per-group sort anywhere.
+    * Scale shape (100 TB of embeddings; r15 optimization round):
+    * stage 1 is the brute/ANN shortlist — per-query cost is the
+    * corpus scan (or the ANN route), exactly ann_cosine_topk's plan
+    * through the bounded-heap operator, now carrying each shortlist
+    * row's vector as heap payload (≤ C·d floats per query). The
+    * ENTIRE tail — the ≤C² pairwise-sim table and all k greedy
+    * steps — is array arithmetic on ONE row per query: the former
+    * spelling re-joined the corpus for shortlist vectors, built and
+    * localCheckpoint'd a pair table, and paid a 3-join + aggregate
+    * Spark round per greedy step (8 shuffles / 20 reused exchanges
+    * at k=5); this shape is shortlist → one groupBy(qid) fold →
+    * map-only selection, and never touches the corpus after stage 1.
+    * The per-step argmax is array_min over struct(−score, id) — the
+    * same (−score, id) ordering min(struct(...)) used before, so the
+    * selection sequence (tie → smaller id) is unchanged.
+    * [[mmrTopKV1]] keeps the former spelling as the paired-A/B and
+    * bit-equality reference (MmrEquivSpec).
     */
   def mmrTopK(emb: DataFrame, vec: Column, id: Column,
+              queries: DataFrame, k: Int = 5, shortlist: Int = 20,
+              rankCol: String = "step"): DataFrame = {
+    import graft.functions.VecMath.{vecDot, vecNorm}
+    require(k >= 1 && shortlist >= k)
+    val c = emb.select(id.as("vec_id"), vec.as("e"),
+      vecNorm(vec).as("cn"))
+    val q = queries.select(id.as("qid"), vec.as("qv"),
+      vecNorm(vec).as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(vecDot(col("qv"), col("e")) / (col("qn") * col("cn")), 6)
+          .as("cos"),
+        col("e"), col("cn"))
+    val short = graft.ops.TopK.perGroup(scored, Seq(col("qid")),
+        Seq(desc("cos"), asc("nbr")), shortlist, rankCol = "sl")
+      .select(col("qid"), col("nbr"), col("cos"), col("e"), col("cn"))
+    // ONE row per query: shortlist candidates (nbr-ascending —
+    // sort_array on the unique leading nbr makes the array order
+    // deterministic) …
+    val packed = short.groupBy("qid")
+      .agg(sort_array(collect_list(
+        struct(col("nbr"), col("cos"), col("e"), col("cn")))).as("cand"))
+    // … the C×C cosine matrix (same vecDot/vecNorm/round-6dp values
+    // the former pair table computed — the vectors are the very rows
+    // stage 1 scored) …
+    val withSims = packed.select(col("qid"), col("cand"),
+      transform(col("cand"), x =>
+        transform(col("cand"), y =>
+          round(vecDot(x.getField("e"), y.getField("e")) /
+            (x.getField("cn") * y.getField("cn")), 6))).as("sims"),
+      sequence(lit(0), size(col("cand")) - 1).as("idxs"))
+    // … and the greedy selection, k steps of pure array math inside
+    // ONE aggregate() fold (NOT per-step projections, which
+    // CollapseProject would inline into downstream per-element
+    // lambdas with exponential evaluation cost — see pcaPower).
+    // State: sel = struct(step, nbr, cos, idx) picks so far, a
+    // runtime VALUE between steps. Step score for candidate i:
+    // 0.5·cos_i − 0.5·max_{s∈sel} sims[i][s] (step 1: cos alone);
+    // argmax via array_min over (−score, nbr) — the same
+    // (−score, id) min(struct) ordering as before, ties to the
+    // smaller nbr. A query whose candidate list is exhausted stops
+    // growing (the former per-step join simply produced no row).
+    // `bind` = the 1-element-array let idiom: the argmax result is
+    // evaluated once per step, not once per field reference.
+    def cAt(i: Column, f: String): Column =
+      element_at(col("cand"), i + 1).getField(f)
+    def bind(value: Column, body: Column => Column): Column =
+      element_at(transform(array(value), v => body(v)), 1)
+    def entry(step: Column, p: Column): Column =
+      struct(step.cast("long").as("step"), p.getField("nbr").as("nbr"),
+        p.getField("cos").as("cos"), p.getField("idx").as("idx"))
+    def pick(sel: Column, scoreOf: Column => Column): Column =
+      array_min(transform(
+        filter(col("idxs"), i =>
+          !exists(sel, s => s.getField("idx") === i)),
+        i => struct(negate(scoreOf(i)).as("ns"),
+          cAt(i, "nbr").as("nbr"), cAt(i, "cos").as("cos"),
+          i.as("idx"))))
+    // step 1 picks over ALL candidates (nothing selected yet); the
+    // filter-to-empty spelling materializes the empty sel with the
+    // entry struct's exact type for any id column type
+    val sel1 = bind(
+      array_min(transform(col("idxs"),
+        i => struct(negate(cAt(i, "cos")).as("ns"),
+          cAt(i, "nbr").as("nbr"), cAt(i, "cos").as("cos"),
+          i.as("idx")))),
+      p => filter(array(entry(lit(1L), p)), _ => p.isNotNull))
+    val selK =
+      if (k == 1) sel1
+      else aggregate(
+        sequence(lit(2), lit(k)), sel1,
+        (sel, step) => bind(
+          pick(sel, i => lit(0.5) * cAt(i, "cos") - lit(0.5) *
+            array_max(transform(sel, s =>
+              element_at(element_at(col("sims"), i + 1),
+                s.getField("idx") + 1)))),
+          p => when(p.isNull, sel)
+            .otherwise(concat(sel, array(entry(step, p))))))
+    val selected = withSims.select(col("qid"), selK.as("sel"))
+    selected.select(col("qid"), explode(col("sel")).as("s"))
+      .select(col("qid"), col("s.step").as(rankCol),
+        col("s.nbr").as("nbr"), col("s.cos").as("cos"))
+      .orderBy("qid", rankCol)
+  }
+
+  /** The pre-r15 spelling of [[mmrTopK]] — corpus re-join for
+    * shortlist vectors, a localCheckpoint'd C²-per-query pair table,
+    * and one 3-join + argmax Spark round per greedy step. Kept ONLY
+    * as the paired-A/B reference arm (MmrStudy) and the bit-equality
+    * oracle (MmrEquivSpec) for the r15 array-tail shape; never
+    * registered as a query.
+    */
+  private[graft] def mmrTopKV1(emb: DataFrame, vec: Column, id: Column,
               queries: DataFrame, k: Int = 5, shortlist: Int = 20,
               rankCol: String = "step"): DataFrame = {
     import graft.functions.VecMath.{vecDot, vecNorm}
