@@ -114,11 +114,23 @@ object AsOf {
           val wB = Window.partitionBy("__k")
             .orderBy(col("__t").asc, col("__r").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // forward = the REVERSED-sort running frame, not
+          // first() over (currentRow, unboundedFollowing): Spark's
+          // UnboundedFollowing frame re-aggregates the remaining
+          // partition for EVERY row — O(rows²) per key, a hot-key
+          // scale hazard (r15 optimization round). Sorting
+          // (t desc, r desc) makes [unboundedPreceding, currentRow]
+          // contain exactly the rows (t', r') ≥ (t, r) of the asc
+          // order — including same-t right rows (r=1 sorts before
+          // the left row's 0 in desc, as asc put it after) and the
+          // null-time rows (asc nulls-first excluded them from the
+          // forward frame; desc nulls-last keeps them excluded) —
+          // so the running last() picks the IDENTICAL row in O(rows).
           val wF = Window.partitionBy("__k")
-            .orderBy(col("__t").asc, col("__r").asc)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(col("__t").desc, col("__r").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           (u, last(col("__pay"), ignoreNulls = true).over(wB),
-            first(col("__pay"), ignoreNulls = true).over(wF))
+            last(col("__pay"), ignoreNulls = true).over(wF))
         case Some(width) =>
           // floor division in exact long arithmetic (a double divide
           // drifts near 2^53); a NULL time yields a NULL bucket,
@@ -140,25 +152,28 @@ object AsOf {
               .as("__fp"))
           val wCb = Window.partitionBy("__k").orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)
-          val wCf = Window.partitionBy("__k").orderBy("__b")
-            .rowsBetween(1, Window.unboundedFollowing)
+          // reversed-sort running frame instead of the quadratic
+          // (1, unboundedFollowing) — same linearization as wF below
+          val wCf = Window.partitionBy("__k").orderBy(col("__b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)
           val carry = perB.select(col("__k"), col("__b"),
             last(col("__bp"), ignoreNulls = true).over(wCb).as("__cb"),
-            first(col("__fp"), ignoreNulls = true).over(wCf).as("__cf"))
+            last(col("__fp"), ignoreNulls = true).over(wCf).as("__cf"))
           // the (k,b) join reuses the window's (k,b) clustering on
           // the data side; the carry side is bucket-count-sized
           val joined = ub.join(carry, Seq("__k", "__b"), "left")
           val wBb = Window.partitionBy("__k", "__b")
             .orderBy(col("__t").asc, col("__r").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // reversed-sort running frame — see wF above
           val wFb = Window.partitionBy("__k", "__b")
-            .orderBy(col("__t").asc, col("__r").asc)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(col("__t").desc, col("__r").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           (joined,
             coalesce(
               last(col("__pay"), ignoreNulls = true).over(wBb), col("__cb")),
             coalesce(
-              first(col("__pay"), ignoreNulls = true).over(wFb), col("__cf")))
+              last(col("__pay"), ignoreNulls = true).over(wFb), col("__cf")))
       }
     // one window value per side — every payload column is a field
     // extraction from the same picked row (identical canonicalized
