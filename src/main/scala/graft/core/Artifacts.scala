@@ -61,7 +61,29 @@ object Artifacts {
     val done = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     if (!fs.exists(done)) build.write.mode("overwrite").parquet(dir)
     gcSiblings(s, dir)
-    s.read.parquet(dir)
+    // serve with an explicit schema: a schema-less parquet read runs
+    // a one-task inference JOB per call (~0.1 s), paid on EVERY
+    // steady-state open of every artifact (r15 optimization round).
+    // The `_SCHEMA` sidecar is written once (backfilled for caches
+    // built before it existed) and read driver-side thereafter.
+    readParquet(s, dir)
+  }
+
+  /** read a parquet dir with its `_SCHEMA` sidecar (zero Spark
+    * jobs); absent sidecar → one inference job, then backfill the
+    * sidecar so the next open is free. For any snapshot-keyed
+    * artifact dir this repo writes.
+    */
+  def readParquet(s: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Store.readSchemaSidecar(fs, dir) match {
+      case Some(sc) => s.read.schema(sc).parquet(dir)
+      case None =>
+        val df = s.read.parquet(dir)
+        Store.writeSchemaSidecar(fs, dir, df.schema)
+        df
+    }
   }
 
   /** build-once STORE lifecycle (r14 — the store-incr bench split):

@@ -110,8 +110,9 @@ object SegmentedArtifact {
         case Some(sc) => spark.read.schema(sc).parquet(files: _*)
         case None     => spark.read.parquet(files: _*)
       }
-      buildFor(delta).write.mode(SaveMode.Overwrite)
-        .parquet(s"$fam/seg_$id")
+      val out = buildFor(delta)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$fam/seg_$id")
+      Store.writeSchemaSidecar(fs, s"$fam/seg_$id", out.schema)
       val src = fs.create(
         new org.apache.hadoop.fs.Path(s"$fam/seg_$id/_SRC"), true)
       try src.write(manifestFingerprint(fs, s"$root/seg_$id")
@@ -138,15 +139,23 @@ object SegmentedArtifact {
   def read(spark: SparkSession, dir: String, family: String,
            keyCol: String): DataFrame = {
     val (root, _) = Store.currentIndexRoot(spark, dir)
+    val (fs, _) = fsFor(spark, dir)
     val fam = famRoot(dir, family)
     val segs = Store.segSnapshots(spark, dir)
     require(segs.nonEmpty, s"no committed segments in $dir")
     val dels = Store.committedTombstones(spark, dir)
     val parts = segs.groupBy(s => dels.count(_._1 > s)).toSeq
       .map { case (nApplicable, ids) =>
-        val art = spark.read.parquet(ids.map(id => s"$fam/seg_$id"): _*)
+        val segDirs = ids.map(id => s"$fam/seg_$id")
+        // explicit schema from the first partial's sidecar: skips
+        // the per-call schema-inference job (r15; falls back for
+        // pre-r15 artifact dirs)
+        val art = Store.readSchemaSidecar(fs, segDirs.head) match {
+          case Some(sc) => spark.read.schema(sc).parquet(segDirs: _*)
+          case None     => spark.read.parquet(segDirs: _*)
+        }
         dels.takeRight(nApplicable).foldLeft(art) { case (acc, (id, _)) =>
-          val keys = spark.read.parquet(s"$root/del_$id/keys")
+          val keys = Store.readKeys(spark, s"$root/del_$id/keys")
             .select(col("key").as("__graft_del_key"))
           acc.join(keys, acc(keyCol) === col("__graft_del_key"),
             "left_anti")
@@ -276,6 +285,7 @@ object SegmentedAgg {
         val counts = buildCounts(segData(id))
         validateCountsSchema(counts.schema, Some(keyCol), s"refresh($fam)")
         counts.write.mode(SaveMode.Overwrite).parquet(art)
+        Store.writeSchemaSidecar(fs, art, counts.schema)
         stamp(art, s"$root/seg_$id")
         built += s"seg_$id"
       }
@@ -288,11 +298,11 @@ object SegmentedAgg {
       segs.filter(_ < t).foreach { s =>
         val art = s"$fam/del_${t}_seg_$s"
         if (!fresh(art, s"$root/seg_$s")) {
-          val keys = spark.read.parquet(s"$root/del_$t/keys")
+          val keys = Store.readKeys(spark, s"$root/del_$t/keys")
             .select(col("key").as("__graft_del_key"))
           val earlier = dels.map(_._1).filter(t2 => t2 > s && t2 < t)
           val base = earlier.foldLeft(segData(s)) { case (acc, t2) =>
-            val k2 = spark.read.parquet(s"$root/del_$t2/keys")
+            val k2 = Store.readKeys(spark, s"$root/del_$t2/keys")
               .select(col("key").as("__graft_del_key"))
             acc.join(k2, acc(keyCol) === col("__graft_del_key"),
               "left_anti")
@@ -308,6 +318,7 @@ object SegmentedAgg {
             else col(f.name)
           }.toSeq: _*)
           negated.write.mode(SaveMode.Overwrite).parquet(art)
+          Store.writeSchemaSidecar(fs, art, negated.schema)
           stamp(art, s"$root/seg_$s")
           built += s"del_${t}_seg_$s"
         }
@@ -350,7 +361,11 @@ object SegmentedAgg {
     val dels = Store.committedTombstones(spark, dir).map(_._1)
     val dirs = segs.map(id => s"$fam/seg_$id") ++
       (for (t <- dels; s <- segs if s < t) yield s"$fam/del_${t}_seg_$s")
-    val all = spark.read.parquet(dirs: _*)
+    val (fs, _) = fsFor(spark, dir)
+    val all = Store.readSchemaSidecar(fs, dirs.head) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None     => spark.read.parquet(dirs: _*)
+    }
     validateCountsSchema(all.schema, None, s"read($fam)")
     val countCols = all.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.LongType)

@@ -107,7 +107,7 @@ object Store {
   // Evolution is ADD-COLUMN ONLY: a changed type for an existing
   // field fails loudly at open (silent coercion corrupts data).
 
-  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[core] def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
                                  segDir: String,
                                  schema: org.apache.spark.sql.types.StructType): Unit = {
     val out = fs.create(
@@ -495,6 +495,48 @@ object Store {
     */
   private[core] val DroppedPrefix = "__graft_dropped_"
 
+  /** the index-entry table shape — (field, value, f) — shared by
+    * every seg/ixdelta/ixrepair unit. Passing it explicitly to
+    * parquet reads skips the one-task schema-inference JOB a
+    * schema-less read runs per call (~0.1 s; r15 optimization
+    * round — the merged-index read paid it once per unit group).
+    */
+  private[core] val IxEntriesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("field",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("f",
+        org.apache.spark.sql.types.LongType)))
+
+  private[core] def readIx(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(IxEntriesSchema).parquet(paths: _*)
+
+  /** a tombstone's persisted key set, read with the `_SCHEMA`
+    * sidecar recorded at delete time (falls back to inference for
+    * pre-r15 stores) — same inference-job-avoidance as [[readIx]].
+    */
+  /** persisted row-refs dirs read with the first dir's `_SCHEMA`
+    * sidecar (fallback: inference for pre-r15 stores) */
+  private[core] def readRefs(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val pth = new org.apache.hadoop.fs.Path(dirs.head)
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSchemaSidecar(fs, dirs.head) match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+  }
+
+  private[core] def readKeys(spark: SparkSession, keysDir: String): DataFrame = {
+    val pth = new org.apache.hadoop.fs.Path(keysDir)
+    val fs = pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSchemaSidecar(fs, keysDir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(keysDir)
+      case None => spark.read.parquet(keysDir)
+    }
+  }
+
   /** the hidden-namespace guard every data write runs (r12 advice):
     * a USER column named into the reserved dropped-column namespace
     * would be silently hidden by every read (dataAsOf drops it
@@ -601,7 +643,7 @@ object Store {
     dels.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(df) {
       case (acc, (keyCol, ds)) =>
         val keys = ds.map { case (id, _) =>
-          spark.read.parquet(s"$root/del_$id/keys")
+          readKeys(spark, s"$root/del_$id/keys")
         }.reduce(_ unionByName _).distinct()
           .select(col("key").as("__graft_del_key"))
         acc.join(keys, acc(keyCol) === col("__graft_del_key"), "left_anti")
@@ -849,6 +891,7 @@ object Store {
     // commit protocol: keys + ixdelta + keycol first, marker LAST —
     // a crash leaves an uncommitted unit no reader ever applies
     k.write.mode(SaveMode.Overwrite).parquet(s"$root/del_$id/keys")
+    writeSchemaSidecar(fs, s"$root/del_$id/keys", k.schema)
     scanVictimIndex(spark, dir, root, spec, keyCol, id)
     val kc = fs.create(
       new org.apache.hadoop.fs.Path(s"$root/del_$id/_KEYCOL"), true)
@@ -890,7 +933,7 @@ object Store {
     // data read keeps them — index nets wrong)
     val live = dataAsOf(spark, dir, Some(id), Some(scanned),
       excludeDel = Some(id))
-    val persisted = spark.read.parquet(s"$root/del_$id/keys")
+    val persisted = readKeys(spark, s"$root/del_$id/keys")
       .select(col("key").as("__graft_del_key"))
     // index the victims read back from the PERSISTED key set (the
     // write()/append() read-back discipline: a nondeterministic keys
@@ -1178,12 +1221,12 @@ object Store {
         committedRenames(spark, dir).filter(r => r._1 > t && r._1 <= id))
       if (!acc.columns.contains(kcAtId)) acc
       else {
-        val k2 = spark.read.parquet(s"$root/del_$t/keys")
+        val k2 = readKeys(spark, s"$root/del_$t/keys")
           .select(col("key").as("__graft_del_key"))
         acc.join(k2, acc(kcAtId) === col("__graft_del_key"), "left_anti")
       }
     }
-    val keys = spark.read.parquet(s"$root/del_$id/keys")
+    val keys = readKeys(spark, s"$root/del_$id/keys")
       .select(col("key").as("__graft_del_key"))
     val victims = base.join(keys,
       base(keyCol) === col("__graft_del_key"), "left_semi")
@@ -1447,10 +1490,13 @@ object Store {
       .options(PointRead.SegWriteOptions).parquet(s"$dir/index/seg_0")
     // optional per-entry row-refs artifact (the reference's bitmap
     // payload, Dfs.scala:330-408) — segment-parallel to the f index
-    if (spec.rowRefs.isDefined)
-      ix.rowRefs.write.mode(SaveMode.Overwrite)
+    if (spec.rowRefs.isDefined) {
+      val rr = ix.rowRefs
+      rr.write.mode(SaveMode.Overwrite)
         .options(PointRead.RefsWriteOptions)
         .parquet(s"$dir/index/rows_0")
+      writeSchemaSidecar(fs, s"$dir/index/rows_0", rr.schema)
+    }
     val dataNames = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
@@ -1619,10 +1665,10 @@ object Store {
         col("value"), col("f"))
     }
     val segFrames = segIds.map(id =>
-      mapped(spark.read.parquet(s"$root/seg_$id"), id))
+      mapped(readIx(spark, Seq(s"$root/seg_$id")), id))
     val (fsA, _) = fsFor(spark, dir)
     val delFrames = delIds.map(id =>
-      mapped(spark.read.parquet(tombstoneIxDirs(fsA, root, id): _*), id))
+      mapped(readIx(spark, tombstoneIxDirs(fsA, root, id)), id))
     val index0 =
       if (segFrames.size == 1 && delFrames.isEmpty) segFrames.head
       else {
@@ -1817,11 +1863,13 @@ object Store {
         .options(PointRead.SegWriteOptions).parquet(s"$root/seg_$segId")
       // row-refs segment mirrors the f segment 1:1 — O(batch), the
       // existing refs are neither read nor rewritten
-      if (spec.rowRefs.isDefined)
-        ix.rowRefs
-          .write.mode(SaveMode.Overwrite)
+      if (spec.rowRefs.isDefined) {
+        val rr = ix.rowRefs
+        rr.write.mode(SaveMode.Overwrite)
           .options(PointRead.RefsWriteOptions)
           .parquet(s"$root/rows_$segId")
+        writeSchemaSidecar(fs, s"$root/rows_$segId", rr.schema)
+      }
       writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
       writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
       // appender half of delete∥append conflict detection: a
@@ -1930,6 +1978,7 @@ object Store {
       refs.write.mode(SaveMode.Overwrite)
         .options(PointRead.RefsWriteOptions)
         .parquet(s"$root/rows_$segId")
+      writeSchemaSidecar(fs, s"$root/rows_$segId", refs.schema)
     }
     writeSchemaSidecar(fs, s"$root/seg_$segId", persisted.schema)
     writeManifest(fs, s"$root/seg_$segId", names.map(n => s"$sub/$n"))
@@ -2113,25 +2162,25 @@ object Store {
       // a tombstone's ixdelta (and its conflict repairs) speak the
       // names current at its id — later renames map their field
       // column like any older unit's
-      val d = spark.read.parquet(tombstoneIxDirs(fs, root, id): _*)
+      val d = readIx(spark, tombstoneIxDirs(fs, root, id))
       if (rens.isEmpty) d
       else d.select(mappedFieldExpr(rens.filter(_._1 > id)).as("field"),
         col("value"), col("f"))
     }
-    if (segs.isEmpty) spark.read.parquet(root)
+    if (segs.isEmpty) readIx(spark, Seq(root))
     else if (segPaths.length == 1 && delFrames.isEmpty && rens.isEmpty)
-      spark.read.parquet(segPaths.head)
+      readIx(spark, Seq(segPaths.head))
     else {
       // index segments written before a rename carry the OLD field
       // name — map per rename era (id-suffix grouping, as in the
       // data read); with no renames this is one glob read, as in r11
       val segFrames =
-        if (rens.isEmpty) Seq(spark.read.parquet(segPaths: _*))
+        if (rens.isEmpty) Seq(readIx(spark, segPaths))
         else {
           val ids = (committed ++ legacy).sorted
           ids.groupBy(s => rens.count(_._1 > s)).toSeq.map {
             case (nRen, gids) =>
-              spark.read.parquet(gids.map(id => s"$root/seg_$id"): _*)
+              readIx(spark, gids.map(id => s"$root/seg_$id"))
                 .select(mappedFieldExpr(rens.takeRight(nRen)).as("field"),
                   col("value"), col("f"))
           }
@@ -2197,12 +2246,11 @@ object Store {
       val rens = committedRenames(spark, dir)
         .filter(r => upTo.forall(r._1 <= _))
       if (dels.isEmpty && rens.isEmpty && upTo.isEmpty && segIds == present)
-        Some(spark.read.parquet(s"$root/rows_*"))
+        Some(readRefs(spark, segIds.sorted.map(id => s"$root/rows_$id")))
       else Some(segIds
         .groupBy(s => (dels.count(_._1 > s), rens.count(_._1 > s))).toSeq
         .map { case ((nDel, nRen), ids) =>
-          val raw = spark.read.parquet(
-            ids.map(id => s"$root/rows_$id"): _*)
+          val raw = readRefs(spark, ids.map(id => s"$root/rows_$id"))
           // refs written before a rename carry the OLD field name
           val refs0 =
             if (nRen == 0) raw
@@ -2214,7 +2262,7 @@ object Store {
               refs0.where(!col("field").startsWith(DroppedPrefix))
             else refs0
           dels.takeRight(nDel).foldLeft(refs) { case (acc, (id, _)) =>
-            val keys = spark.read.parquet(s"$root/del_$id/keys")
+            val keys = readKeys(spark, s"$root/del_$id/keys")
               .select(col("key").as("__graft_del_key"))
             acc.join(keys, acc("row_key") === col("__graft_del_key"),
               "left_anti")
@@ -2336,12 +2384,14 @@ object Store {
       .options(PointRead.SegWriteOptions).parquet(s"$newRoot/seg_$foldId")
     // row-refs fold to one re-clustered segment inside the same
     // atomic publish (the _COMMITTED marker below covers both)
-    rows.foreach(_
-      .repartitionByRange(col("field"), col("value"), col("row_key"))
-      .sortWithinPartitions("field", "value", "row_key")
-      .write.mode(SaveMode.Overwrite)
-      .options(PointRead.RefsWriteOptions)
-      .parquet(s"$newRoot/rows_$foldId"))
+    rows.foreach { r =>
+      r.repartitionByRange(col("field"), col("value"), col("row_key"))
+        .sortWithinPartitions("field", "value", "row_key")
+        .write.mode(SaveMode.Overwrite)
+        .options(PointRead.RefsWriteOptions)
+        .parquet(s"$newRoot/rows_$foldId")
+      writeSchemaSidecar(fs, s"$newRoot/rows_$foldId", r.schema)
+    }
     manifestEntries.foreach(writeManifest(fs, s"$newRoot/seg_$foldId", _))
     // the folded segment's schema: the REWRITTEN data's when the fold
     // rewrote (tombstones/renames/mixed — current names, widened

@@ -16,8 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Driver-side schema cache keyed on (path, file mtime/length):
+    * a schema-less `spark.read.parquet` runs a one-task schema-
+    * inference Spark JOB per call (~0.1-0.15 s steady-state) — every
+    * query pays it for every table it touches, three reps each, so
+    * the suite paid hundreds of pure-metadata jobs per bench run
+    * (r15 optimization round; measured by SchemaProbe: 1 job/140 ms
+    * inferred vs 0 jobs/4 ms explicit). The mtime+length key makes a
+    * regenerated dataset re-infer — this caches table METADATA the
+    * way a catalog/table format would (guide §6), never results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // snapshot-aware key (file names + lengths + mtimes — handles
+    // bare files AND Spark-written directory tables)
+    val key = s"$path@${Artifacts.tableSnapshotKey(spark, path)}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -276,7 +276,7 @@ object Similarity {
     */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                     dir: String): Array[Array[Float]] =
-    spark.read.parquet(dir).orderBy("list_id")
+    graft.core.Artifacts.readParquet(spark, dir).orderBy("list_id")
       .collect().map(_.getAs[Seq[Float]]("centroid").toArray)
 
   /** load-if-present else fit+save (the haveIndexedDf analog): the
@@ -617,7 +617,8 @@ object Similarity {
 
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(dir).orderBy("subspace", "code").collect()
+    graft.core.Artifacts.readParquet(spark, dir)
+      .orderBy("subspace", "code").collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1))
         .map(_.getAs[Seq[Float]]("centroid").toArray))
