@@ -83,6 +83,17 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var done = false
+    // checkpoint CADENCE (r15 optimization round): materializing the
+    // vocab-sized symbol table every round cost one extra Spark job
+    // per merge (12 rounds = 24 jobs: argmax collect + checkpoint).
+    // Between checkpoints the un-materialized rounds simply stack
+    // ≤cadence−1 applyMerge lambdas onto the last checkpoint — each
+    // is a single-pass fold per word, so the argmax job re-applies at
+    // most 3 pending merges on the fly (vocab-bounded work, measured
+    // cheaper than the job it replaces) and the merge sequence is
+    // IDENTICAL (BpeSpec pins it against the single-node trainer).
+    val cadence = 4
+    var sinceCk = 0
     while (r <= rounds && !done) {
       val top = pairCounts(syms)
         .orderBy(desc("n"), asc("a"), asc("b")).limit(1).collect()
@@ -91,8 +102,10 @@ object Bpe {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r.toLong, a, b, n))
-        syms = syms.select(col("wc"), applyMerge(a, b).as("syms"))
-          .localCheckpoint()
+        val next = syms.select(col("wc"), applyMerge(a, b).as("syms"))
+        sinceCk += 1
+        syms = if (sinceCk >= cadence) { sinceCk = 0; next.localCheckpoint() }
+               else next
         r += 1
       }
     }

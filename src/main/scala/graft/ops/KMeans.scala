@@ -46,28 +46,43 @@ object KMeans {
     val c0 = vm.orderBy("vec_id").limit(k)
       .select((row_number().over(w) - 1).cast("long").as("cluster"),
         col("v").as("c"))
-    val dist2 = aggregate(zip_with(col("v"), col("c"),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
-    def assignTo(cents: DataFrame): DataFrame =
-      vm.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cluster"), dist2.as("dist2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.dist2").as("dist2"))
-    val cFinal = (1 until iterations).foldLeft(c0) { (cents, _) =>
-      val assigned = assignTo(cents)
+    // centroids ride as ONE broadcast row holding the sorted
+    // (cluster, centroid) array; the per-row argmin is array math
+    // (r15 optimization round — replaces the k× crossJoin row
+    // explode + per-round groupBy(vec_id) reduce with a map-only
+    // pass; same min(struct(dist2, cluster)) ordering, ties to the
+    // smaller cluster id, so assignments are bit-identical)
+    def toArr(cents: DataFrame): DataFrame =
+      cents.agg(sort_array(collect_list(
+        struct(col("cluster"), col("c")))).as("cents"))
+    def assigned(centsArr: DataFrame, carryV: Boolean): DataFrame = {
+      val m = array_min(transform(col("cents"), e =>
+        struct(aggregate(zip_with(col("v"), e.getField("c"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
+            .as("dist2"),
+          e.getField("cluster").as("cluster"))))
+      vm.crossJoin(broadcast(centsArr))
+        .select(Seq(col("vec_id")) ++
+          (if (carryV) Seq(col("v")) else Nil) :+ m.as("m"): _*)
+    }
+    val cFinal = (1 until iterations).foldLeft(toArr(c0)) { (cents, _) =>
       // centroid update: exact floored integer mean per (cluster, dim)
-      assigned.join(vm, "vec_id")
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      // — the assignment rides the same map-only pass, so each Lloyd
+      // round is ONE corpus-sized aggregation
+      toArr(assigned(cents, carryV = true)
+        .select(col("m.cluster").as("cluster"),
+          posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(sum("x").as("s"), count(lit(1)).as("n"))
         .select(col("cluster"), col("dim"),
           expr("((s - pmod(s, n)) div n)").as("c"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("c"))
+          s => s.getField("c")).as("c")))
     }
-    assignTo(cFinal).orderBy("vec_id")
+    assigned(cFinal, carryV = false)
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist2").as("dist2"))
+      .orderBy("vec_id")
   }
 }

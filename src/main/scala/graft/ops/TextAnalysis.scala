@@ -421,29 +421,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cwc"))
       .localCheckpoint() // the fitted model; scoring + totals reuse it
     val classTotals = cnt.groupBy("c").agg(sum("cwc").as("t_c"))
-    val vocab = cnt.select("w").distinct().agg(count(lit(1)).as("v"))
+    // |vocab| as one distinct-agg over the model table (was a
+    // distinct + count pair — one exchange more); n_docs = Σ priors
+    // (was its own corpus aggregation — r15 optimization round)
+    val vocab = cnt.agg(count_distinct(col("w")).as("v"))
     val priors = docs.groupBy(col("lang").as("c"))
       .agg(count(lit(1)).as("nd"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = priors.agg(sum("nd").as("n_docs"))
     val classes = priors.join(classTotals, "c")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
       .select(col("c"), (lnMicro(col("nd")) - lnMicro(col("n_docs")))
           .as("prior_micro"),
         lnMicro(col("t_c") + col("v")).as("denom_micro"))
-    // per-(doc, class) sum over OBSERVED (tok, class) likelihoods
+    // per-(doc, class) sum over OBSERVED (tok, class) likelihoods,
+    // folded to one (doc → class→obs map) row per doc; the per-doc
+    // argmax then runs map-only against the |C|-row class table
+    // carried as a sorted array literal (r15: replaces the former
+    // docs×classes crossJoin explode + (doc,c) left join + a second
+    // per-doc shuffle with one doc_id join — same score expression,
+    // same (−score, c) min-struct argmax, ties to the smaller c)
     val obs = tokStream
       .join(cnt, tokStream("w") === cnt("w"))
       .groupBy(col("doc_id"), col("c"))
       .agg(sum(lnMicro(col("cwc") + 1L)).as("obs_micro"))
-    val scored = docs.select(col("doc_id"), col("lang"), col("n_tokens"))
-      .crossJoin(broadcast(classes))
-      .join(obs, Seq("doc_id", "c"), "left")
-      .select(col("doc_id"), col("lang"),
-        col("c"), (col("prior_micro") + coalesce(col("obs_micro"), lit(0L))
-          - col("n_tokens") * col("denom_micro")).as("score"))
-    val pred = scored.groupBy("doc_id", "lang")
-      .agg(min(struct((-col("score")).as("ns"), col("c"))).as("m"))
-      .select(col("lang"), col("m.c").as("pred_lang"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("c"), col("obs_micro"))))).as("om"))
+    val classArr = classes.agg(sort_array(collect_list(
+      struct(col("c"), col("prior_micro"), col("denom_micro")))).as("cls"))
+    val pred = docs.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(obs, Seq("doc_id"), "left")
+      .crossJoin(broadcast(classArr))
+      .select(col("lang"),
+        array_min(transform(col("cls"), k =>
+          struct(negate(k.getField("prior_micro") +
+              coalesce(element_at(col("om"), k.getField("c")), lit(0L)) -
+              col("n_tokens") * k.getField("denom_micro")).as("ns"),
+            k.getField("c").as("c"))))
+          .getField("c").as("pred_lang"))
     pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
   }
