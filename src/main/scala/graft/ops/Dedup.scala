@@ -651,28 +651,31 @@ object Dedup {
     val win = tokenWindows(df, text, id, n)
     val capped = Skew.dropHotKeys(win, Seq("w"), maxWindowFreq)
     val minDoc = capped.groupBy("w").agg(min("doc_id").as("keep_id"))
+    // covered positions fold to ONE sorted array per doc (r15
+    // optimization round): the former spelling exploded every
+    // covered window into n (doc, p) rows, distinct-shuffled them,
+    // and equi-joined the fully position-exploded corpus on (doc, p)
+    // — two corpus-token-sized exchanges. Here the shuffle carries
+    // only window-START rows; duplicate positions collapse per doc
+    // via flatten+array_distinct (the same dedup the distinct did),
+    // and the scrub itself is an index filter over the doc's token
+    // array — identical tokens kept in identical order, so
+    // n_tokens/n_scrubbed/scrubbed_md5 are bit-identical (oracle-
+    // gated end-to-end).
     val covered = capped.join(minDoc, "w")
       .where(col("doc_id") > col("keep_id"))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (n - 1))).as("p"))
-      .distinct()
-      .withColumn("cov", lit(1))
-    val tokPos = Skew.spread(
-      df.select(id.as("doc_id"), split(text, " ").as("toks"))
-        .where(col("toks").isNotNull),
-      col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
-    tokPos.join(covered, Seq("doc_id", "p"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        coalesce(sum("cov"), lit(0)).cast("long").as("n_scrubbed"),
-        md5(array_join(transform(
-          filter(array_sort(collect_list(
-            struct(col("p"), col("tok"), col("cov")))),
-            s => s.getField("cov").isNull),
-          s => s.getField("tok")), " ")).as("scrubbed_md5"))
+      .agg(sort_array(array_distinct(flatten(collect_list(
+        sequence(col("p"), col("p") + (n - 1)))))).as("covp"))
+    df.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .where(col("toks").isNotNull)
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("covp")), lit(0)).cast("long").as("n_scrubbed"),
+        md5(array_join(filter(col("toks"), (tok, i) =>
+          !coalesce(array_contains(col("covp"), (i + 1).cast("long")),
+            lit(false))), " ")).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
 
