@@ -197,7 +197,20 @@ class PlanAuditSpec extends SparkSpec {
       "embed_quantize" -> Set("ArrayFilter", "ArrayTransform",
         "ArrayAggregate"),
       "ml_kmeans" -> Set("ArrayAggregate", "ZipWith", "ArrayTransform"),
-      "events_json" -> Set("JsonToStructs"))
+      "events_json" -> Set("JsonToStructs"),
+      //   - r15 optimization round — the single-row / bounded-array
+      //     fold shapes that REPLACED per-step shuffle rounds
+      //     (measured wins, bit-equality specs + oracle-gated):
+      //     embed_pca's power fold runs on ONE row; search_mmr's
+      //     greedy fold on |queries| rows over ≤C-element arrays;
+      //     ml_naive_bayes' argmax on a |C|-element class array per
+      //     doc; scrub's index filter over the doc's own token
+      //     array (replacing two corpus-token-sized exchanges).
+      "embed_pca" -> Set("ArrayTransform", "ArrayAggregate", "ZipWith"),
+      "search_mmr" -> Set("ArrayAggregate", "ArrayTransform",
+        "ArrayFilter", "ArrayExists", "ZipWith"),
+      "ml_naive_bayes" -> Set("ArrayTransform"),
+      "dedup_exact_substring_scrub" -> Set("ArrayFilter"))
     // lambda plumbing (LambdaFunction/NamedLambdaVariable) always
     // rides along with its HOF — report the HOF only
     val plumbing = Set("LambdaFunction", "NamedLambdaVariable")
