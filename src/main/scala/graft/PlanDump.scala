@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** r15 optimization-round evidence tool: writes
-  * `plans/r15/<query>_before.txt` / `_after.txt` — the FORMATTED
+/** Optimization-round evidence tool: writes
+  * `plans/r16/<query>_before.txt` / `_after.txt` — the FORMATTED
   * physical plan (executed first, so AQE's final plan) of each
-  * optimized query beside its retained pre-r15 spelling (the
-  * `*V1` functions kept for paired A/B + bit-equality specs).
+  * optimized query beside its retained pre-optimization spelling
+  * (kept behind `nativeKernel=false` flags / `*V1` functions for
+  * paired A/B + bit-equality specs). The r15 pairs live on in
+  * `plans/r15/` (committed) — this main now dumps the r16 set.
   *
   * Usage: runMain graft.PlanDump [sfDir] [queryName...]
   */
@@ -23,25 +25,30 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
 
     def emb = graft.core.Tables.embeddings(spark, sfDir)
-    // before = the retained pre-r15 spelling; after = the shipped query
+    def docs = graft.core.Tables.documents(spark, sfDir)
+    // before = the retained pre-r16 spelling; after = the shipped query
     val pairs: Map[String, (() => DataFrame, () => DataFrame)] = Map(
-      "embed_pca" -> (
-        (() => graft.ops.Embed.pcaPowerV1(emb,
-          col("embedding"), col("vec_id"), iterations = 3)),
-        (() => SparkEntry.queries("embed_pca")(spark, sfDir))),
-      "search_mmr" -> (
-        (() => graft.ops.Search.mmrTopKV1(emb,
-          col("embedding"), col("vec_id"),
-          emb.where(col("vec_id") < 10), k = 5, shortlist = 20)),
-        (() => SparkEntry.queries("search_mmr")(spark, sfDir)))
+      "ml_kmeans" -> (
+        (() => graft.ops.KMeans.assign(emb, col("embedding"),
+          col("vec_id"), k = 8, iterations = 3, nativeKernel = false)),
+        (() => SparkEntry.queries("ml_kmeans")(spark, sfDir))),
+      "ml_naive_bayes" -> (
+        (() => graft.ops.TextAnalysis.naiveBayesConfusion(docs,
+          col("text"), col("doc_id"), col("lang"), nativeKernel = false)),
+        (() => SparkEntry.queries("ml_naive_bayes")(spark, sfDir))),
+      "dedup_exact_substring_scrub" -> (
+        (() => graft.ops.Dedup.exactSubstrScrub(
+          graft.ops.Dedup.plantSpanDups(docs), col("text"), col("doc_id"),
+          nativeKernel = false)),
+        (() => SparkEntry.queries("dedup_exact_substring_scrub")(spark, sfDir)))
     ) ++ extraPairs(spark, sfDir)
 
     val names = if (args.length > 1) args.drop(1).toSeq else pairs.keys.toSeq.sorted
-    new java.io.File("plans/r15").mkdirs()
+    new java.io.File("plans/r16").mkdirs()
     names.foreach { n =>
       val (before, after) = pairs(n)
       Seq("before" -> before, "after" -> after).foreach { case (tag, f) =>
-        val out = new java.io.PrintWriter(s"plans/r15/${n}_$tag.txt")
+        val out = new java.io.PrintWriter(s"plans/r16/${n}_$tag.txt")
         try {
           val qe = f().queryExecution
           qe.toRdd.count() // final adaptive plan
@@ -50,7 +57,7 @@ object PlanDump {
         } catch { case e: Throwable =>
           out.println(s"plan failed: ${e.getMessage}")
         } finally out.close()
-        println(s"wrote plans/r15/${n}_$tag.txt")
+        println(s"wrote plans/r16/${n}_$tag.txt")
       }
     }
     spark.stop()

@@ -43,9 +43,11 @@ object Bpe {
     * at pick time. Deterministic: argmax ties break (n DESC, a ASC,
     * b ASC). Stops early if no pair remains.
     */
-  def trainMerges(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+  def trainMerges(df: DataFrame, text: Column, rounds: Int,
+                  cadence: Int = 4): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1, 64], got $rounds")
+    require(cadence >= 1, s"cadence must be >= 1, got $cadence")
     val spark = df.sparkSession
     import spark.implicits._
     // checkpoint hygiene: the merge table is DRIVER-LOCAL by the end,
@@ -88,11 +90,11 @@ object Bpe {
     // per merge (12 rounds = 24 jobs: argmax collect + checkpoint).
     // Between checkpoints the un-materialized rounds simply stack
     // ≤cadence−1 applyMerge lambdas onto the last checkpoint — each
-    // is a single-pass fold per word, so the argmax job re-applies at
-    // most 3 pending merges on the fly (vocab-bounded work, measured
+    // is a single-pass fold per word, so the argmax job re-applies
+    // the pending merges on the fly (vocab-bounded work, measured
     // cheaper than the job it replaces) and the merge sequence is
     // IDENTICAL (BpeSpec pins it against the single-node trainer).
-    val cadence = 4
+    // Default 4 was A/B'd against 2/6/8/12 in r16 (BpeCadenceStudy).
     var sinceCk = 0
     while (r <= rounds && !done) {
       val top = pairCounts(syms)

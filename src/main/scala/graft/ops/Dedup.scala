@@ -646,7 +646,8 @@ object Dedup {
     */
   def exactSubstrScrub(df: DataFrame, text: Column, id: Column,
                        minTokens: Int = 12,
-                       maxWindowFreq: Long = 1000L): DataFrame = {
+                       maxWindowFreq: Long = 1000L,
+                       nativeKernel: Boolean = true): DataFrame = {
     val n = minTokens
     val win = tokenWindows(df, text, id, n)
     val capped = Skew.dropHotKeys(win, Seq("w"), maxWindowFreq)
@@ -667,15 +668,26 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(array_distinct(flatten(collect_list(
         sequence(col("p"), col("p") + (n - 1)))))).as("covp"))
+    // the index filter is a native two-pointer merge over the SORTED
+    // covp by default (r16 optimization round): the HOF spelling's
+    // per-token array_contains probe is O(|covered|) — O(tokens ×
+    // covered) per doc, quadratic for heavily-duplicated docs — and
+    // CodegenFallback besides. Same kept tokens in the same order
+    // (KernelEquivSpec; scrubbed_md5 hash-oracled end-to-end).
+    val kept =
+      if (nativeKernel)
+        graft.functions.MlKernels.scrubKeep(col("toks"), col("covp"))
+      else
+        filter(col("toks"), (tok, i) =>
+          !coalesce(array_contains(col("covp"), (i + 1).cast("long")),
+            lit(false)))
     df.select(id.as("doc_id"), split(text, " ").as("toks"))
       .where(col("toks").isNotNull)
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("covp")), lit(0)).cast("long").as("n_scrubbed"),
-        md5(array_join(filter(col("toks"), (tok, i) =>
-          !coalesce(array_contains(col("covp"), (i + 1).cast("long")),
-            lit(false))), " ")).as("scrubbed_md5"))
+        md5(array_join(kept, " ")).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
 

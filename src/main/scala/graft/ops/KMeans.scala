@@ -37,10 +37,17 @@ object KMeans {
     * dist2 is the squared L2 distance in micro² units.
     */
   def assign(df: DataFrame, vec: Column, id: Column,
-             k: Int = 8, iterations: Int = 3): DataFrame = {
+             k: Int = 8, iterations: Int = 3,
+             nativeKernel: Boolean = true): DataFrame = {
     require(k >= 1 && iterations >= 1)
+    // micro conversion + per-row argmin are native codegen'd loop
+    // expressions by default (r16 optimization round — the r15 HOF
+    // spelling below is CodegenFallback, i.e. interpreted per CORPUS
+    // row; KernelEquivSpec pins bit-equality of the two spellings,
+    // the hash oracle gates the operator end-to-end)
     val vm = df.select(id.as("vec_id"),
-      transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long"))
+      (if (nativeKernel) graft.functions.MlKernels.vecMicro(vec)
+       else transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long")))
         .as("v"))
     val w = Window.orderBy("vec_id")
     val c0 = vm.orderBy("vec_id").limit(k)
@@ -56,11 +63,14 @@ object KMeans {
       cents.agg(sort_array(collect_list(
         struct(col("cluster"), col("c")))).as("cents"))
     def assigned(centsArr: DataFrame, carryV: Boolean): DataFrame = {
-      val m = array_min(transform(col("cents"), e =>
-        struct(aggregate(zip_with(col("v"), e.getField("c"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
-            .as("dist2"),
-          e.getField("cluster").as("cluster"))))
+      val m =
+        if (nativeKernel)
+          graft.functions.MlKernels.kmArgMin(col("v"), col("cents"))
+        else array_min(transform(col("cents"), e =>
+          struct(aggregate(zip_with(col("v"), e.getField("c"),
+              (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
+              .as("dist2"),
+            e.getField("cluster").as("cluster"))))
       vm.crossJoin(broadcast(centsArr))
         .select(Seq(col("vec_id")) ++
           (if (carryV) Seq(col("v")) else Nil) :+ m.as("m"): _*)

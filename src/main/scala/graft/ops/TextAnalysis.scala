@@ -408,7 +408,8 @@ object TextAnalysis {
     * no driver state.
     */
   def naiveBayesConfusion(df: DataFrame, text: Column, id: Column,
-                          label: Column): DataFrame = {
+                          label: Column,
+                          nativeKernel: Boolean = true): DataFrame = {
     val toks = tokensOf(text)
     def lnMicro(x: Column): Column =
       round(log(x.cast("double")) * 1e6, 0).cast("long")
@@ -449,16 +450,25 @@ object TextAnalysis {
         struct(col("c"), col("obs_micro"))))).as("om"))
     val classArr = classes.agg(sort_array(collect_list(
       struct(col("c"), col("prior_micro"), col("denom_micro")))).as("cls"))
-    val pred = docs.select(col("doc_id"), col("lang"), col("n_tokens"))
-      .join(obs, Seq("doc_id"), "left")
-      .crossJoin(broadcast(classArr))
-      .select(col("lang"),
+    // the per-doc argmax is a native codegen'd loop by default (r16
+    // optimization round — the HOF spelling is CodegenFallback,
+    // interpreted per DOC row; KernelEquivSpec pins bit-equality,
+    // including the null-text all-scores-null tie)
+    val argmax =
+      if (nativeKernel)
+        graft.functions.MlKernels.nbArgMin(col("cls"), col("om"),
+          col("n_tokens"))
+      else
         array_min(transform(col("cls"), k =>
           struct(negate(k.getField("prior_micro") +
               coalesce(element_at(col("om"), k.getField("c")), lit(0L)) -
               col("n_tokens") * k.getField("denom_micro")).as("ns"),
             k.getField("c").as("c"))))
-          .getField("c").as("pred_lang"))
+          .getField("c")
+    val pred = docs.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(obs, Seq("doc_id"), "left")
+      .crossJoin(broadcast(classArr))
+      .select(col("lang"), argmax.as("pred_lang"))
     pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
   }

@@ -177,11 +177,12 @@ class PlanAuditSpec extends SparkSpec {
     //     1-in-10 slice, evidence scaffolding, not the operator).
     //   - dedup_lines: per-doc line split+hash transform, same
     //     line-array trade as the C4 rules.
-    //   - embed_quantize / ml_kmeans: exact-integer oracled
-    //     arithmetic over bounded-dim vectors; a custom codegen
-    //     expression would have to reproduce the oracle's arithmetic
-    //     bit-for-bit — risk without a measured need (both are
-    //     well inside the bench bar).
+    //   - embed_quantize: exact-integer oracled arithmetic over
+    //     bounded-dim vectors; a custom codegen expression would
+    //     have to reproduce the oracle's arithmetic bit-for-bit —
+    //     risk without a measured need (well inside the bench bar).
+    //     (ml_kmeans made that trade through r15; its corpus-row
+    //     argmin/micro kernels went native in r16 — MlKernels.)
     //   - events_json: Spark's JSON parser (JsonToStructs) has no
     //     codegen form at all.
     val allowed: Map[String, Set[String]] = Map(
@@ -196,21 +197,19 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_lines" -> Set("ArrayTransform"),
       "embed_quantize" -> Set("ArrayFilter", "ArrayTransform",
         "ArrayAggregate"),
-      "ml_kmeans" -> Set("ArrayAggregate", "ZipWith", "ArrayTransform"),
       "events_json" -> Set("JsonToStructs"),
       //   - r15 optimization round — the single-row / bounded-array
       //     fold shapes that REPLACED per-step shuffle rounds
       //     (measured wins, bit-equality specs + oracle-gated):
       //     embed_pca's power fold runs on ONE row; search_mmr's
-      //     greedy fold on |queries| rows over ≤C-element arrays;
-      //     ml_naive_bayes' argmax on a |C|-element class array per
-      //     doc; scrub's index filter over the doc's own token
-      //     array (replacing two corpus-token-sized exchanges).
+      //     greedy fold on |queries| rows over ≤C-element arrays.
+      //     (ml_naive_bayes' per-doc argmax, ml_kmeans' per-row
+      //     argmin/micro and scrub's per-doc index filter — the
+      //     DATA-sized members of this family — went native in r16,
+      //     MlKernels; their entries are gone.)
       "embed_pca" -> Set("ArrayTransform", "ArrayAggregate", "ZipWith"),
       "search_mmr" -> Set("ArrayAggregate", "ArrayTransform",
-        "ArrayFilter", "ArrayExists", "ZipWith"),
-      "ml_naive_bayes" -> Set("ArrayTransform"),
-      "dedup_exact_substring_scrub" -> Set("ArrayFilter"))
+        "ArrayFilter", "ArrayExists", "ZipWith"))
     // lambda plumbing (LambdaFunction/NamedLambdaVariable) always
     // rides along with its HOF — report the HOF only
     val plumbing = Set("LambdaFunction", "NamedLambdaVariable")
