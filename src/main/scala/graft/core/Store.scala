@@ -1483,8 +1483,12 @@ object Store {
     // index the WRITTEN data, not the input plan: re-executing `df`
     // for the index would recompute the whole upstream (2× cost) and,
     // for a nondeterministic input (sample/rand/changing source),
-    // index a DIFFERENT row set than the one persisted
-    val persisted = spark.read.parquet(s"$dir/data")
+    // index a DIFFERENT row set than the one persisted. Read back
+    // with the writer's own schema: the files were just written FROM
+    // this frame, so declaring df.schema skips the one-task schema-
+    // inference job a schema-less read runs (r16; the write-side twin
+    // of the r15 read-layer fix — one fewer job per store write).
+    val persisted = spark.read.schema(df.schema).parquet(s"$dir/data")
     val ix = IndexedFrame(persisted, spec)
     ix.entries.write.mode(SaveMode.Overwrite)
       .options(PointRead.SegWriteOptions).parquet(s"$dir/index/seg_0")
@@ -1856,7 +1860,9 @@ object Store {
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq.sorted
     if (names.nonEmpty) {
-      val persisted = spark.read.parquet(s"$dir/data/$sub")
+      // writer's own schema — skips the inference job (see write())
+      val persisted = spark.read.schema(batch.schema)
+        .parquet(s"$dir/data/$sub")
       val ix = IndexedFrame(persisted, spec)
       ix.entries
         .write.mode(SaveMode.Overwrite)

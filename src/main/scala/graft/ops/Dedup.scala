@@ -423,7 +423,19 @@ object Dedup {
     * truncated 60-bit family) — the extent operators' EXACTNESS claim
     * rides on window equality, and at 100 TB window count the 60-bit
     * space would see birthday collisions; every stage is plain SQL
-    * (split / slice / md5) so consumers hash-oracle end-to-end.
+    * (split / slice / md5 / unhex) so consumers hash-oracle end-to-end.
+    *
+    * `w` is BINARY(16) (`unhex` of the md5 hex — r16 optimization
+    * round, guide §2.3 shuffle fewer bytes): the window stream is the
+    * family's dominant exchange and its rows are mostly `w`, so the
+    * 32-char hex spelling shipped 2× the bytes through every
+    * shuffle/sort on the hot path for zero information. Same 128 bits,
+    * same equality semantics, injective re-encoding — pair sets and
+    * every downstream output are bit-identical (oracle-gated).
+    * Window TABLES persisted under the v1 (hex string) format are
+    * incompatible — the artifact paths are format-versioned
+    * (`xswin_v2_*` / `xswin2_base`), and a caller-supplied stale table
+    * fails loudly in the join's type resolution.
     *
     * PUBLIC because it is this family's persistable artifact (the
     * banded-signature analog): a production ingest pipeline builds it
@@ -453,7 +465,8 @@ object Dedup {
         // cost; Spark persists it through parquet), so a consumer fed
         // a window table built with a different n can fail loudly
         // instead of silently matching nothing — see [[windowN]]
-        md5(array_join(slice(col("toks"), col("p").cast("int"), lit(n)), " "))
+        unhex(md5(array_join(slice(col("toks"), col("p").cast("int"), lit(n)),
+            " ")))
           .as("w", new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("graft.window_n", n.toLong).build()))
 

@@ -275,7 +275,10 @@ object EventPipeline {
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("p"),
         col("toks"))
       .select(col("doc_id"), col("ts"),
-        md5(array_join(slice(col("toks"), col("p"), lit(n)), " ")).as("w"))
+        // binary16 window hash — MUST mirror Dedup.tokenWindows' v2
+        // encoding or the stream-static join silently matches nothing
+        unhex(md5(array_join(slice(col("toks"), col("p"), lit(n)), " ")))
+          .as("w"))
       .join(capped, Seq("w"))
       .select("doc_id", "ts")
       .withWatermark("ts", "1 hour")

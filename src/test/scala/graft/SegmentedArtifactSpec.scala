@@ -117,7 +117,8 @@ class SegmentedArtifactSpec extends SparkSpec {
     val incr = SegmentedArtifact.have(spark, dir, "xswin", "doc_id")(wins)
     val full = wins(Store.open(spark, dir, spec).frame.df)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet // w is binary16 since r16
     assert(key(incr) === key(full))
     assert(incr.count() > 0)
   }
